@@ -1,0 +1,93 @@
+"""HyperLogLog — mergeable distinct counting.
+
+Replaces the reference's exact SHA-hash set unions for unique-event /
+allowed-universe counting (``src/model/EnvLogUniverseGenerator.py:91-94``,
+``src/eval/EnvPolicyEvaluator.py:192-199``) with O(2^p)-byte state:
+relative standard error ≈ 1.04/√m with m = 2^p registers (Flajolet et
+al. 2007). Merge = element-wise register max → exactly associative and
+commutative.
+
+Uses 64-bit hashes (no large-range correction needed) and linear
+counting for the small range, per the HyperLogLog++ recommendation.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .base import Sketch
+
+U64 = np.uint64
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (exact, integer-only)."""
+    x = np.asarray(x, dtype=np.uint64)
+    n = np.zeros(x.shape, dtype=np.int64)
+    shift_acc = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = shift_acc >> U64(64 - s) == U64(0)
+        n[mask] += s
+        shift_acc[mask] <<= U64(s)
+    n[x == U64(0)] = 64
+    return n
+
+
+class HyperLogLog(Sketch):
+    MAGIC = b"HLL1"
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = int(p)
+        self.m = 1 << self.p
+        if registers is None:
+            registers = np.zeros(self.m, dtype=np.uint8)
+        self.registers = registers
+
+    @property
+    def relative_error(self) -> float:
+        return 1.04 / np.sqrt(self.m)
+
+    def update_hashed(self, hashes: np.ndarray) -> "HyperLogLog":
+        h = np.asarray(hashes, dtype=np.uint64)
+        if h.size == 0:
+            return self
+        idx = (h >> U64(64 - self.p)).astype(np.int64)
+        rest = h << U64(self.p)  # remaining 64-p bits, left-aligned
+        rho = np.minimum(_clz64(rest) + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        if m == 16:
+            alpha = 0.673
+        elif m == 32:
+            alpha = 0.697
+        elif m == 64:
+            alpha = 0.709
+        else:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+        regs = self.registers.astype(np.float64)
+        raw = alpha * m * m / np.sum(np.exp2(-regs))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if raw <= 2.5 * m and zeros > 0:
+            return float(m * np.log(m / zeros))  # linear counting
+        return float(raw)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        self._check_mergeable(other, "p")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def _payload(self) -> bytes:
+        return struct.pack("<I", self.p) + np.ascontiguousarray(self.registers).tobytes()
+
+    @classmethod
+    def _from_payload(cls, payload: bytes) -> "HyperLogLog":
+        (p,) = struct.unpack_from("<I", payload)
+        regs = np.frombuffer(payload, dtype=np.uint8, offset=4, count=1 << p).copy()
+        return cls(p=p, registers=regs)

@@ -1,0 +1,277 @@
+"""Sketch-kernel conformance tests (FIXTURES.md §F3).
+
+- accuracy within each sketch's published bound (CMS ε·N w.h.p.,
+  HLL ±1.04/√m, Bloom zero false negatives + FPR cap, t-digest/KLL
+  quantile-rank error)
+- merge associativity/commutativity: split input k ∈ {2,3,8,17} ways,
+  merge in shuffled orders ⇒ bit-identical estimates (CMS/HLL/Bloom)
+  or within-bound estimates (t-digest/KLL)
+- serialization round-trips
+"""
+
+import numpy as np
+import pytest
+
+from associationabacminer_ray.functions.hashing import (
+    combine_hashes,
+    hash_ints,
+    hash_strings,
+    splitmix64,
+)
+from associationabacminer_ray.sketches import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    Sketch,
+    SpaceSaving,
+    TDigest,
+    sketch_from_bytes,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def zipf_keys(n=100_000, s=1.3, vocab=10_000, seed=1):
+    rng = np.random.default_rng(seed)
+    ranks = rng.zipf(s, size=n)
+    return np.minimum(ranks, vocab).astype(np.int64)
+
+
+def split_parts(arr, k, seed=0):
+    rng = np.random.default_rng(seed)
+    assign = rng.integers(0, k, size=len(arr))
+    return [arr[assign == i] for i in range(k)]
+
+
+# ---------------------------------------------------------------- hashing
+class TestHashing:
+    def test_deterministic_and_mixed(self):
+        a = hash_strings(np.array(["x", "y", "x", ""], dtype=object))
+        b = hash_strings(np.array(["x", "y", "x", ""], dtype=object))
+        assert np.array_equal(a, b)
+        assert a[0] == a[2] and a[0] != a[1] and a[3] != a[0]
+        seeded = hash_strings(np.array(["x"], dtype=object), seed=5)
+        assert seeded[0] != a[0]
+
+    def test_null_distinct_from_empty(self):
+        h = hash_strings(np.array(["", None], dtype=object))
+        assert h[0] != h[1]
+
+    def test_splitmix_known_vector(self):
+        # SplitMix64(0) first output (Vigna reference): 0xE220A8397B1DCDAF
+        assert int(splitmix64(np.array([0], dtype=np.uint64))[0]) == 0xE220A8397B1DCDAF
+
+    def test_combine_order_sensitive(self):
+        a = hash_ints(np.array([1]))
+        b = hash_ints(np.array([2]))
+        assert combine_hashes(a, b)[0] != combine_hashes(b, a)[0]
+
+
+# ---------------------------------------------------------------- CMS
+class TestCMS:
+    def test_point_error_within_bound(self):
+        keys = zipf_keys()
+        hashes = hash_ints(keys)
+        cms = CountMinSketch(width=1 << 14, depth=5)
+        cms.update_hashed(hashes)
+        uniq, exact = np.unique(keys, return_counts=True)
+        est = cms.estimate_hashed(hash_ints(uniq))
+        assert np.all(est >= exact)  # CMS never underestimates
+        over = est - exact
+        eps_n = cms.epsilon * len(keys)
+        frac_bad = np.mean(over > eps_n)
+        assert frac_bad <= cms.delta + 0.01
+
+    def test_merge_bit_identical_across_splits(self):
+        keys = zipf_keys(n=30_000)
+        hashes = hash_ints(keys)
+        single = CountMinSketch().update_hashed(hashes)
+        for k in (2, 3, 8, 17):
+            parts = split_parts(hashes, k, seed=k)
+            sks = [CountMinSketch().update_hashed(p) for p in parts]
+            order = np.random.default_rng(k).permutation(k)
+            merged = sks[order[0]]
+            for i in order[1:]:
+                merged.merge(sks[i])
+            assert merged.to_bytes() == single.to_bytes()
+
+    def test_serialization_roundtrip(self):
+        cms = CountMinSketch(width=128, depth=3).update_hashed(hash_ints(np.arange(50)))
+        back = sketch_from_bytes(cms.to_bytes())
+        assert isinstance(back, CountMinSketch)
+        assert back.to_bytes() == cms.to_bytes()
+        assert back.total == 50
+
+    def test_for_error_constructor(self):
+        cms = CountMinSketch.for_error(epsilon=0.001, delta=0.01)
+        assert cms.epsilon <= 0.001 and cms.delta <= 0.011
+
+
+# ---------------------------------------------------------------- HLL
+class TestHLL:
+    @pytest.mark.parametrize("true_card", [10, 1_000, 100_000, 1_000_000])
+    def test_cardinality_bound(self, true_card):
+        vals = np.arange(true_card, dtype=np.int64)
+        dup = np.concatenate([vals, vals[: true_card // 2]])
+        hll = HyperLogLog(p=14).update_hashed(hash_ints(dup))
+        est = hll.estimate()
+        # 4σ of the 1.04/√m bound, + small absolute slack for the tiny case
+        tol = 4 * hll.relative_error * true_card + 2
+        assert abs(est - true_card) <= tol
+
+    def test_merge_bit_identical_across_splits(self):
+        hashes = hash_ints(np.arange(50_000))
+        single = HyperLogLog(p=12).update_hashed(hashes)
+        for k in (2, 3, 8, 17):
+            parts = split_parts(hashes, k, seed=k)
+            sks = [HyperLogLog(p=12).update_hashed(p) for p in parts]
+            order = np.random.default_rng(k + 1).permutation(k)
+            merged = sks[order[0]]
+            for i in order[1:]:
+                merged.merge(sks[i])
+            assert merged.to_bytes() == single.to_bytes()
+
+    def test_serialization_roundtrip(self):
+        hll = HyperLogLog(p=10).update_hashed(hash_ints(np.arange(100)))
+        back = sketch_from_bytes(hll.to_bytes())
+        assert back.to_bytes() == hll.to_bytes()
+        assert abs(back.estimate() - hll.estimate()) == 0.0
+
+
+# ---------------------------------------------------------------- Bloom
+class TestBloom:
+    def test_no_false_negatives_and_fpr(self):
+        inserted = hash_ints(np.arange(50_000))
+        probes = hash_ints(np.arange(50_000, 100_000))
+        bf = BloomFilter.for_capacity(50_000, fpr=0.01)
+        bf.add_hashed(inserted)
+        assert bf.contains_hashed(inserted).all()  # zero false negatives
+        fpr = bf.contains_hashed(probes).mean()
+        assert fpr <= 0.02
+
+    def test_merge_bit_identical(self):
+        hashes = hash_ints(np.arange(20_000))
+        single = BloomFilter(num_bits=1 << 18, num_hashes=4).add_hashed(hashes)
+        for k in (2, 8):
+            parts = split_parts(hashes, k, seed=k)
+            sks = [BloomFilter(num_bits=1 << 18, num_hashes=4).add_hashed(p) for p in parts]
+            merged = sks[-1]
+            for s in sks[:-1]:
+                merged.merge(s)
+            assert merged.to_bytes() == single.to_bytes()
+
+    def test_serialization_roundtrip(self):
+        bf = BloomFilter(num_bits=1024, num_hashes=3).add_hashed(hash_ints(np.arange(10)))
+        back = sketch_from_bytes(bf.to_bytes())
+        assert back.to_bytes() == bf.to_bytes()
+
+
+# ---------------------------------------------------------------- top-k
+class TestSpaceSaving:
+    def test_exact_head_on_zipf(self):
+        keys = zipf_keys(n=200_000, s=1.5, vocab=50_000, seed=3)
+        uniq, exact = np.unique(keys, return_counts=True)
+        exact_top = sorted(zip(uniq.tolist(), exact.tolist()), key=lambda t: (-t[1], t[0]))
+        ss = SpaceSaving(capacity=2048)
+        for part in split_parts(keys, 4):
+            u, c = np.unique(part, return_counts=True)
+            ss.update(u.tolist(), c)
+        got = ss.top(10)
+        for (k_exact, c_exact), (k_got, c_got, err) in zip(exact_top[:10], got):
+            assert k_exact == k_got
+            assert c_got - err <= c_exact <= c_got  # overestimate, bounded
+
+    def test_merge_preserves_guarantee(self):
+        keys = zipf_keys(n=100_000, s=1.5, vocab=20_000, seed=7)
+        uniq, exact = np.unique(keys, return_counts=True)
+        exact_map = dict(zip(uniq.tolist(), exact.tolist()))
+        parts = split_parts(keys, 5, seed=9)
+        sks = []
+        for p in parts:
+            u, c = np.unique(p, return_counts=True)
+            sks.append(SpaceSaving(capacity=1024).update(u.tolist(), c))
+        merged = sks[0]
+        for s in sks[1:]:
+            merged.merge(s)
+        for key, count, err in merged.top(10):
+            assert count >= exact_map[key]          # still an overestimate
+            assert count - err <= exact_map[key]    # within tracked error
+
+    def test_serialization_roundtrip_mixed_keys(self):
+        ss = SpaceSaving(capacity=16).update(["a", "b", 3, "a"], None)
+        back = sketch_from_bytes(ss.to_bytes())
+        assert back.top() == ss.top()
+        assert back.total == 4
+
+
+# ---------------------------------------------------------------- quantiles
+DISTS = {
+    "uniform": lambda rng, n: rng.uniform(0, 1, n),
+    "normal": lambda rng, n: rng.normal(0, 1, n),
+    "lognormal": lambda rng, n: rng.lognormal(0, 1, n),
+    "bimodal": lambda rng, n: np.concatenate(
+        [rng.normal(-3, 0.5, n // 2), rng.normal(3, 0.5, n - n // 2)]
+    ),
+}
+QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+class TestQuantileSketches:
+    @pytest.mark.parametrize("dist", list(DISTS))
+    def test_tdigest_rank_error(self, dist):
+        data = DISTS[dist](np.random.default_rng(11), 100_000)
+        td = TDigest(delta=200)
+        for part in split_parts(data, 3):
+            td.update(part)
+        data_sorted = np.sort(data)
+        for q in QS:
+            est = td.quantile(q)
+            true_rank = np.searchsorted(data_sorted, est) / len(data)
+            assert abs(true_rank - q) < 0.02
+
+    @pytest.mark.parametrize("dist", list(DISTS))
+    def test_kll_rank_error(self, dist):
+        data = DISTS[dist](np.random.default_rng(13), 100_000)
+        kll = KLL(k=200)
+        for part in split_parts(data, 3):
+            kll.update(part)
+        data_sorted = np.sort(data)
+        for q in QS:
+            est = kll.quantile(q)
+            true_rank = np.searchsorted(data_sorted, est) / len(data)
+            assert abs(true_rank - q) < 0.025
+
+    @pytest.mark.parametrize("cls,kw", [(TDigest, {"delta": 200}), (KLL, {"k": 200})])
+    def test_merge_within_bound_across_orders(self, cls, kw):
+        data = DISTS["lognormal"](np.random.default_rng(17), 60_000)
+        data_sorted = np.sort(data)
+        for k in (2, 3, 8, 17):
+            parts = split_parts(data, k, seed=k)
+            sks = [cls(**kw).update(p) for p in parts]
+            order = np.random.default_rng(k + 2).permutation(k)
+            merged = sks[order[0]]
+            for i in order[1:]:
+                merged.merge(sks[i])
+            for q in QS:
+                est = merged.quantile(q)
+                true_rank = np.searchsorted(data_sorted, est) / len(data)
+                assert abs(true_rank - q) < 0.03
+
+    @pytest.mark.parametrize("cls,kw", [(TDigest, {"delta": 100}), (KLL, {"k": 128})])
+    def test_serialization_roundtrip(self, cls, kw):
+        data = np.random.default_rng(19).normal(0, 1, 10_000)
+        sk = cls(**kw).update(data)
+        back = sketch_from_bytes(sk.to_bytes())
+        for q in QS:
+            assert back.quantile(q) == pytest.approx(sk.quantile(q), abs=1e-12)
+
+
+# ---------------------------------------------------------------- registry
+def test_registry_dispatch_and_type_guard():
+    cms = CountMinSketch(width=64, depth=2)
+    assert isinstance(Sketch.from_bytes(cms.to_bytes()), CountMinSketch)
+    with pytest.raises(TypeError):
+        HyperLogLog.from_bytes(cms.to_bytes())
+    with pytest.raises(ValueError):
+        sketch_from_bytes(b"XXXX\x01garbage")
