@@ -1,0 +1,178 @@
+"""Frequent-itemset support counting — exact and sketch modes.
+
+The centerpiece transplant (SURVEY.md §7.0): the reference one-hot
+encodes normalized events and runs FP-growth
+(``src/EnvAbacRuleMiner.py:161-168``); here a conversation's distinct
+``role=tool`` turn-set is the transaction, and support counting is a
+Ray Data pipeline:
+
+  read → map_batches(make_items + per-batch (conv,item) dedup + bucket)
+       → groupby(bucket).map_groups(vectorized expansion → partial counts)
+       → groupby(itemset).sum                       [exact mode]
+       → or: per-bucket CMS/top-k/HLL partial blobs
+             → groupby(name[, salt]).aggregate(SketchMergeAgg)   [sketch mode]
+
+Exact mode is the small-scale oracle (and the correctness-gate path);
+sketch mode is the 100 TB path — its shuffle moves only fixed-size
+registers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ..functions.hashing import hash_strings
+from ..sketches import CountMinSketch, HyperLogLog, SpaceSaving
+from ..stages.transactionize import (
+    ITEM_SEP,
+    distinct_pairs_with_bucket,
+    itemset_partials_in_bucket,
+    make_items,
+    transactions_in_bucket,
+)
+from ..udaf import SketchMergeAgg
+
+
+def item_pairs(ds: Dataset, conv_col: str = "conv_id", role_col: str = "role",
+               tool_col: str = "tool", num_buckets: int = 64) -> Dataset:
+    """transcripts → distinct (conv_id, item, bucket) pairs (pre-shuffle combiner)."""
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = make_items(batch, role_col, tool_col)
+        return distinct_pairs_with_bucket(batch, conv_col, "item", num_buckets)
+
+    cols = [conv_col, role_col, tool_col]
+    return ds.select_columns(cols).map_batches(fn, batch_format="pandas")
+
+
+def transactions(ds: Dataset, conv_col: str = "conv_id", num_buckets: int = 64) -> Dataset:
+    """One row per conversation: (conv_id, items) with items = sorted
+    distinct role=tool strings joined by ',' (FIXTURES.md §F2)."""
+    pairs = item_pairs(ds, conv_col=conv_col, num_buckets=num_buckets)
+    return pairs.groupby("bucket").map_groups(
+        lambda g: transactions_in_bucket(g, conv_col, "item"),
+        batch_format="pandas",
+    )
+
+
+def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 2,
+                           num_buckets: int = 64, min_support: int = 1,
+                           max_transaction_items: int | None = 64) -> Dataset:
+    """(itemset, k, support) with support = #conversations containing the
+    itemset. Exact analog of FP-growth counting at min_support."""
+    pairs = item_pairs(ds, conv_col=conv_col, num_buckets=num_buckets)
+    partials = pairs.groupby("bucket").map_groups(
+        lambda g: itemset_partials_in_bucket(
+            g, conv_col, "item", max_k=max_k,
+            max_transaction_items=max_transaction_items,
+        ),
+        batch_format="pandas",
+    )
+    agg = partials.groupby("itemset").aggregate(Sum("count", alias_name="support"))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["support"] >= min_support]
+        out = batch.copy()
+        out["k"] = (out["itemset"].str.count("\\" + ITEM_SEP) + 1).astype(np.int32)
+        out["support"] = out["support"].astype(np.int64)
+        return out[["itemset", "k", "support"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def _bucket_sketch_partials_fn(conv_col: str, max_k: int,
+                               max_transaction_items: int | None, cms_width: int,
+                               cms_depth: int, topk_capacity: int, hll_p: int,
+                               num_salts: int):
+    """Build the map_groups fn: per conv-bucket, expand itemsets and update
+    CMS + space-saving + an HLL of conv_ids; emit serialized partial blobs."""
+    num_salts = max(1, num_salts)
+
+    def bucket_sketch_partials(group: pd.DataFrame) -> pd.DataFrame:
+        partial = itemset_partials_in_bucket(
+            group, conv_col, "item", max_k=max_k,
+            max_transaction_items=max_transaction_items,
+        )
+        cms = CountMinSketch(width=cms_width, depth=cms_depth)
+        topk = SpaceSaving(capacity=topk_capacity)
+        hll = HyperLogLog(p=hll_p)
+        if len(partial):
+            hashes = hash_strings(partial["itemset"])
+            counts = partial["count"].to_numpy()
+            cms.update_hashed(hashes, counts)
+            topk.update(partial["itemset"].tolist(), counts)
+        hll.update_hashed(hash_strings(group[conv_col].drop_duplicates()))
+        salt = int(group["bucket"].iloc[0]) % num_salts if len(group) else 0
+        n_tx = group[conv_col].nunique()
+        return pd.DataFrame(
+            {
+                "name": ["itemset_cms", "itemset_topk", "conv_hll"],
+                "salt": np.int32(salt),
+                "blob": [cms.to_bytes(), topk.to_bytes(), hll.to_bytes()],
+                "n_transactions": np.int64(n_tx),
+            }
+        )
+
+    return bucket_sketch_partials
+
+
+def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 2,
+                              num_buckets: int = 64, num_salts: int = 8,
+                              max_transaction_items: int | None = 64,
+                              cms_width: int = 1 << 15, cms_depth: int = 4,
+                              topk_capacity: int = 4096, hll_p: int = 14) -> dict:
+    """Sketch-mode supports: returns
+    ``{"cms": CountMinSketch, "topk": SpaceSaving, "hll": HyperLogLog,
+       "n_transactions": int}``.
+
+    Two-phase salted merge: bucket partials → groupby((name, salt)) →
+    groupby(name). Estimate any itemset's support with
+    ``cms.estimate_one(hash_string_scalar("a|b"))`` or read the
+    heavy-hitter head from ``topk.top(k)``.
+    """
+    pairs = item_pairs(ds, conv_col=conv_col, num_buckets=num_buckets)
+    fn = _bucket_sketch_partials_fn(conv_col, max_k, max_transaction_items,
+                                    cms_width, cms_depth, topk_capacity, hll_p,
+                                    num_salts)
+    partials = pairs.groupby("bucket").map_groups(fn, batch_format="pandas")
+    phase1 = partials.groupby(["name", "salt"]).aggregate(
+        SketchMergeAgg("blob", alias="blob"),
+        Sum("n_transactions", alias_name="n_transactions"),
+    )
+    merged = phase1.groupby("name").aggregate(
+        SketchMergeAgg("blob", alias="blob"),
+        Sum("n_transactions", alias_name="n_transactions"),
+    )
+    out: dict = {}
+    from ..sketches import Sketch
+
+    for row in merged.take_all():
+        key = {"itemset_cms": "cms", "itemset_topk": "topk", "conv_hll": "hll"}[row["name"]]
+        out[key] = Sketch.from_bytes(bytes(row["blob"]))
+        # each bucket stamps its transaction count on every name row, so any
+        # single name's sum is the global total
+        out["n_transactions"] = int(row["n_transactions"])
+    return out
+
+
+def item_distinct_convs_exact(ds: Dataset, conv_col: str = "conv_id",
+                              num_buckets: int = 64) -> Dataset:
+    """(item, distinct_convs) exactly — conv-buckets partition conversations
+    disjointly, so per-bucket nunique sums to the global distinct count
+    without a second dedup shuffle."""
+    pairs = item_pairs(ds, conv_col=conv_col, num_buckets=num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("item", sort=False)[conv_col].nunique().reset_index()
+        out.columns = ["item", "partial"]
+        return out
+
+    partial = pairs.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    agg = partial.groupby("item").aggregate(Sum("partial", alias_name="distinct_convs"))
+    return agg.map_batches(
+        lambda b: b.assign(distinct_convs=b["distinct_convs"].astype(np.int64)),
+        batch_format="pandas",
+    )

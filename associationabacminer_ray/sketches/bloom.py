@@ -49,7 +49,14 @@ class BloomFilter(Sketch):
             pos = mix_with_seed(h, self.seed * 2654435761 + i) % nb
             yield (pos >> U64(6)).astype(np.int64), (U64(1) << (pos & U64(63)))
 
+    def _writable(self) -> None:
+        # sketches deserialized from Ray's object store carry zero-copy
+        # read-only buffers; in-place ops need an owned copy
+        if not self.words.flags.writeable:
+            self.words = self.words.copy()
+
     def add_hashed(self, hashes: np.ndarray) -> "BloomFilter":
+        self._writable()
         h = np.asarray(hashes, dtype=np.uint64)
         for word_idx, bit in self._bit_positions(h):
             np.bitwise_or.at(self.words, word_idx, bit)
@@ -71,6 +78,7 @@ class BloomFilter(Sketch):
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         self._check_mergeable(other, "num_bits", "num_hashes", "seed")
+        self._writable()
         np.bitwise_or(self.words, other.words, out=self.words)
         self.count += other.count
         return self

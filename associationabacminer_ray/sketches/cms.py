@@ -58,7 +58,14 @@ class CountMinSketch(Sketch):
         for i in range(self.depth):
             yield i, (mix_with_seed(h, self.seed * 1315423911 + i) % w).astype(np.int64)
 
+    def _writable(self) -> None:
+        # sketches deserialized from Ray's object store carry zero-copy
+        # read-only buffers; in-place ops need an owned copy
+        if not self.table.flags.writeable:
+            self.table = self.table.copy()
+
     def update_hashed(self, hashes: np.ndarray, counts: np.ndarray | None = None) -> "CountMinSketch":
+        self._writable()
         h = np.asarray(hashes, dtype=np.uint64)
         if counts is None:
             counts = np.ones(h.shape, dtype=np.int64)
@@ -82,6 +89,7 @@ class CountMinSketch(Sketch):
     # -- merge / serialize --------------------------------------------
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         self._check_mergeable(other, "width", "depth", "seed")
+        self._writable()
         self.table += other.table
         self.total += other.total
         return self

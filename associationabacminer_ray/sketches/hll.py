@@ -51,10 +51,17 @@ class HyperLogLog(Sketch):
     def relative_error(self) -> float:
         return 1.04 / np.sqrt(self.m)
 
+    def _writable(self) -> None:
+        # sketches deserialized from Ray's object store carry zero-copy
+        # read-only buffers; in-place ops need an owned copy
+        if not self.registers.flags.writeable:
+            self.registers = self.registers.copy()
+
     def update_hashed(self, hashes: np.ndarray) -> "HyperLogLog":
         h = np.asarray(hashes, dtype=np.uint64)
         if h.size == 0:
             return self
+        self._writable()
         idx = (h >> U64(64 - self.p)).astype(np.int64)
         rest = h << U64(self.p)  # remaining 64-p bits, left-aligned
         rho = np.minimum(_clz64(rest) + 1, 64 - self.p + 1).astype(np.uint8)
@@ -80,6 +87,7 @@ class HyperLogLog(Sketch):
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         self._check_mergeable(other, "p")
+        self._writable()
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 

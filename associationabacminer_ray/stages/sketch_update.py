@@ -1,0 +1,136 @@
+"""Actor-pool sketch-update stage + two-phase partial merge.
+
+``SketchUpdater`` is the canonical stateful ``map_batches`` stage
+(SURVEY.md §7.2): sketch constructors / hash seeds are compiled once per
+actor in ``__init__``; each ``__call__`` absorbs one zero-copy Arrow
+batch and emits fixed-size serialized partials — the batch's rows never
+leave the task. The all-to-all exchange that follows moves only O(KB)
+register blobs per (sketch, salt) key, which is what makes 100 TB of
+turns shuffle-cheap.
+
+Salting (north rule: "explicit salting for skewed high-frequency
+(role,tool) pairs"): partials carry ``salt = partial_seq % S`` so the
+merge runs in two phases — ``groupby([name, salt])`` merges S-way in
+parallel, then a tiny ``groupby(name)`` folds the S survivors. Sketch
+merges are lossless (add/max/or), so salting cannot change estimates
+(property-tested in tests/test_ray_sketch_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash_any
+from ..sketches import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    Sketch,
+    SpaceSaving,
+    TDigest,
+)
+from ..udaf import SketchMergeAgg
+
+_KINDS = {
+    "cms": CountMinSketch,
+    "hll": HyperLogLog,
+    "bloom": BloomFilter,
+    "topk": SpaceSaving,
+    "tdigest": TDigest,
+    "kll": KLL,
+}
+
+
+class SketchSpec:
+    """Declarative description of one sketch over one column.
+
+    kind: cms | hll | bloom | topk | tdigest | kll
+    col:  input column. For cms/hll/bloom the column is hashed with
+          ``hash_any`` (uint64 columns pass through a mix; strings get
+          SipHash). topk keeps raw values (keys must survive into the
+          answer); tdigest/kll expect numerics.
+    """
+
+    def __init__(self, name: str, kind: str, col: str, weight_col: str | None = None,
+                 **params: Any):
+        if kind not in _KINDS:
+            raise ValueError(f"unknown sketch kind {kind!r}")
+        self.name = name
+        self.kind = kind
+        self.col = col
+        self.weight_col = weight_col
+        self.params = params
+
+    def build(self) -> Sketch:
+        return _KINDS[self.kind](**self.params)
+
+
+class SketchUpdater:
+    """map_batches(SketchUpdater(specs), batch_format="pyarrow",
+    concurrency=N) — emits (name, salt, blob, rows) partial rows."""
+
+    def __init__(self, specs: Sequence[SketchSpec], num_salts: int = 1):
+        # once-per-actor setup: resolve constructors, no per-batch rebuild
+        self.specs = list(specs)
+        self.num_salts = max(1, int(num_salts))
+        self._seq = 0
+
+    def _absorb(self, spec: SketchSpec, batch: pa.Table) -> Sketch:
+        sk = spec.build()
+        col = batch.column(spec.col)
+        if spec.kind in ("cms", "hll", "bloom"):
+            hashes = hash_any(col)
+            if spec.kind == "hll":
+                sk.update_hashed(hashes)
+            elif spec.kind == "bloom":
+                sk.add_hashed(hashes)
+            else:
+                w = (batch.column(spec.weight_col).to_numpy(zero_copy_only=False)
+                     if spec.weight_col else None)
+                sk.update_hashed(hashes, w)
+        elif spec.kind == "topk":
+            vals = col.to_numpy(zero_copy_only=False)
+            if spec.weight_col:
+                sk.update(vals.tolist(),
+                          batch.column(spec.weight_col).to_numpy(zero_copy_only=False))
+            else:
+                uniq, counts = np.unique(vals, return_counts=True)
+                sk.update(uniq.tolist(), counts)
+        else:  # tdigest / kll
+            sk.update(col.to_numpy(zero_copy_only=False))
+        return sk
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        salt = self._seq % self.num_salts
+        self._seq += 1
+        rows = {"name": [], "salt": [], "blob": [], "rows": []}
+        for spec in self.specs:
+            sk = self._absorb(spec, batch)
+            rows["name"].append(spec.name)
+            rows["salt"].append(salt)
+            rows["blob"].append(sk.to_bytes())
+            rows["rows"].append(batch.num_rows)
+        return pd.DataFrame(rows)
+
+
+def merge_sketch_partials(partials_ds, two_phase: bool | None = None) -> dict[str, Sketch]:
+    """Merge a Dataset of (name, salt, blob) partials into one sketch per
+    name. Two-phase (salted) when the partials carry >1 salt value."""
+    if two_phase is None:
+        two_phase = False
+    if two_phase:
+        partials_ds = (
+            partials_ds.groupby(["name", "salt"])
+            .aggregate(SketchMergeAgg("blob", alias="blob"))
+        )
+    merged = partials_ds.groupby("name").aggregate(SketchMergeAgg("blob", alias="blob"))
+    out: dict[str, Sketch] = {}
+    for row in merged.take_all():
+        if row["blob"] is not None:
+            out[row["name"]] = Sketch.from_bytes(bytes(row["blob"]))
+    return out

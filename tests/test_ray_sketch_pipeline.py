@@ -1,0 +1,172 @@
+"""End-to-end Ray Data sketch plumbing:
+
+- itemset supports (exact mode) == pandas oracle recomputation
+- sketch mode: CMS within ε·N, top-k head exact, HLL within bound
+- salted two-phase merge == unsalted merge (lossless salting)
+- grouped/global sketch UDAFs (HllAgg, TDigestAgg, TopKAgg)
+- transactions table matches an independent oracle (FIXTURES §F2)
+"""
+
+import itertools
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import associationabacminer_ray.pipelines.itemsets as P
+from associationabacminer_ray.functions.hashing import hash_any, hash_string_scalar
+from associationabacminer_ray.sketches import Sketch
+from associationabacminer_ray.sources.transcripts import synth_transcripts
+from associationabacminer_ray.stages.sketch_update import (
+    SketchSpec,
+    SketchUpdater,
+    merge_sketch_partials,
+)
+from associationabacminer_ray.udaf import HllAgg, TDigestAgg, TopKAgg
+
+
+@pytest.fixture(scope="module")
+def transcripts_tbl():
+    return synth_transcripts(2000, seed=42)
+
+
+@pytest.fixture(scope="module")
+def transcripts_ds(ray_session, transcripts_tbl):
+    import ray.data as rd
+
+    return rd.from_arrow(transcripts_tbl)
+
+
+def oracle_supports(df: pd.DataFrame, max_k=2) -> dict[str, int]:
+    df = df.copy()
+    df["item"] = df["role"].replace("", "NONE") + "=" + df["tool"].replace("", "NONE")
+    tx = df.drop_duplicates(["conv_id", "item"]).groupby("conv_id")["item"].agg(
+        lambda s: tuple(sorted(s))
+    )
+    counter = Counter()
+    for items in tx:
+        for k in range(1, max_k + 1):
+            for combo in itertools.combinations(items, k):
+                counter["|".join(combo)] += 1
+    return dict(counter)
+
+
+class TestExactItemsets:
+    def test_supports_match_oracle(self, transcripts_ds, transcripts_tbl):
+        got = P.exact_itemset_supports(transcripts_ds, max_k=2, num_buckets=16).to_pandas()
+        want = oracle_supports(transcripts_tbl.to_pandas(), max_k=2)
+        got_map = dict(zip(got["itemset"], got["support"]))
+        assert got_map == want
+        assert (got["k"] == got["itemset"].str.count("\\|") + 1).all()
+
+    def test_transactions_match_oracle(self, transcripts_ds, transcripts_tbl):
+        got = P.transactions(transcripts_ds, num_buckets=16).to_pandas()
+        df = transcripts_tbl.to_pandas()
+        df["item"] = df["role"] + "=" + df["tool"]
+        want = (
+            df.drop_duplicates(["conv_id", "item"])
+            .groupby("conv_id")["item"]
+            .agg(lambda s: ",".join(sorted(s)))
+        )
+        got = got.set_index("conv_id")["items"].sort_index()
+        pd.testing.assert_series_equal(got, want.sort_index(), check_names=False)
+
+    def test_distinct_convs_per_item(self, transcripts_ds, transcripts_tbl):
+        got = P.item_distinct_convs_exact(transcripts_ds, num_buckets=16).to_pandas()
+        df = transcripts_tbl.to_pandas()
+        df["item"] = df["role"] + "=" + df["tool"]
+        want = df.drop_duplicates(["conv_id", "item"]).groupby("item")["conv_id"].nunique()
+        got = got.set_index("item")["distinct_convs"].sort_index()
+        pd.testing.assert_series_equal(got, want.sort_index().astype(np.int64),
+                                       check_names=False)
+
+
+class TestSketchedItemsets:
+    def test_sketch_mode_within_bounds(self, transcripts_ds, transcripts_tbl):
+        res = P.sketched_itemset_supports(transcripts_ds, max_k=2, num_buckets=16,
+                                          num_salts=4)
+        want = oracle_supports(transcripts_tbl.to_pandas(), max_k=2)
+        n_tx = transcripts_tbl.to_pandas()["conv_id"].nunique()
+        assert res["n_transactions"] == n_tx
+        # HLL distinct conversations within 4σ
+        hll_est = res["hll"].estimate()
+        assert abs(hll_est - n_tx) <= 4 * res["hll"].relative_error * n_tx + 2
+        # CMS never underestimates; total weight equals Σ exact supports
+        total = sum(want.values())
+        assert res["cms"].total == total
+        eps_n = res["cms"].epsilon * total
+        for itemset, exact in list(want.items())[:500]:
+            est = res["cms"].estimate_one(hash_string_scalar(itemset))
+            assert exact <= est <= exact + eps_n
+        # top-k head matches the exact head
+        exact_sorted = sorted(want.items(), key=lambda t: (-t[1], t[0]))
+        got_head = [(k, c) for k, c, _ in res["topk"].top(20)]
+        assert got_head == exact_sorted[:20]
+
+    def test_salting_is_lossless(self, transcripts_ds):
+        r1 = P.sketched_itemset_supports(transcripts_ds, num_buckets=16, num_salts=1)
+        r8 = P.sketched_itemset_supports(transcripts_ds, num_buckets=16, num_salts=8)
+        assert r1["cms"].to_bytes() == r8["cms"].to_bytes()
+        assert r1["hll"].to_bytes() == r8["hll"].to_bytes()
+        assert r1["topk"].top(50) == r8["topk"].top(50)
+
+
+class TestUpdaterStage:
+    def test_flat_stream_updater_and_merge(self, transcripts_ds, transcripts_tbl):
+        specs = [
+            SketchSpec("conv_hll", "hll", "conv_id", p=14),
+            SketchSpec("tool_topk", "topk", "tool", capacity=512),
+        ]
+        partials = transcripts_ds.map_batches(
+            SketchUpdater(specs, num_salts=4), batch_format="pyarrow", batch_size=4096,
+        )
+        merged = merge_sketch_partials(partials, two_phase=True)
+        df = transcripts_tbl.to_pandas()
+        n_conv = df["conv_id"].nunique()
+        est = merged["conv_hll"].estimate()
+        assert abs(est - n_conv) <= 4 * merged["conv_hll"].relative_error * n_conv + 2
+        want_tools = df["tool"].value_counts()
+        for key, count, err in merged["tool_topk"].top(5):
+            assert count - err <= want_tools[key] <= count
+
+    def test_grouped_udafs(self, transcripts_ds, transcripts_tbl):
+        import pyarrow as pa
+
+        def add_hash(t: pa.Table) -> pa.Table:
+            return t.append_column("conv_hash", pa.array(hash_any(t["conv_id"])))
+
+        ds = transcripts_ds.map_batches(add_hash, batch_format="pyarrow")
+        got = (
+            ds.groupby("role")
+            .aggregate(HllAgg("conv_hash", alias="distinct_convs"))
+            .to_pandas()
+            .set_index("role")["distinct_convs"]
+        )
+        df = transcripts_tbl.to_pandas()
+        want = df.groupby("role")["conv_id"].nunique()
+        for role, exact in want.items():
+            assert abs(got[role] - exact) <= 4 * (1.04 / np.sqrt(1 << 14)) * exact + 2
+
+    def test_global_tdigest_udaf(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(5)
+        vals = rng.lognormal(0, 1, 50_000)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+        out = ds.aggregate(TDigestAgg("v", finalize_quantiles=(0.5, 0.99), alias="q"))
+        data_sorted = np.sort(vals)
+        for q in (0.5, 0.99):
+            est = out["q"][f"q{q}"]
+            rank = np.searchsorted(data_sorted, est) / len(vals)
+            assert abs(rank - q) < 0.02
+
+    def test_global_topk_udaf_blob(self, ray_session, transcripts_tbl):
+        import ray.data as rd
+
+        ds = rd.from_arrow(transcripts_tbl)
+        out = ds.aggregate(TopKAgg("tool", capacity=256, alias="blob"))
+        sk = Sketch.from_bytes(bytes(out["blob"]))
+        want = transcripts_tbl.to_pandas()["tool"].value_counts()
+        top1 = sk.top(1)[0]
+        assert top1[0] == want.index[0] and top1[1] >= want.iloc[0]
