@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native sketch engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship mining pipeline on sf0.001.
+``queries()`` exposes one callable per implemented pipeline (SURVEY.md
+§2); exact pipelines have a matching ``oracle_sql()`` entry (DuckDB,
+identical column names and integer-exact values); sketch-mode pipelines
+are approximate by design and are bounds-checked in pytest instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module — nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +17,153 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: events → transcripts → conversation
+    transactions → exact itemset supports → scored association rules
+    (the EnvFlatAbacRuleMiner analog, SURVEY.md §3.2)."""
+    from associationabacminer_ray.pipelines.itemsets import exact_itemset_supports
+    from associationabacminer_ray.pipelines.rules import rules_from_supports
+    from associationabacminer_ray.sources.transcripts import transcripts_from_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = transcripts_from_events(f"{sf_dir}/events.parquet")
+    n_tx = ds.map_batches(
+        lambda b: b[["conv_id"]].drop_duplicates(), batch_format="pandas"
+    ).groupby("conv_id").count().count()
+    supports = exact_itemset_supports(ds, max_k=2, num_buckets=16,
+                                      min_support=2).to_pandas()
+    return rules_from_supports(supports, n_transactions=n_tx, min_support=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from associationabacminer_ray.pipelines import analytics as A
+    from associationabacminer_ray.pipelines import relational as R
+    from associationabacminer_ray.pipelines import sketch_queries as S
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # mining / transcript pipelines (exact mode — oracle-checked)
+        "support_items": A.q_support_items,
+        "support_pairs": A.q_support_pairs,
+        "rules_conf": A.q_rules_conf,
+        "transactions": A.q_transactions,
+        "role_activity": A.q_role_activity,
+        # event analytics (oracle-checked)
+        "hour_histogram": A.q_hour_histogram,
+        "daily_event_counts": A.q_daily_event_counts,
+        "user_activity": A.q_user_activity,
+        "top_events": A.q_top_events,
+        # relational breadth (oracle-checked)
+        "q1_lineitem": R.q1_lineitem,
+        "orders_customer_join": R.q_orders_customer_join,
+        "part_brand_stats": R.q_part_brand_stats,
+        # sketch mode (approximate — rows-only here, bounds in pytest)
+        "sketch_topk_itemsets": S.q_sketch_topk_itemsets,
+        "hll_role_convs": S.q_hll_role_convs,
+        "value_quantiles": S.q_value_quantiles,
+        "greedy_policy": S.q_greedy_policy,
+    }
+
+
+# Shared oracle fragment: the events→transcripts→items mapping (mirrors
+# sources.transcripts.transcripts_from_events + stages.transactionize).
+_ITEMS_CTE = (
+    "t AS (SELECT DISTINCT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id, "
+    "event_type || '=k' || regexp_extract(props, '[0-9]+') AS item FROM events)"
+)
+
+_CENTS = "CAST(FLOOR(value*100+0.5) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "support_items": f"""
+            WITH {_ITEMS_CTE}
+            SELECT item, CAST(COUNT(*) AS BIGINT) AS support FROM t GROUP BY item
+        """,
+        "support_pairs": f"""
+            WITH {_ITEMS_CTE}
+            SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS support
+            FROM t a JOIN t b ON a.conv_id = b.conv_id AND a.item < b.item
+            GROUP BY a.item, b.item
+        """,
+        "rules_conf": f"""
+            WITH {_ITEMS_CTE},
+            s1 AS (SELECT item, COUNT(*) AS support FROM t GROUP BY item),
+            p AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support_ab
+                  FROM t a JOIN t b ON a.conv_id = b.conv_id AND a.item < b.item
+                  GROUP BY a.item, b.item),
+            d AS (SELECT item_a AS antecedent, item_b AS consequent, support_ab FROM p
+                  UNION ALL
+                  SELECT item_b, item_a, support_ab FROM p)
+            SELECT d.antecedent, d.consequent,
+                   CAST(d.support_ab AS BIGINT) AS support_ab,
+                   CAST(s.support AS BIGINT) AS support_a,
+                   CAST((10000 * d.support_ab) // s.support AS BIGINT) AS conf_bp
+            FROM d JOIN s1 s ON d.antecedent = s.item
+        """,
+        "transactions": f"""
+            WITH {_ITEMS_CTE}
+            SELECT conv_id, string_agg(item, ',' ORDER BY item) AS items
+            FROM t GROUP BY conv_id
+        """,
+        "role_activity": """
+            SELECT event_type AS role,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(COUNT(DISTINCT 'conv-' || CAST(user_id AS VARCHAR)) AS BIGINT)
+                       AS distinct_convs,
+                   CAST(COUNT(DISTINCT 'k' || regexp_extract(props, '[0-9]+')) AS BIGINT)
+                       AS distinct_tools
+            FROM events GROUP BY event_type
+        """,
+        "hour_histogram": """
+            SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "daily_event_counts": f"""
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM({_CENTS}) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "user_activity": f"""
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_event_types,
+                   CAST(SUM({_CENTS}) AS BIGINT) AS sum_value_cents,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts
+            FROM events GROUP BY user_id
+        """,
+        "top_events": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+            ORDER BY n DESC, event_type LIMIT 5
+        """,
+        "q1_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_base_cents,
+                   CAST(SUM(CAST(FLOOR(l_discount*10000+0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_disc_bp,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_customer_join": """
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice*100+0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_total_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "part_brand_stats": """
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(CAST(FLOOR(p_retailprice*100+0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_retail_cents
+            FROM part WHERE p_size > 25
+            GROUP BY p_brand
+        """,
+    }

@@ -1,0 +1,131 @@
+"""Rule-score family — vectorized transplant of the reference's metrics.
+
+The reference computes, per candidate rule (``src/eval/
+EnvOverassignmentCalculator.py:108-166``): a coverage rate, an
+overassignment rate, and a pluggable score family selected by
+``abac_params.metric.type`` (``src/job/job_generator.py:118-126``):
+Fβ-style harmonic mean, the arithmetic-mean "C-Score"
+``((β·covR)+overR)/2``, product, ``l_dist`` (distance to the ideal
+(1,1) corner — minimized while every other metric is maximized,
+``src/EnvAbacRuleMiner.py:109-119``), and WSC (weighted structural
+complexity, ``src/eval/WscCalculator.py:31-53``).
+
+Transplant onto association rules over conversation transactions
+(SURVEY.md §7.0): for rule A → B,
+
+- ``coverage_rate``       = support(A∪B) / n_transactions (how much of
+  the corpus the rule explains — analog of matched / uncovered logs)
+- ``overassignment_rate`` = confidence = support(A∪B) / support(A)
+  (1 - fraction of conversations the rule would "over-assign" —
+  antecedent present but consequent absent)
+
+Degenerate-case overrides mirror ``src/eval/EnvPolicyEvaluator.py:
+231-244``: confidence := 1 when support(A) = 0 ("precision is perfect
+when nothing is allowed"), coverage := 1 when n_transactions = 0
+("recall is perfect when nothing was exercised").
+
+All functions are column math over numpy arrays / pandas Series —
+usable inside ``map_batches`` on the candidate-rule table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+METRICS = ("cscore", "fbeta", "product", "l_dist", "lift", "confidence")
+
+# metrics where SMALLER is better (reference: l_dist minimized,
+# src/EnvAbacRuleMiner.py:109-119)
+MINIMIZED_METRICS = frozenset({"l_dist"})
+
+
+def coverage_rate(support_ab, n_transactions) -> np.ndarray:
+    ab = np.asarray(support_ab, dtype=np.float64)
+    n = float(n_transactions)
+    if n == 0:
+        return np.ones_like(ab)  # degenerate override: nothing exercised
+    return ab / n
+
+
+def confidence(support_ab, support_a) -> np.ndarray:
+    ab = np.asarray(support_ab, dtype=np.float64)
+    a = np.asarray(support_a, dtype=np.float64)
+    out = np.ones_like(ab)  # degenerate override: support(A)=0 → 1
+    nz = a > 0
+    out[nz] = ab[nz] / a[nz]
+    return out
+
+
+def lift(conf, support_b, n_transactions) -> np.ndarray:
+    conf = np.asarray(conf, dtype=np.float64)
+    b = np.asarray(support_b, dtype=np.float64)
+    n = float(n_transactions)
+    out = np.zeros_like(conf)
+    nz = b > 0
+    out[nz] = conf[nz] * n / b[nz]
+    return out
+
+
+def cscore(cov, overr, beta: float = 1.0) -> np.ndarray:
+    """Arithmetic-mean C-Score: ((β·covR) + overR) / 2
+    (EnvOverassignmentCalculator.py:149)."""
+    return (beta * np.asarray(cov, dtype=np.float64)
+            + np.asarray(overr, dtype=np.float64)) / 2.0
+
+
+def fbeta(cov, overr, beta: float = 1.0) -> np.ndarray:
+    """Fβ harmonic mean of coverage and overassignment rates
+    (EnvOverassignmentCalculator.py:140-148); 0 where both are 0."""
+    c = np.asarray(cov, dtype=np.float64)
+    o = np.asarray(overr, dtype=np.float64)
+    denom = beta * beta * c + o
+    out = np.zeros_like(c)
+    nz = denom > 0
+    out[nz] = (1 + beta * beta) * (c[nz] * o[nz]) / denom[nz]
+    return out
+
+
+def product_score(cov, overr) -> np.ndarray:
+    return np.asarray(cov, dtype=np.float64) * np.asarray(overr, dtype=np.float64)
+
+
+def l_dist(cov, overr) -> np.ndarray:
+    """Euclidean distance to the ideal (coverage=1, overassignment=1)
+    corner; minimized (EnvOverassignmentCalculator.py:157-159)."""
+    c = np.asarray(cov, dtype=np.float64)
+    o = np.asarray(overr, dtype=np.float64)
+    return np.sqrt((1.0 - c) ** 2 + (1.0 - o) ** 2)
+
+
+def wsc(n_antecedent_items, n_consequent_items, w_antecedent: float = 1.0,
+        w_consequent: float = 1.0) -> np.ndarray:
+    """Weighted structural complexity of a rule: weighted constraint count
+    (WscCalculator.py:31-53 partitions constraints into classes; our
+    classes are antecedent vs consequent items). Policy WSC = Σ rules."""
+    return (w_antecedent * np.asarray(n_antecedent_items, dtype=np.float64)
+            + w_consequent * np.asarray(n_consequent_items, dtype=np.float64))
+
+
+def score_columns(df, n_transactions: int, beta: float = 1.0):
+    """Append the full score family to a rules DataFrame having columns
+    support_ab, support_a, support_b, n_antecedent, n_consequent."""
+    cov = coverage_rate(df["support_ab"], n_transactions)
+    conf = confidence(df["support_ab"], df["support_a"])
+    df["coverage"] = cov
+    df["confidence"] = conf
+    df["lift"] = lift(conf, df["support_b"], n_transactions)
+    df["cscore"] = cscore(cov, conf, beta)
+    df["fbeta"] = fbeta(cov, conf, beta)
+    df["product"] = product_score(cov, conf)
+    df["l_dist"] = l_dist(cov, conf)
+    df["wsc"] = wsc(df["n_antecedent"], df["n_consequent"])
+    return df
+
+
+def rank_key(metric: str):
+    """(ascending?, tie-break) for a metric — l_dist is minimized, ties
+    break on fewer constraints then lexicographic rule id
+    (src/EnvAbacRuleMiner.py:107-122)."""
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}; choose from {METRICS}")
+    return metric in MINIMIZED_METRICS

@@ -1,0 +1,202 @@
+"""Transcript / event analytics pipelines (the correctness-gate pack).
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Ray Dataset or a
+small pandas DataFrame whose columns match the DuckDB oracle SQL in
+``__ray_entry__.oracle_sql`` exactly (names AND integer-exact values —
+money/doubles are folded to integer cents/basis-points with
+``floor(x*100+0.5)`` so float summation order can never flip a hash).
+
+Reference analogs: A8 per-key distinct sets, A13 grouped score
+averaging, A14 per-user collect-distinct, A15 grouped count-distinct
+stats, A16 hour histogram, A5/A6 top-k (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..sources.transcripts import transcripts_from_events
+from ..stages.transactionize import ITEM_SEP
+from .itemsets import exact_itemset_supports, transactions
+
+
+def _events_transcripts(sf_dir: str):
+    return transcripts_from_events(f"{sf_dir}/events.parquet")
+
+
+# ------------------------------------------------------------------ mining
+def q_support_items(sf_dir: str):
+    """1-itemset supports: #conversations exhibiting each role=tool item."""
+    sup = exact_itemset_supports(_events_transcripts(sf_dir), max_k=1, num_buckets=16,
+                                 max_transaction_items=None)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"item": b["itemset"], "support": b["support"]})
+
+    return sup.map_batches(fin, batch_format="pandas")
+
+
+def q_support_pairs(sf_dir: str):
+    """2-itemset supports, split into (item_a < item_b) columns."""
+    sup = exact_itemset_supports(_events_transcripts(sf_dir), max_k=2, num_buckets=16,
+                                 max_transaction_items=None)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["k"] == 2]
+        parts = b["itemset"].str.split("\\" + ITEM_SEP, regex=True)
+        return pd.DataFrame(
+            {"item_a": parts.str[0].to_numpy(), "item_b": parts.str[1].to_numpy(),
+             "support": b["support"].to_numpy()}
+        )
+
+    return sup.map_batches(fin, batch_format="pandas")
+
+
+def q_rules_conf(sf_dir: str) -> pd.DataFrame:
+    """Pairwise rules (both directions) with integer basis-point confidence
+    = (10000 * support_ab) // support_a — A1/A4 analog with exact ints."""
+    sup = exact_itemset_supports(_events_transcripts(sf_dir), max_k=2,
+                                 num_buckets=16,
+                                 max_transaction_items=None).to_pandas()
+    singles = dict(zip(sup.loc[sup["k"] == 1, "itemset"],
+                       sup.loc[sup["k"] == 1, "support"]))
+    pairs = sup[sup["k"] == 2]
+    parts = pairs["itemset"].str.split("\\" + ITEM_SEP, regex=True)
+    a, b = parts.str[0].to_numpy(), parts.str[1].to_numpy()
+    ab = pairs["support"].to_numpy()
+    ante = np.concatenate([a, b])
+    cons = np.concatenate([b, a])
+    support_ab = np.concatenate([ab, ab]).astype(np.int64)
+    support_a = np.array([singles[x] for x in ante], dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "antecedent": ante,
+            "consequent": cons,
+            "support_ab": support_ab,
+            "support_a": support_a,
+            "conf_bp": (10000 * support_ab) // support_a,
+        }
+    )
+
+
+def q_transactions(sf_dir: str):
+    """Per-conversation transaction strings (FIXTURES §F2 / A14 analog)."""
+    return transactions(_events_transcripts(sf_dir), num_buckets=16)
+
+
+def q_role_activity(sf_dir: str) -> pd.DataFrame:
+    """Per role: turns, distinct conversations, distinct tools (A15)."""
+    ds = _events_transcripts(sf_dir).select_columns(["role", "conv_id", "tool"])
+    n_turns = ds.groupby("role").aggregate(Count(alias_name="n_turns")).to_pandas()
+
+    def dedup(cols):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return b[cols].drop_duplicates()
+        return fn
+
+    dconv = (
+        ds.map_batches(dedup(["role", "conv_id"]), batch_format="pandas")
+        .groupby(["role", "conv_id"]).aggregate(Count(alias_name="_"))
+        .groupby("role").aggregate(Count(alias_name="distinct_convs")).to_pandas()
+    )
+    dtool = (
+        ds.map_batches(dedup(["role", "tool"]), batch_format="pandas")
+        .groupby(["role", "tool"]).aggregate(Count(alias_name="_"))
+        .groupby("role").aggregate(Count(alias_name="distinct_tools")).to_pandas()
+    )
+    out = n_turns.merge(dconv, on="role").merge(dtool, on="role")
+    for c in ("n_turns", "distinct_convs", "distinct_tools"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ------------------------------------------------------------------ events
+def q_hour_histogram(sf_dir: str):
+    """A16: events per hour-of-day."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def hour(t: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.cast(pc.hour(t["ts"]), pa.int64())})
+
+    agg = ds.map_batches(hour, batch_format="pyarrow").groupby("hour").aggregate(
+        Count(alias_name="n")
+    )
+    return agg.map_batches(lambda b: b.assign(n=b["n"].astype(np.int64)),
+                           batch_format="pandas")
+
+
+def q_daily_event_counts(sf_dir: str):
+    """Tumbling daily windows per event_type: count + integer-cent sums
+    (the batch analog of the reference's window jobs, WindowGenerator)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                        pa.int64())
+        return pa.table({"day": day, "event_type": t["event_type"],
+                         "cents": cents})
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_value_cents"))
+    )
+    return agg.map_batches(
+        lambda b: b.assign(n=b["n"].astype(np.int64),
+                           sum_value_cents=b["sum_value_cents"].astype(np.int64)),
+        batch_format="pandas",
+    )
+
+
+def q_user_activity(sf_dir: str) -> pd.DataFrame:
+    """A15: per-user event count, distinct event types, value-cent sum,
+    first/last event time."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                        pa.int64())
+        ts_us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"user_id": t["user_id"], "event_type": t["event_type"],
+                         "cents": cents, "ts_us": ts_us})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    base = prepped.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Sum("cents", alias_name="sum_value_cents"),
+        Min("ts_us", alias_name="first_us"),
+        Max("ts_us", alias_name="last_us"),
+    ).to_pandas()
+    det = (
+        prepped.map_batches(
+            lambda b: b[["user_id", "event_type"]].drop_duplicates(),
+            batch_format="pandas")
+        .groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_"))
+        .groupby("user_id").aggregate(Count(alias_name="distinct_event_types"))
+        .to_pandas()
+    )
+    out = base.merge(det, on="user_id")
+    out["first_ts"] = pd.to_datetime(out.pop("first_us"), unit="us")
+    out["last_ts"] = pd.to_datetime(out.pop("last_us"), unit="us")
+    for c in ("n_events", "sum_value_cents", "distinct_event_types"):
+        out[c] = out[c].astype(np.int64)
+    return out[["user_id", "n_events", "distinct_event_types", "sum_value_cents",
+                "first_ts", "last_ts"]]
+
+
+def q_top_events(sf_dir: str) -> pd.DataFrame:
+    """A5/A6: top-5 event types by count (deterministic tie-break)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    agg = ds.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    return (agg.sort_values(["n", "event_type"], ascending=[False, True])
+            .head(5).reset_index(drop=True))

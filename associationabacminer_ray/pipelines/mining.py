@@ -1,0 +1,73 @@
+"""End-to-end windowed mining — the EnvFlatAbacRuleMiner analog.
+
+``mine_window`` = one job of the reference's pipeline (SURVEY.md §3.2):
+
+  obs-window transcripts (predicate-pushdown read)
+    → itemset supports (exact bucketed pipeline, or sketch mode)
+    → scored association rules (score family)
+    → greedy cover policy (driver rounds, Bloom covered-filter)
+
+``mine_windows`` is the driver loop over sliding windows — the job-queue
+replacement (``src/job/job_executor.py:62-91``): windows are
+embarrassingly parallel at the cluster level, so each is one resumable
+run keyed by ``spec.window_id`` (skip-if-output-exists mirrors the
+reference's idempotent job claim).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+
+from ..functions.windows import WindowSpec, generate_windows, read_window
+from .itemsets import exact_itemset_supports, sketched_itemset_supports, transactions
+from .rules import greedy_cover, rules_from_supports
+
+
+def mine_window(transcripts_path: str, spec: WindowSpec, mode: str = "exact",
+                max_k: int = 2, min_support: int = 2, num_buckets: int = 64,
+                metric: str = "cscore", greedy: bool = False,
+                max_rounds: int = 10) -> dict:
+    """Mine one obs window; returns a policy dict (rules + stats),
+    the abac_policies document analog (src/EnvAbacRuleMiner.py:207-232)."""
+    t0 = time.perf_counter()
+    ds = read_window(transcripts_path, spec, "obs",
+                     columns=["conv_id", "role", "tool"])
+    tx = transactions(ds, num_buckets=num_buckets).to_pandas()
+    n_tx = len(tx)
+    if greedy:
+        policy = greedy_cover(tx, n_transactions=n_tx, metric=metric,
+                              max_rounds=max_rounds, min_support=min_support,
+                              max_k=max_k)
+        rules = policy
+    else:
+        if mode == "sketch":
+            sk = sketched_itemset_supports(ds, max_k=max_k, num_buckets=num_buckets)
+            supports = pd.DataFrame(
+                [(k, k.count("|") + 1, c) for k, c, _ in sk["topk"].top()],
+                columns=["itemset", "k", "support"],
+            )
+            n_tx = sk["n_transactions"]
+        else:
+            supports = exact_itemset_supports(
+                ds, max_k=max_k, num_buckets=num_buckets,
+                min_support=min_support).to_pandas()
+        rules = rules_from_supports(supports, n_transactions=n_tx,
+                                    min_support=min_support)
+    return {
+        "window_id": spec.window_id,
+        "mode": "greedy" if greedy else mode,
+        "n_transactions": int(n_tx),
+        "n_rules": int(len(rules)),
+        "rules": rules,
+        "mining_time_elapsed_s": time.perf_counter() - t0,
+    }
+
+
+def mine_windows(transcripts_path: str, start, end, obs_days: int = 7,
+                 opr_days: int = 2, step_days: int = 7, **kw) -> list[dict]:
+    """Driver loop over the sliding-window grid (job-generator analog,
+    src/job/job_generator.py:40-58)."""
+    return [mine_window(transcripts_path, spec, **kw)
+            for spec in generate_windows(start, end, obs_days, opr_days, step_days)]

@@ -1,0 +1,74 @@
+"""Sketch-mode query pack (approximate — no SQL oracle; bounds are
+asserted in pytest against exact recomputation instead).
+
+These are the scale-path twins of the exact queries in ``analytics``:
+heavy-hitter itemsets via CMS + space-saving, distinct conversations via
+HLL (grouped UDAF), value distributions via t-digest/KLL, and the
+greedy-cover policy miner.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.hashing import hash_any
+from ..pipelines.itemsets import sketched_itemset_supports, transactions
+from ..pipelines.rules import greedy_cover
+from ..sources.transcripts import transcripts_from_events
+from ..udaf import HllAgg, KllAgg, TDigestAgg
+
+QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def q_sketch_topk_itemsets(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Heavy-hitter itemsets with CMS-refined estimates (A1/A6 sketch mode)."""
+    ds = transcripts_from_events(f"{sf_dir}/events.parquet")
+    res = sketched_itemset_supports(ds, max_k=2, num_buckets=16, num_salts=4)
+    rows = [(key, count, err) for key, count, err in res["topk"].top(k)]
+    out = pd.DataFrame(rows, columns=["itemset", "est_support", "err_bound"])
+    out["n_transactions"] = np.int64(res["n_transactions"])
+    out["hll_distinct_convs"] = np.int64(round(res["hll"].estimate()))
+    return out
+
+
+def q_hll_role_convs(sf_dir: str) -> pd.DataFrame:
+    """Per role: HLL-estimated distinct conversations (A15 sketch mode)."""
+    ds = transcripts_from_events(f"{sf_dir}/events.parquet")
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.select(["role"]).append_column(
+            "conv_hash", pa.array(hash_any(t["conv_id"])))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = hashed.groupby("role").aggregate(
+        HllAgg("conv_hash", alias="est_distinct_convs")).to_pandas()
+    out["est_distinct_convs"] = out["est_distinct_convs"].astype(np.int64)
+    return out
+
+
+def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Distribution of events.value via both quantile sketches (the
+    means-only ScoreAggregator upgraded per the north rule)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    td = ds.aggregate(TDigestAgg("value", finalize_quantiles=QUANTILES, alias="td"))
+    kl = ds.aggregate(KllAgg("value", finalize_quantiles=QUANTILES, alias="kll"))
+    return pd.DataFrame(
+        {
+            "q": list(QUANTILES),
+            "tdigest": [td["td"][f"q{q}"] for q in QUANTILES],
+            "kll": [kl["kll"][f"q{q}"] for q in QUANTILES],
+        }
+    )
+
+
+def q_greedy_policy(sf_dir: str) -> pd.DataFrame:
+    """Greedy set-cover policy over conversation transactions — the
+    EnvFlatAbacRuleMiner flagship analog (Bloom-based covered removal)."""
+    tx = transactions(transcripts_from_events(f"{sf_dir}/events.parquet"),
+                      num_buckets=16).to_pandas()
+    return greedy_cover(tx, metric="cscore", max_rounds=10,
+                        coverage_target=0.9, min_support=2)

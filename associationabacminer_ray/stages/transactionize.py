@@ -36,8 +36,7 @@ def make_items(batch: pd.DataFrame, role_col: str = "role", tool_col: str = "too
     fills missing valid_keys, ``ConfigurableEventNormalizer.py:157-160``)."""
     role = batch[role_col].fillna("NONE").replace("", "NONE")
     tool = batch[tool_col].fillna("NONE").replace("", "NONE")
-    batch[out_col] = role + "=" + tool
-    return batch
+    return batch.assign(**{out_col: role + "=" + tool})
 
 
 def distinct_pairs_with_bucket(batch: pd.DataFrame, conv_col: str = "conv_id",

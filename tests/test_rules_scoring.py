@@ -1,0 +1,104 @@
+"""Rule scoring family + greedy cover + windows."""
+
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from associationabacminer_ray.functions import scoring as S
+from associationabacminer_ray.functions.windows import generate_windows
+from associationabacminer_ray.pipelines.rules import (
+    best_rule,
+    greedy_cover,
+    rules_from_supports,
+)
+
+
+def test_score_formulas_and_degenerate_overrides():
+    # confidence: support_a=0 → 1 (EnvPolicyEvaluator.py:231-244 analog)
+    conf = S.confidence([5, 0], [10, 0])
+    assert conf.tolist() == [0.5, 1.0]
+    # coverage: n=0 → all ones
+    assert S.coverage_rate([3], 0).tolist() == [1.0]
+    assert S.coverage_rate([3], 10).tolist() == [0.3]
+    # cscore arithmetic mean; fbeta harmonic; product; l_dist corner
+    assert S.cscore([0.4], [0.6])[0] == pytest.approx(0.5)
+    assert S.fbeta([0.5], [0.5])[0] == pytest.approx(0.5)
+    assert S.fbeta([0.0], [0.0])[0] == 0.0
+    assert S.product_score([0.4], [0.5])[0] == pytest.approx(0.2)
+    assert S.l_dist([1.0], [1.0])[0] == 0.0
+    assert S.wsc([2], [1])[0] == 3.0
+    assert S.lift([0.5], [0], 10)[0] == 0.0
+
+
+def test_rules_from_supports():
+    sup = pd.DataFrame(
+        {
+            "itemset": ["a", "b", "c", "a|b", "a|c"],
+            "k": [1, 1, 1, 2, 2],
+            "support": [10, 6, 4, 5, 2],
+        }
+    )
+    rules = rules_from_supports(sup, n_transactions=20)
+    got = {(r.antecedent, r.consequent): r for r in rules.itertuples()}
+    assert got[("a", "b")].confidence == pytest.approx(0.5)
+    assert got[("b", "a")].confidence == pytest.approx(5 / 6)
+    assert got[("a", "b")].coverage == pytest.approx(0.25)
+    assert got[("a", "b")].lift == pytest.approx(0.5 * 20 / 6)
+    assert got[("a", "c")].support_ab == 2
+
+
+def test_best_rule_tiebreak_and_ldist():
+    rules = pd.DataFrame(
+        {
+            "antecedent": ["a", "a|b", "z"],
+            "consequent": ["x", "y", "w"],
+            "cscore": [0.9, 0.9, 0.5],
+            "l_dist": [0.3, 0.1, 0.2],
+            "n_antecedent": [1, 2, 1],
+            "n_consequent": [1, 1, 1],
+        }
+    )
+    # max metric, tie → fewer constraints wins
+    assert best_rule(rules, "cscore")["antecedent"] == "a"
+    # l_dist minimized
+    assert best_rule(rules, "l_dist")["antecedent"] == "a|b"
+
+
+def _toy_transactions():
+    return pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(10)],
+            "items": ["a,b"] * 5 + ["a,c"] * 3 + ["d,e"] * 2,
+        }
+    )
+
+
+def test_greedy_cover_selects_and_covers():
+    policy = greedy_cover(_toy_transactions(), metric="cscore", max_rounds=5,
+                          coverage_target=0.99, min_support=2, use_bloom=False)
+    assert len(policy) >= 2
+    # the dominant a,b rule is picked first and covers 5 conversations
+    first = policy.iloc[0]
+    assert {first["antecedent"], first["consequent"]} == {"a", "b"}
+    assert first["covered_this_round"] == 5
+    assert policy["covered_this_round"].sum() <= 10
+
+
+def test_greedy_cover_bloom_matches_exact():
+    exact = greedy_cover(_toy_transactions(), use_bloom=False, min_support=2,
+                         coverage_target=0.99)
+    bloom = greedy_cover(_toy_transactions(), use_bloom=True, min_support=2,
+                         coverage_target=0.99)
+    pd.testing.assert_frame_equal(exact, bloom)
+
+
+def test_generate_windows():
+    specs = generate_windows(datetime(2024, 1, 1), datetime(2024, 2, 15),
+                             obs_days=30, opr_days=7, step_days=1)
+    assert len(specs) == 9  # 45 days - 37 + 1
+    s = specs[0]
+    assert s.opr_start == s.obs_end
+    assert (s.obs_end - s.obs_start).days == 30
+    assert s.window_id == "obs-20240101-20240131"
