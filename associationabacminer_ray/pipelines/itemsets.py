@@ -37,6 +37,36 @@ from ..stages.transactionize import (
 from ..udaf import SketchMergeAgg
 
 
+def sum_by_key_bucketed(ds: Dataset, key_col: str, value_col: str,
+                        out_col: str | None = None,
+                        num_buckets: int = 64) -> Dataset:
+    """High-cardinality SUM-by-key.
+
+    Ray's ``groupby(key).aggregate(...)`` pays a per-GROUP Python/slicing
+    overhead (~ms each) — catastrophic for 10^5+ distinct keys. This
+    instead shuffles on ``hash(key) % num_buckets`` and runs a vectorized
+    pandas groupby inside each bucket group: per-group cost becomes
+    C-level, per-bucket cost one Python call.
+    """
+    out_col = out_col or value_col
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            _mb=(hash_strings(b[key_col]) % np.uint64(num_buckets)).astype(np.int32))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, sort=False)[value_col].sum().reset_index()
+        out.columns = [key_col, out_col]
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_mb")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
 def item_pairs(ds: Dataset, conv_col: str = "conv_id", role_col: str = "role",
                tool_col: str = "tool", num_buckets: int = 64) -> Dataset:
     """transcripts → distinct (conv_id, item, bucket) pairs (pre-shuffle combiner)."""
@@ -71,7 +101,8 @@ def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 
         ),
         batch_format="pandas",
     )
-    agg = partials.groupby("itemset").aggregate(Sum("count", alias_name="support"))
+    agg = sum_by_key_bucketed(partials, "itemset", "count", "support",
+                              num_buckets=max(8, num_buckets // 2))
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[batch["support"] >= min_support]
@@ -171,8 +202,5 @@ def item_distinct_convs_exact(ds: Dataset, conv_col: str = "conv_id",
         return out
 
     partial = pairs.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
-    agg = partial.groupby("item").aggregate(Sum("partial", alias_name="distinct_convs"))
-    return agg.map_batches(
-        lambda b: b.assign(distinct_convs=b["distinct_convs"].astype(np.int64)),
-        batch_format="pandas",
-    )
+    return sum_by_key_bucketed(partial, "item", "partial", "distinct_convs",
+                               num_buckets=max(8, num_buckets // 2))

@@ -89,18 +89,23 @@ class SketchUpdater:
                 sk.update_hashed(hashes)
             elif spec.kind == "bloom":
                 sk.add_hashed(hashes)
+            elif spec.weight_col:
+                sk.update_hashed(
+                    hashes,
+                    batch.column(spec.weight_col).to_numpy(zero_copy_only=False))
             else:
-                w = (batch.column(spec.weight_col).to_numpy(zero_copy_only=False)
-                     if spec.weight_col else None)
-                sk.update_hashed(hashes, w)
+                # pre-aggregate: CMS work scales with DISTINCT keys per batch
+                uh, uc = np.unique(hashes, return_counts=True)
+                sk.update_hashed(uh, uc)
         elif spec.kind == "topk":
             vals = col.to_numpy(zero_copy_only=False)
             if spec.weight_col:
                 sk.update(vals.tolist(),
                           batch.column(spec.weight_col).to_numpy(zero_copy_only=False))
             else:
-                uniq, counts = np.unique(vals, return_counts=True)
-                sk.update(uniq.tolist(), counts)
+                # hash-based value_counts beats sort-based np.unique on strings
+                vc = pd.Series(vals).value_counts()
+                sk.update(vc.index.tolist(), vc.to_numpy())
         else:  # tdigest / kll
             sk.update(col.to_numpy(zero_copy_only=False))
         return sk

@@ -1,0 +1,167 @@
+"""Benchmark harness.
+
+Headline: sketch-update throughput (turns/sec) — the actor-pool
+``SketchUpdater`` stage (CMS + space-saving over role=tool items, HLL
+over conv_ids) streaming a deterministic ~2.5M-turn transcript corpus,
+partials merged through the salted two-phase groupby (BASELINE.md §2).
+
+Also times the bucketed itemset-support pipelines (sketch + exact) on
+the same corpus and a sample of the oracle-checked queries on
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line. ``--scaling`` re-runs the headline in two fresh
+processes (RAY_GRAFT_CPUS=8 and 32) and reports throughputs + scaling
+efficiency (the in-sandbox stand-in for the N vs 4N cluster run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_DIR = "/tmp/graft_bench/transcripts_250k"
+BENCH_CONVS = 280_000
+BENCH_SHARDS = 32
+
+
+def build_corpus() -> list[str]:
+    from associationabacminer_ray.sources.transcripts import write_synth_transcripts
+
+    return write_synth_transcripts(BENCH_DIR, n_convs=BENCH_CONVS, seed=42,
+                                   shards=BENCH_SHARDS)
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from associationabacminer_ray.pipelines import analytics as A
+    from associationabacminer_ray.pipelines import relational as R
+    from associationabacminer_ray.pipelines.itemsets import (
+        exact_itemset_supports,
+        sketched_itemset_supports,
+    )
+    from associationabacminer_ray.stages.sketch_update import (
+        SketchSpec,
+        SketchUpdater,
+        merge_sketch_partials,
+    )
+
+    paths = build_corpus()
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    warm = rd.read_parquet(paths, columns=["conv_id", "role", "tool"])
+    n_turns = warm.count()
+
+    def add_item(t: pa.Table) -> pa.Table:
+        item = pc.binary_join_element_wise(t["role"], t["tool"], "=")
+        return pa.table({"conv_id": t["conv_id"], "item": item})
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: flat sketch-update stage -------------------------------
+    t0 = time.perf_counter()
+    specs = [
+        SketchSpec("item_cms", "cms", "item", width=1 << 15, depth=4),
+        SketchSpec("item_topk", "topk", "item", capacity=4096),
+        SketchSpec("conv_hll", "hll", "conv_id", p=14),
+    ]
+    partials = (
+        rd.read_parquet(paths, columns=["conv_id", "role", "tool"])
+        .map_batches(add_item, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(SketchUpdater(specs, num_salts=8), batch_format="pyarrow",
+                     batch_size=262144, concurrency=max(2, num_cpus // 2))
+    )
+    merged = merge_sketch_partials(partials, two_phase=True)
+    headline_sec = time.perf_counter() - t0
+    assert merged["conv_hll"].estimate() > 0
+    timings["sketch_update"] = headline_sec
+
+    # ---- bucketed itemset supports (sketch + exact) -----------------------
+    t0 = time.perf_counter()
+    res = sketched_itemset_supports(
+        rd.read_parquet(paths, columns=["conv_id", "role", "tool"]),
+        max_k=2, num_buckets=4 * num_cpus, num_salts=8,
+    )
+    timings["itemset_supports_sketch"] = time.perf_counter() - t0
+    assert res["n_transactions"] > 0
+
+    t0 = time.perf_counter()
+    exact_itemset_supports(
+        rd.read_parquet(paths, columns=["conv_id", "role", "tool"]),
+        max_k=2, num_buckets=4 * num_cpus, min_support=2,
+    ).count()
+    timings["itemset_supports_exact"] = time.perf_counter() - t0
+
+    # ---- oracle-checked query sample on the sf tables ---------------------
+    def consume(x):
+        return x.to_pandas() if isinstance(x, rd.Dataset) else x
+
+    for name, fn in {
+        "q1_lineitem": R.q1_lineitem,
+        "support_pairs": A.q_support_pairs,
+        "user_activity": A.q_user_activity,
+        "daily_event_counts": A.q_daily_event_counts,
+    }.items():
+        t0 = time.perf_counter()
+        consume(fn(sf_dir))
+        timings[name] = time.perf_counter() - t0
+
+    return {
+        "metric": "sketch_update_pipeline_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "turns": int(n_turns),
+        "turns_per_sec": round(n_turns / headline_sec, 1),
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "num_cpus": num_cpus,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus": [lo, hi],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()
