@@ -153,8 +153,9 @@ def _bucket_sketch_partials_fn(conv_col: str, max_k: int,
 def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 2,
                               num_buckets: int = 64, num_salts: int = 8,
                               max_transaction_items: int | None = 64,
-                              cms_width: int = 1 << 15, cms_depth: int = 4,
-                              topk_capacity: int = 4096, hll_p: int = 14) -> dict:
+                              cms_width: int = 1 << 13, cms_depth: int = 4,
+                              topk_capacity: int = 4096, hll_p: int = 14,
+                              two_phase: bool | None = None) -> dict:
     """Sketch-mode supports: returns
     ``{"cms": CountMinSketch, "topk": SpaceSaving, "hll": HyperLogLog,
        "n_transactions": int}``.
@@ -169,11 +170,16 @@ def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int
                                     cms_width, cms_depth, topk_capacity, hll_p,
                                     num_salts)
     partials = pairs.groupby("bucket").map_groups(fn, batch_format="pandas")
-    phase1 = partials.groupby(["name", "salt"]).aggregate(
-        SketchMergeAgg("blob", alias="blob"),
-        Sum("n_transactions", alias_name="n_transactions"),
-    )
-    merged = phase1.groupby("name").aggregate(
+    # two-phase (salted) merge only pays off when the partial count is large
+    # enough that a single reduce would bottleneck on one task
+    if two_phase is None:
+        two_phase = num_buckets >= 256
+    if two_phase:
+        partials = partials.groupby(["name", "salt"]).aggregate(
+            SketchMergeAgg("blob", alias="blob"),
+            Sum("n_transactions", alias_name="n_transactions"),
+        )
+    merged = partials.groupby("name").aggregate(
         SketchMergeAgg("blob", alias="blob"),
         Sum("n_transactions", alias_name="n_transactions"),
     )
@@ -187,6 +193,132 @@ def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int
         # single name's sum is the global total
         out["n_transactions"] = int(row["n_transactions"])
     return out
+
+
+def itemset_supports_partitioned(paths: list[str], mode: str = "sketch",
+                                 conv_col: str = "conv_id", max_k: int = 2,
+                                 max_transaction_items: int | None = 64,
+                                 min_support: int = 1,
+                                 cms_width: int = 1 << 13, cms_depth: int = 4,
+                                 topk_capacity: int = 4096, hll_p: int = 14,
+                                 merge_buckets: int = 32):
+    """Shuffle-free supports for conv-partitioned input.
+
+    PARTITIONING ASSUMPTION (documented per the custom-operator rule): no
+    conversation spans two input files — true for conversation logs
+    written per conv-range shard (and for our corpus writer). Then the
+    transaction build is embarrassingly parallel: one task per shard
+    reads its file, transactionizes, expands itemsets and emits partial
+    counts (or sketch blobs) — the only exchange left is the tiny
+    partial merge. This is the 100 TB path: the general shuffle path
+    (``exact_/sketched_itemset_supports``) exists for un-partitioned
+    input.
+
+    mode="exact"  → Dataset (itemset, k, support)
+    mode="sketch" → {"cms", "topk", "hll", "n_transactions"}
+    """
+    import ray.data as rd
+
+    sketch = mode == "sketch"
+
+    def process_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.transactionize import (
+            itemset_partials_from_codes,
+            read_shard_codes,
+        )
+
+        frames = []
+        for path in batch["path"]:
+            conv_codes, item_codes, item_vocab, conv_vocab = read_shard_codes(
+                path, conv_col=conv_col)
+            partial = itemset_partials_from_codes(
+                conv_codes, item_codes, item_vocab, max_k=max_k,
+                max_transaction_items=max_transaction_items)
+            if not sketch:
+                frames.append(partial)
+                continue
+            cms = CountMinSketch(width=cms_width, depth=cms_depth)
+            topk = SpaceSaving(capacity=topk_capacity)
+            hll = HyperLogLog(p=hll_p)
+            if len(partial):
+                hashes = hash_strings(partial["itemset"])
+                counts = partial["count"].to_numpy()
+                cms.update_hashed(hashes, counts)
+                topk.update(partial["itemset"].tolist(), counts)
+            used = np.unique(conv_codes)
+            hll.update_hashed(hash_strings(conv_vocab[used]))
+            frames.append(pd.DataFrame(
+                {
+                    "name": ["itemset_cms", "itemset_topk", "conv_hll"],
+                    "blob": [cms.to_bytes(), topk.to_bytes(), hll.to_bytes()],
+                    "n_transactions": np.int64(len(used)),
+                }
+            ))
+        return pd.concat(frames, ignore_index=True)
+
+    shards = rd.from_items([{"path": p} for p in paths])
+    partials = shards.map_batches(process_shard, batch_format="pandas",
+                                  batch_size=1)
+    if sketch:
+        merged = partials.groupby("name").aggregate(
+            SketchMergeAgg("blob", alias="blob"),
+            Sum("n_transactions", alias_name="n_transactions"),
+        )
+        out: dict = {}
+        from ..sketches import Sketch
+
+        for row in merged.take_all():
+            key = {"itemset_cms": "cms", "itemset_topk": "topk",
+                   "conv_hll": "hll"}[row["name"]]
+            out[key] = Sketch.from_bytes(bytes(row["blob"]))
+            out["n_transactions"] = int(row["n_transactions"])
+        return out
+
+    agg = sum_by_key_bucketed(partials, "itemset", "count", "support",
+                              num_buckets=merge_buckets)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["support"] >= min_support]
+        out = batch.copy()
+        out["k"] = (out["itemset"].str.count("\\" + ITEM_SEP) + 1).astype(np.int32)
+        return out[["itemset", "k", "support"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def sketched_itemset_supports_checkpointed(
+        input_files: list[str], ckpt_dir: str, conv_col: str = "conv_id",
+        max_k: int = 2, num_buckets: int = 64,
+        max_transaction_items: int | None = 64, cms_width: int = 1 << 15,
+        cms_depth: int = 4, topk_capacity: int = 4096, hll_p: int = 14) -> dict:
+    """Resumable sketch-mode supports: one checkpoint partition per input
+    shard (FIXTURES §F5). A killed run resumes by loading finished
+    shards' blobs and recomputing only the rest; merge associativity
+    makes resume == fresh bit-for-bit for CMS/HLL (property-tested)."""
+    import ray.data as rd
+
+    from ..state.checkpoint import run_with_checkpoint
+
+    config = {
+        "pipeline": "sketched_itemset_supports", "max_k": max_k,
+        "num_buckets": num_buckets, "max_tx": max_transaction_items,
+        "cms_width": cms_width, "cms_depth": cms_depth,
+        "topk_capacity": topk_capacity, "hll_p": hll_p,
+    }
+
+    def compute_partition(pid: int, path: str):
+        ds = rd.read_parquet(path, columns=[conv_col, "role", "tool"])
+        res = sketched_itemset_supports(
+            ds, conv_col=conv_col, max_k=max_k, num_buckets=num_buckets,
+            max_transaction_items=max_transaction_items, cms_width=cms_width,
+            cms_depth=cms_depth, topk_capacity=topk_capacity, hll_p=hll_p,
+        )
+        return ({"cms": res["cms"], "topk": res["topk"], "hll": res["hll"]},
+                res["n_transactions"])
+
+    merged = run_with_checkpoint(input_files, ckpt_dir, compute_partition, config)
+    merged["n_transactions"] = int(round(merged["hll"].estimate()))
+    return merged
 
 
 def item_distinct_convs_exact(ds: Dataset, conv_col: str = "conv_id",

@@ -138,13 +138,24 @@ def write_synth_transcripts(out_dir: str, n_convs: int, seed: int = 42,
                 return [os.path.join(out_dir, f"shard-{i:04d}.parquet") for i in range(shards)]
     os.makedirs(out_dir, exist_ok=True)
     per = n_convs // shards
-    paths = []
+    jobs = []
     for i in range(shards):
         cnt = per if i < shards - 1 else n_convs - per * (shards - 1)
-        tbl = synth_transcripts(cnt, seed=seed, days=days, conv_offset=i * per)
-        path = os.path.join(out_dir, f"shard-{i:04d}.parquet")
+        jobs.append((i, cnt, i * per, os.path.join(out_dir, f"shard-{i:04d}.parquet")))
+
+    def write_one(i: int, cnt: int, offset: int, path: str) -> str:
+        tbl = synth_transcripts(cnt, seed=seed, days=days, conv_offset=offset)
         pq.write_table(tbl, path)
-        paths.append(path)
+        return path
+
+    import ray
+
+    if ray.is_initialized() and shards > 4:
+        # each shard is an independent seeded generator → parallel tasks
+        remote = ray.remote(num_cpus=1)(write_one)
+        paths = ray.get([remote.remote(*j) for j in jobs])
+    else:
+        paths = [write_one(*j) for j in jobs]
     with open(manifest, "w") as f:
         json.dump(meta, f)
     return paths

@@ -1,0 +1,155 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference only ever dedupes exactly (SHA1-of-sorted-JSON,
+``EnvLogUniverseGenerator.py:91-94``; SURVEY.md §2.7 "no near-dedup
+anywhere"); near-dup is a first-class addition for training-data
+pipelines.
+
+Scale design:
+- exact: content hash per batch → bucketed groupby(hash) → min-id
+  representative per group. Only (hash, id) pairs shuffle.
+- MinHash+LSH: per-batch vectorized signatures (flat shingle-hash array
+  + ``np.minimum.reduceat`` per permutation — no per-doc Python loop in
+  the hash path), exploded to (band_id, band_hash, doc_id) rows; a
+  groupby over band buckets yields candidate groups; candidates are
+  Jaccard-verified. The all-to-all moves b rows per doc (b = bands).
+- SimHash: 64-bit signature via bit-count matrix (unpackbits +
+  reduceat); near-dup = Hamming ≤ k via 4×16-bit band buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.hashing import hash_strings, mix_with_seed
+
+U64 = np.uint64
+
+
+# ----------------------------------------------------------------- shingles
+def _char_shingle_hashes(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All k-char shingle hashes of every doc, flattened, plus doc offsets.
+    Docs shorter than k contribute one whole-text shingle."""
+    all_shingles: list[str] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n = max(1, len(t) - k + 1)
+        all_shingles.extend(t[j:j + k] for j in range(n))
+        offsets[i + 1] = offsets[i] + n
+    hashes = hash_strings(np.asarray(all_shingles, dtype=object))
+    return hashes, offsets
+
+
+def minhash_signatures(texts: pd.Series, num_perm: int = 64, k: int = 5,
+                       seed: int = 1) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signature matrix, vectorized:
+    one mix + reduceat pass per permutation over the flat shingle array."""
+    hashes, offsets = _char_shingle_hashes(texts, k)
+    sig = np.empty((len(texts), num_perm), dtype=np.uint64)
+    starts = offsets[:-1]
+    for p in range(num_perm):
+        mixed = mix_with_seed(hashes, seed * 1_000_003 + p)
+        sig[:, p] = np.minimum.reduceat(mixed, starts)
+    return sig
+
+
+def lsh_bands(sig: np.ndarray, num_bands: int = 16) -> np.ndarray:
+    """(n_docs, num_bands) uint64 band hashes (rows of the signature
+    folded per band)."""
+    n, num_perm = sig.shape
+    rows_per_band = num_perm // num_bands
+    out = np.empty((n, num_bands), dtype=np.uint64)
+    for b in range(num_bands):
+        chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+        acc = chunk[:, 0].copy()
+        for j in range(1, rows_per_band):
+            acc = mix_with_seed(acc ^ chunk[:, j], b + 7)
+        out[:, b] = acc
+    return out
+
+
+def shingle_set_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa = {a[j:j + k] for j in range(max(1, len(a) - k + 1))}
+    sb = {b[j:j + k] for j in range(max(1, len(b) - k + 1))}
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
+
+
+def word_ngram_jaccard(a: str, b: str, n: int = 2) -> float:
+    ta, tb = a.split(), b.split()
+    sa = {tuple(ta[i:i + n]) for i in range(max(1, len(ta) - n + 1))}
+    sb = {tuple(tb[i:i + n]) for i in range(max(1, len(tb) - n + 1))}
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
+
+
+class MinHashLSH:
+    """map_batches stage: doc rows → exploded (doc_id, band_id,
+    band_hash, minhash_sig blob) rows for the banding groupby."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, num_bands: int = 16, shingle_k: int = 5,
+                 seed: int = 1):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.num_bands = num_bands
+        self.shingle_k = shingle_k
+        self.seed = seed
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        sig = minhash_signatures(texts, self.num_perm, self.shingle_k, self.seed)
+        bands = lsh_bands(sig, self.num_bands)
+        n = len(batch)
+        ids = batch[self.id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                self.id_col: np.repeat(ids, self.num_bands),
+                "band_id": np.tile(np.arange(self.num_bands, dtype=np.int32), n),
+                "band_hash": bands.reshape(-1),
+            }
+        )
+
+
+def simhash_signatures(texts: pd.Series, seed: int = 3) -> np.ndarray:
+    """64-bit SimHash per doc from whitespace-token hashes: for each bit,
+    sign of Σ(±1) across token hashes — vectorized with unpackbits +
+    reduceat."""
+    all_tokens: list[str] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split() or [""]
+        all_tokens.extend(toks)
+        offsets[i + 1] = offsets[i] + len(toks)
+    h = mix_with_seed(hash_strings(np.asarray(all_tokens, dtype=object)), seed)
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int32)  # (n_tokens, 64)
+    contrib = 2 * bits - 1
+    sums = np.add.reduceat(contrib, offsets[:-1], axis=0)  # (n_docs, 64)
+    out_bits = (sums > 0).astype(np.uint8)
+    return np.packbits(out_bits, axis=1, bitorder="little").view(np.uint64).ravel()
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+class SimHash:
+    """map_batches stage: adds simhash + 4×16-bit band columns (docs
+    within Hamming ≤ 3 share at least one exact band)."""
+
+    def __init__(self, text_col: str = "text", seed: int = 3):
+        self.text_col = text_col
+        self.seed = seed
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sig = simhash_signatures(batch[self.text_col].fillna(""), self.seed)
+        out = batch.copy()
+        out["simhash"] = sig
+        for b in range(4):
+            out[f"sim_band{b}"] = ((sig >> U64(16 * b)) & U64(0xFFFF)).astype(np.int64)
+        return out

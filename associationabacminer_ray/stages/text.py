@@ -1,0 +1,125 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All are actor-pool ``map_batches`` classes: regexes/profiles compile
+once per actor in ``__init__`` (the once-per-worker-state pattern,
+SURVEY.md §2.3), per-batch work is vectorized pandas/numpy.
+
+- ``TokenStats``: token counting (whitespace + BPE-ish word/punct regex)
+  and quality scoring (length, punctuation/stopword/alpha ratios).
+- ``LangId``: character-frequency + stopword-hit n-gram heuristic over a
+  small built-in profile set (en/de/es/fr) — no external models.
+- ``Fingerprint``: deterministic document fingerprints — md5 hex (exact
+  dedup identity, the SHA1-of-normalized-event analog,
+  ``EnvLogUniverseGenerator.py:91-94``) and a 64-bit rolling token hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..functions.hashing import combine_hashes, hash_strings
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "ein"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "es", "por", "con"},
+    "fr": {"le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"},
+}
+
+
+class TokenStats:
+    """doc stats: n_chars, n_tokens (whitespace), n_words (BPE-ish regex),
+    punct_ratio, alpha_ratio, stopword_ratio, quality_score ∈ [0,1]."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space marks
+        self.word_re = re.compile(r"[A-Za-z]+|\d+|[^\w\s]")
+        self.punct_re = re.compile(r"[^\w\s]")
+        self.alpha_re = re.compile(r"[A-Za-z]")
+        self.stop = _STOPWORDS["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[self.text_col].fillna("")
+        n_chars = text.str.len().astype(np.int64)
+        n_tokens = text.str.split().str.len().fillna(0).astype(np.int64)
+        words = text.str.findall(self.word_re)
+        n_words = words.str.len().astype(np.int64)
+        n_punct = text.str.count(self.punct_re).astype(np.int64)
+        n_alpha = text.str.count(self.alpha_re).astype(np.int64)
+        denom = n_chars.clip(lower=1)
+        stop_hits = words.map(
+            lambda ws: sum(1 for w in ws if w.lower() in self.stop))
+        stop_ratio = (stop_hits / n_words.clip(lower=1)).astype(np.float64)
+        punct_ratio = (n_punct / denom).astype(np.float64)
+        alpha_ratio = (n_alpha / denom).astype(np.float64)
+        # quality: long enough, mostly alphabetic, some stopwords, low punct
+        length_score = np.clip(n_tokens / 20.0, 0, 1)
+        quality = (0.35 * length_score + 0.35 * alpha_ratio
+                   + 0.2 * np.clip(stop_ratio * 4, 0, 1)
+                   + 0.1 * (1 - np.clip(punct_ratio * 4, 0, 1)))
+        out = batch.copy()
+        out["n_chars_computed"] = n_chars
+        out["n_tokens"] = n_tokens
+        out["n_words"] = n_words
+        out["punct_ratio"] = punct_ratio
+        out["alpha_ratio"] = alpha_ratio
+        out["stopword_ratio"] = stop_ratio
+        out["quality_score"] = quality.astype(np.float64)
+        return out
+
+
+class LangId:
+    """Stopword-profile language heuristic: argmax over per-language
+    distinct-stopword hit counts (ties → 'en', empty → 'unknown')."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.token_re = re.compile(r"[a-zäöüéèêàáíóúñç]+")
+        self.profiles = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.order = ["en", "de", "es", "fr"]  # deterministic tie-break
+
+    def _predict_one(self, text: str) -> str:
+        toks = set(self.token_re.findall(text.lower()))
+        if not toks:
+            return "unknown"
+        best, best_hits = "unknown", 0
+        for lang in self.order:
+            hits = len(toks & self.profiles[lang])
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["lang_pred"] = batch[self.text_col].fillna("").map(self._predict_one)
+        return out
+
+
+class Fingerprint:
+    """md5 hex digest + 64-bit rolling token-hash fingerprint."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[self.text_col].fillna("")
+        out = batch.copy()
+        out["fp"] = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in text]
+        # rolling hash over whitespace tokens (order-sensitive fold)
+        def roll(s: str) -> np.uint64:
+            toks = s.split()
+            if not toks:
+                return np.uint64(0)
+            h = hash_strings(np.asarray(toks, dtype=object))
+            acc = h[:1]
+            for i in range(1, len(h)):
+                acc = combine_hashes(acc, h[i:i + 1])
+            return acc[0]
+
+        out["rolling_fp"] = np.array([roll(s) for s in text], dtype=np.uint64)
+        return out

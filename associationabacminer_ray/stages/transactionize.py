@@ -34,8 +34,11 @@ def make_items(batch: pd.DataFrame, role_col: str = "role", tool_col: str = "too
                out_col: str = "item") -> pd.DataFrame:
     """role + '=' + tool → item (missing/empty → NONE, as the reference
     fills missing valid_keys, ``ConfigurableEventNormalizer.py:157-160``)."""
-    role = batch[role_col].fillna("NONE").replace("", "NONE")
-    tool = batch[tool_col].fillna("NONE").replace("", "NONE")
+    # numpy where beats pandas .replace (regex machinery) ~10x on object cols
+    role = batch[role_col].fillna("NONE").to_numpy()
+    tool = batch[tool_col].fillna("NONE").to_numpy()
+    role = pd.Series(np.where(role == "", "NONE", role), index=batch.index)
+    tool = pd.Series(np.where(tool == "", "NONE", tool), index=batch.index)
     return batch.assign(**{out_col: role + "=" + tool})
 
 
@@ -84,16 +87,139 @@ def expand_itemsets(transactions: pd.Series, multiplicities: np.ndarray,
     return counter
 
 
+def itemset_partials_from_codes(conv_codes: np.ndarray, item_codes: np.ndarray,
+                                item_vocab: np.ndarray, max_k: int = 2,
+                                max_transaction_items: int | None = 64) -> pd.DataFrame:
+    """Exact partial supports from integer codes — the zero-object hot path.
+
+    ``conv_codes``/``item_codes`` are dense dictionary indices (parquet
+    pages already store these — no string hashing or Python objects are
+    touched until the per-DISTINCT-transaction expansion).
+    ``item_vocab[code]`` gives the item string.
+    """
+    from ..functions.hashing import splitmix64
+
+    n = len(conv_codes)
+    empty = pd.DataFrame({"itemset": pd.Series(dtype=object),
+                          "k": pd.Series(dtype=np.int32),
+                          "count": pd.Series(dtype=np.int64)})
+    if n == 0:
+        return empty
+    V = np.int64(len(item_vocab))
+    key = conv_codes.astype(np.int64) * V + item_codes.astype(np.int64)
+    skey = np.sort(key, kind="stable")
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = skey[1:] != skey[:-1]
+    skey = skey[keep]
+    conv_s = skey // V
+    item_s = (skey % V).astype(np.int64)
+
+    starts = np.flatnonzero(np.r_[True, conv_s[1:] != conv_s[:-1]])
+    lengths = np.diff(np.r_[starts, len(conv_s)]).astype(np.int64)
+    tx_key = np.add.reduceat(splitmix64(item_s.astype(np.uint64)), starts) ^ \
+        splitmix64(lengths.astype(np.uint64))
+    uniq, first, counts = np.unique(tx_key, return_index=True, return_counts=True)
+
+    transactions = [
+        tuple(sorted(item_vocab[item_s[s:s + ln]]))
+        for s, ln in zip(starts[first], lengths[first])
+    ]
+    counter = expand_itemsets(transactions, counts, max_k, max_transaction_items)
+    if not counter:
+        return empty
+    keys = list(counter.keys())
+    return pd.DataFrame(
+        {
+            "itemset": [ITEM_SEP.join(c) for c in keys],
+            "k": np.array([len(c) for c in keys], dtype=np.int32),
+            "count": np.fromiter(counter.values(), dtype=np.int64, count=len(keys)),
+        }
+    )
+
+
+def read_shard_codes(path: str, conv_col: str = "conv_id", role_col: str = "role",
+                     tool_col: str = "tool"):
+    """Read one parquet shard dictionary-encoded and return
+    (conv_codes, item_codes, item_vocab, conv_vocab) with normalization
+    (''/null → NONE) applied at VOCAB level — O(vocab), not O(rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[conv_col, role_col, tool_col],
+                      read_dictionary=[conv_col, role_col, tool_col])
+
+    def codes_and_vocab(col):
+        arr = t.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not isinstance(arr, pa.DictionaryArray):
+            arr = arr.dictionary_encode()
+        vocab = arr.dictionary.to_numpy(zero_copy_only=False).astype(object)
+        return arr.indices.to_numpy(zero_copy_only=False), vocab
+
+    conv_codes, conv_vocab = codes_and_vocab(conv_col)
+    r_codes, r_vocab = codes_and_vocab(role_col)
+    t_codes, t_vocab = codes_and_vocab(tool_col)
+    r_vocab = np.where(pd.isna(r_vocab) | (r_vocab == ""), "NONE", r_vocab)
+    t_vocab = np.where(pd.isna(t_vocab) | (t_vocab == ""), "NONE", t_vocab)
+    T = len(t_vocab)
+    grid_codes = r_codes.astype(np.int64) * T + t_codes
+    # canonicalize through the item STRING (vocab-level): normalization can
+    # alias two grid codes (e.g. '' and 'NONE') onto one item
+    present, inv = np.unique(grid_codes, return_inverse=True)
+    strs = np.array([f"{r_vocab[c // T]}={t_vocab[c % T]}" for c in present],
+                    dtype=object)
+    item_vocab, canon = np.unique(strs, return_inverse=True)
+    item_codes = canon[inv]
+    return conv_codes, item_codes, item_vocab.astype(object), conv_vocab
+
+
 def itemset_partials_in_bucket(group: pd.DataFrame, conv_col: str = "conv_id",
                                item_col: str = "item", max_k: int = 2,
                                max_transaction_items: int | None = 64) -> pd.DataFrame:
-    """Per-bucket exact partial supports: (itemset, k, count)."""
-    pairs = group[[conv_col, item_col]].drop_duplicates()
-    pairs = pairs.sort_values([conv_col, item_col], kind="mergesort")
-    tx = pairs.groupby(conv_col, sort=False)[item_col].agg(tuple)
-    tx_mult = tx.value_counts()  # distinct transaction -> #convs in bucket
-    counter = expand_itemsets(tx_mult.index, tx_mult.to_numpy(), max_k,
-                              max_transaction_items)
+    """Per-bucket exact partial supports: (itemset, k, count).
+
+    Hash-numeric hot path: rows are deduped / grouped via uint64 hashes
+    (radix-friendly lexsort + reduceat) so no per-row Python objects are
+    created; strings are only touched for the (few) DISTINCT
+    transactions during subset expansion. Distinct transactions are
+    identified by a (Σ mix(item_hash), length) key — a collision there
+    needs two different item sets with equal sum and size within one
+    bucket (~n²/2⁶⁴, negligible, and detected by the oracle tests).
+    """
+    from ..functions.hashing import splitmix64
+
+    n = len(group)
+    if n == 0:
+        return pd.DataFrame({"itemset": pd.Series(dtype=object),
+                             "k": pd.Series(dtype=np.int32),
+                             "count": pd.Series(dtype=np.int64)})
+    conv_h = hash_strings(group[conv_col])
+    item_strs = group[item_col].to_numpy()
+    item_h = hash_strings(group[item_col])
+
+    # dedupe (conv, item) pairs and group by conv — all in hash space
+    order = np.lexsort((item_h, conv_h))
+    ch, ih = conv_h[order], item_h[order]
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = (ch[1:] != ch[:-1]) | (ih[1:] != ih[:-1])
+    sel = order[keep]
+    ch, ih = ch[keep], ih[keep]
+
+    starts = np.flatnonzero(np.r_[True, ch[1:] != ch[:-1]])
+    lengths = np.diff(np.r_[starts, len(ch)]).astype(np.int64)
+    tx_key = np.add.reduceat(splitmix64(ih), starts) ^ splitmix64(
+        lengths.astype(np.uint64))
+    uniq, first, counts = np.unique(tx_key, return_index=True, return_counts=True)
+
+    # expansion touches only distinct transactions; items sorted
+    # lexicographically so itemset identity matches the string oracle
+    rep_starts = starts[first]
+    rep_lens = lengths[first]
+    transactions = [
+        tuple(sorted(item_strs[sel[s:s + ln]])) for s, ln in zip(rep_starts, rep_lens)
+    ]
+    counter = expand_itemsets(transactions, counts, max_k, max_transaction_items)
     if not counter:
         return pd.DataFrame({"itemset": pd.Series(dtype=object),
                              "k": pd.Series(dtype=np.int32),

@@ -1,0 +1,121 @@
+"""Per-partition sketch checkpointing with lineage + resume.
+
+The reference's resume story is idempotent job skipping
+(``src/job/job_executor.py:101-106,121-125``) plus a dynamic-params memo
+cache (``src/eval/EnvPolicyEvaluator.py:59-93``). Here (SURVEY.md §4,
+"Checkpoint / resume"): every input shard's partial sketch state is one
+parquet file
+
+    ckpt_dir/part-{partition_id}.parquet
+      columns: name, blob, rows           (one row per sketch)
+      + lineage columns: partition_id, input_files (json),
+        row_count, config_hash
+
+written atomically (tmp + rename). Resume = load blobs for finished
+partitions, recompute only the missing ones, merge everything —
+**sound because every sketch merge is associative/commutative**, so
+"merge(checkpointed partials + recomputed partials)" equals the
+uninterrupted run bit-for-bit (CMS/HLL/Bloom) or within bound
+(t-digest/KLL). A ``config_hash`` mismatch invalidates the whole
+checkpoint directory (sketch params/seeds define estimate identity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Callable, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..sketches import Sketch
+
+
+def config_hash(config: dict) -> str:
+    """Stable 10-char content hash of a config dict (the reference's
+    base64(SHA1(sorted-JSON))[:10] idiom, src/job/job_generator.py:32)."""
+    blob = json.dumps(config, sort_keys=True, default=str).encode()
+    return hashlib.sha1(blob).hexdigest()[:10]
+
+
+def _part_path(ckpt_dir: str, pid: int) -> str:
+    return os.path.join(ckpt_dir, f"part-{pid:05d}.parquet")
+
+
+def write_partition(ckpt_dir: str, pid: int, sketches: dict[str, Sketch],
+                    input_files: Sequence[str], row_count: int,
+                    cfg_hash: str) -> str:
+    """Atomic write: tmp file + rename, so a killed run never leaves a
+    half-written partition that resume would trust."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = _part_path(ckpt_dir, pid)
+    tmp = path + ".tmp"
+    tbl = pa.table(
+        {
+            "name": list(sketches.keys()),
+            "blob": [s.to_bytes() for s in sketches.values()],
+            "partition_id": [pid] * len(sketches),
+            "input_files": [json.dumps(list(input_files))] * len(sketches),
+            "row_count": [row_count] * len(sketches),
+            "config_hash": [cfg_hash] * len(sketches),
+        }
+    )
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def completed_partitions(ckpt_dir: str, cfg_hash: str) -> dict[int, str]:
+    """partition_id -> file for finished partitions matching the config."""
+    out: dict[int, str] = {}
+    if not os.path.isdir(ckpt_dir):
+        return out
+    for fname in sorted(os.listdir(ckpt_dir)):
+        if not (fname.startswith("part-") and fname.endswith(".parquet")):
+            continue
+        path = os.path.join(ckpt_dir, fname)
+        try:
+            meta = pq.read_table(path, columns=["partition_id", "config_hash"])
+        except Exception:
+            continue  # unreadable/partial → recompute
+        if meta.num_rows and meta.column("config_hash")[0].as_py() == cfg_hash:
+            out[int(meta.column("partition_id")[0].as_py())] = path
+    return out
+
+
+def run_with_checkpoint(
+    input_files: Sequence[str],
+    ckpt_dir: str,
+    compute_partition: Callable[[int, str], tuple[dict[str, Sketch], int]],
+    config: dict,
+) -> dict[str, Sketch]:
+    """Compute-or-load every input shard's partial sketches, then merge.
+
+    ``compute_partition(pid, path) -> (sketches, row_count)`` runs the
+    actual (Ray or local) pipeline for one shard. Already-checkpointed
+    shards are skipped entirely — the resume contract of FIXTURES §F5.
+    """
+    cfg = config_hash(config)
+    done = completed_partitions(ckpt_dir, cfg)
+    merged: dict[str, Sketch] = {}
+
+    def absorb(blob_rows: pd.DataFrame) -> None:
+        for name, blob in zip(blob_rows["name"], blob_rows["blob"]):
+            sk = Sketch.from_bytes(bytes(blob))
+            if name in merged:
+                merged[name].merge(sk)
+            else:
+                merged[name] = sk
+
+    for pid, path in enumerate(input_files):
+        if pid in done:
+            absorb(pq.read_table(done[pid]).to_pandas())
+            continue
+        sketches, row_count = compute_partition(pid, path)
+        write_partition(ckpt_dir, pid, sketches, [path], row_count, cfg)
+        absorb(pd.DataFrame({"name": list(sketches.keys()),
+                             "blob": [s.to_bytes() for s in sketches.values()]}))
+    return merged
