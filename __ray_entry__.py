@@ -36,8 +36,10 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import analytics as A
+    from associationabacminer_ray.pipelines import ann as N
     from associationabacminer_ray.pipelines import relational as R
     from associationabacminer_ray.pipelines import sketch_queries as S
+    from associationabacminer_ray.pipelines import text_pipelines as T
 
     return {
         # mining / transcript pipelines (exact mode — oracle-checked)
@@ -55,11 +57,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": R.q1_lineitem,
         "orders_customer_join": R.q_orders_customer_join,
         "part_brand_stats": R.q_part_brand_stats,
+        # text / dedup over documents (oracle-checked)
+        "dedup_docs": T.q_dedup_docs,
+        "doc_fingerprint": T.q_doc_fingerprint,
+        "text_stats": T.q_text_stats,
+        "lang_dist": T.q_lang_dist,
+        # similarity search (oracle-checked ranks)
+        "knn_brute": N.q_knn_brute,
         # sketch mode (approximate — rows-only here, bounds in pytest)
         "sketch_topk_itemsets": S.q_sketch_topk_itemsets,
         "hll_role_convs": S.q_hll_role_convs,
         "value_quantiles": S.q_value_quantiles,
         "greedy_policy": S.q_greedy_policy,
+        # near-dup / text heuristics (rows-only, verified in pytest)
+        "minhash_dups": T.q_minhash_dups,
+        "simhash_bands": T.q_simhash_bands,
+        "quality_scores": T.q_quality_scores,
+        "langid": T.q_langid,
+        "knn_ivf": N.q_knn_ivf,
     }
 
 
@@ -165,5 +180,36 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_retail_cents
             FROM part WHERE p_size > 25
             GROUP BY p_brand
+        """,
+        "dedup_docs": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_computed,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "lang_dist": """
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "knn_brute": """
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                        PARTITION BY a.vec_id
+                        ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                                 DESC, b.vec_id) AS BIGINT) AS rank
+            FROM embeddings a JOIN embeddings b ON b.vec_id >= 5
+            WHERE a.vec_id < 5
+            QUALIFY rank <= 5
         """,
     }

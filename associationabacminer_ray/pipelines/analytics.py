@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..sources.transcripts import transcripts_from_events
 from ..stages.transactionize import ITEM_SEP
@@ -28,6 +28,30 @@ from .itemsets import exact_itemset_supports, transactions
 
 def _events_transcripts(sf_dir: str):
     return transcripts_from_events(f"{sf_dir}/events.parquet")
+
+
+def bucketed_group_agg(ds, key_cols: list[str], agg_fn, num_buckets: int = 32):
+    """Grouped aggregation for high-cardinality keys: shuffle on
+    hash(key) % B (co-locating each key fully), then one vectorized
+    pandas ``agg_fn(group_df) -> df`` per bucket. Avoids Ray's ~ms
+    per-group aggregate overhead (see itemsets.sum_by_key_bucketed)."""
+    from ..functions.hashing import hash_strings
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        key = b[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + "\x1f" + b[c].astype(str)
+        return b.assign(
+            _gb=(hash_strings(key) % np.uint64(num_buckets)).astype(np.int32))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return agg_fn(g.drop(columns=["_gb"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 # ------------------------------------------------------------------ mining
@@ -93,27 +117,18 @@ def q_transactions(sf_dir: str):
 def q_role_activity(sf_dir: str) -> pd.DataFrame:
     """Per role: turns, distinct conversations, distinct tools (A15)."""
     ds = _events_transcripts(sf_dir).select_columns(["role", "conv_id", "tool"])
-    n_turns = ds.groupby("role").aggregate(Count(alias_name="n_turns")).to_pandas()
 
-    def dedup(cols):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            return b[cols].drop_duplicates()
-        return fn
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("role", sort=False).agg(
+            n_turns=("role", "size"),
+            distinct_convs=("conv_id", "nunique"),
+            distinct_tools=("tool", "nunique"),
+        ).reset_index()
+        for c in ("n_turns", "distinct_convs", "distinct_tools"):
+            out[c] = out[c].astype(np.int64)
+        return out
 
-    dconv = (
-        ds.map_batches(dedup(["role", "conv_id"]), batch_format="pandas")
-        .groupby(["role", "conv_id"]).aggregate(Count(alias_name="_"))
-        .groupby("role").aggregate(Count(alias_name="distinct_convs")).to_pandas()
-    )
-    dtool = (
-        ds.map_batches(dedup(["role", "tool"]), batch_format="pandas")
-        .groupby(["role", "tool"]).aggregate(Count(alias_name="_"))
-        .groupby("role").aggregate(Count(alias_name="distinct_tools")).to_pandas()
-    )
-    out = n_turns.merge(dconv, on="role").merge(dtool, on="role")
-    for c in ("n_turns", "distinct_convs", "distinct_tools"):
-        out[c] = out[c].astype(np.int64)
-    return out
+    return bucketed_group_agg(ds, ["role"], agg, num_buckets=8).to_pandas()
 
 
 # ------------------------------------------------------------------ events
@@ -170,21 +185,18 @@ def q_user_activity(sf_dir: str) -> pd.DataFrame:
                          "cents": cents, "ts_us": ts_us})
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
-    base = prepped.groupby("user_id").aggregate(
-        Count(alias_name="n_events"),
-        Sum("cents", alias_name="sum_value_cents"),
-        Min("ts_us", alias_name="first_us"),
-        Max("ts_us", alias_name="last_us"),
-    ).to_pandas()
-    det = (
-        prepped.map_batches(
-            lambda b: b[["user_id", "event_type"]].drop_duplicates(),
-            batch_format="pandas")
-        .groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_"))
-        .groupby("user_id").aggregate(Count(alias_name="distinct_event_types"))
-        .to_pandas()
-    )
-    out = base.merge(det, on="user_id")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", sort=False).agg(
+            n_events=("user_id", "size"),
+            distinct_event_types=("event_type", "nunique"),
+            sum_value_cents=("cents", "sum"),
+            first_us=("ts_us", "min"),
+            last_us=("ts_us", "max"),
+        ).reset_index()
+        return out
+
+    out = bucketed_group_agg(prepped, ["user_id"], agg, num_buckets=32).to_pandas()
     out["first_ts"] = pd.to_datetime(out.pop("first_us"), unit="us")
     out["last_ts"] = pd.to_datetime(out.pop("last_us"), unit="us")
     for c in ("n_events", "sum_value_cents", "distinct_event_types"):

@@ -1,0 +1,168 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``q_knn_brute``: exact cosine top-k — the query matrix is broadcast
+  once (``ray.put``), every batch computes a numpy matmul and emits its
+  LOCAL top-k per query; the driver merges partial top-ks (a mergeable
+  top-k, same shape as A7's truncation). Oracle-checked (ranks only —
+  integer columns, so float precision can't flip the value hash unless
+  two similarities tie within ~1e-7, which the test corpus doesn't).
+- ``q_knn_ivf``: the scale path — a seeded k-means-lite codebook
+  (trained on a driver-side sample) buckets vectors; queries probe the
+  ``nprobe`` nearest buckets only. Approximate; pytest checks recall
+  against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _embeddings(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack(col.to_numpy()).astype(np.float64)
+
+
+class _BruteForcePartial:
+    """Actor-pool stage: queries fetched once per actor; per batch emit
+    the batch-local top-k (query_id, neighbor_id, sim) triples."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref)
+        self.qids = q["qids"]
+        self.qmat = q["qmat"]  # already normalized
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(_stack(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        sims = self.qmat @ mat.T  # (n_queries, n_batch)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            rows_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            rows_n.append(ids[top[qi]].astype(np.int64))
+            rows_s.append(sims[qi][top[qi]])
+        return pd.DataFrame({"query_id": np.concatenate(rows_q),
+                             "neighbor_id": np.concatenate(rows_n),
+                             "sim": np.concatenate(rows_s)})
+
+
+def knn_brute(sf_dir: str, n_queries: int = 5, k: int = 5,
+              exclude_queries: bool = True) -> pd.DataFrame:
+    """Exact cosine top-k of the first ``n_queries`` vec_ids against the
+    rest; returns (query_id, neighbor_id, rank)."""
+    emb = _embeddings(sf_dir)
+    qdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas()
+    qmat = _normalize(_stack(qdf["embedding"]))
+    queries_ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "qmat": qmat})
+
+    ds = emb
+    if exclude_queries:
+        ds = ds.filter(lambda r: r["vec_id"] >= n_queries)
+    partials = ds.map_batches(
+        _BruteForcePartial, batch_format="pandas", batch_size=4096,
+        concurrency=2, fn_constructor_args=(queries_ref, k)).to_pandas()
+
+    # merge partial top-ks per query (deterministic tie-break on id)
+    partials = partials.sort_values(["query_id", "sim", "neighbor_id"],
+                                    ascending=[True, False, True],
+                                    kind="mergesort")
+    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]].astype(np.int64)
+
+
+def q_knn_brute(sf_dir: str) -> pd.DataFrame:
+    return knn_brute(sf_dir, n_queries=5, k=5)
+
+
+# --------------------------------------------------------------------- IVF
+def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,
+                 seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    centers = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centers.T, axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+        centers = _normalize(centers)
+    return centers
+
+
+class _IvfPartial:
+    """Search only batches' rows whose bucket is among each query's
+    probed buckets."""
+
+    def __init__(self, state_ref, k: int):
+        st = ray.get(state_ref)
+        self.centers = st["centers"]
+        self.qids = st["qids"]
+        self.qmat = st["qmat"]
+        self.qprobe = st["qprobe"]  # (n_queries, nprobe) bucket ids
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(_stack(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        buckets = np.argmax(mat @ self.centers.T, axis=1)
+        frames = []
+        for qi in range(len(self.qids)):
+            mask = np.isin(buckets, self.qprobe[qi])
+            if not mask.any():
+                continue
+            sims = self.qmat[qi] @ mat[mask].T
+            sub_ids = ids[mask]
+            k = min(self.k, len(sub_ids))
+            top = np.argpartition(-sims, k - 1)[:k] if len(sims) > k else np.argsort(-sims)
+            frames.append(pd.DataFrame(
+                {"query_id": np.int64(self.qids[qi]),
+                 "neighbor_id": sub_ids[top].astype(np.int64),
+                 "sim": sims[top]}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                                 "neighbor_id": pd.Series(dtype=np.int64),
+                                 "sim": pd.Series(dtype=float)})
+        return pd.concat(frames, ignore_index=True)
+
+
+def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, n_clusters: int = 16,
+            nprobe: int = 4, sample_n: int = 2048, seed: int = 7) -> pd.DataFrame:
+    """IVF-style ANN: seeded k-means-lite codebook (driver-side sample),
+    queries probe their nprobe nearest buckets. (query_id, neighbor_id,
+    rank); recall vs brute force asserted in pytest."""
+    emb = _embeddings(sf_dir)
+    sample = emb.limit(sample_n).to_pandas()
+    centers = _kmeans_lite(_normalize(_stack(sample["embedding"])), n_clusters,
+                           seed=seed)
+    qdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas()
+    qmat = _normalize(_stack(qdf["embedding"]))
+    qprobe = np.argsort(-(qmat @ centers.T), axis=1)[:, :nprobe]
+    ref = ray.put({"centers": centers, "qids": qdf["vec_id"].to_numpy(),
+                   "qmat": qmat, "qprobe": qprobe})
+    partials = emb.filter(lambda r: r["vec_id"] >= n_queries).map_batches(
+        _IvfPartial, batch_format="pandas", batch_size=4096, concurrency=2,
+        fn_constructor_args=(ref, k)).to_pandas()
+    partials = partials.sort_values(["query_id", "sim", "neighbor_id"],
+                                    ascending=[True, False, True],
+                                    kind="mergesort")
+    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]].astype(np.int64)
+
+
+def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    return knn_ivf(sf_dir)

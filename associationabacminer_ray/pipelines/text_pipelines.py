@@ -1,0 +1,159 @@
+"""Text / dedup query pack over the ``documents`` table.
+
+Oracle-checked: exact dedup groups, md5 fingerprints, token/char stats,
+language distribution. Rows-only (verified in pytest instead): MinHash-
+LSH near-dup candidates, SimHash bands, heuristic language ID, quality
+scores, rolling fingerprints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..stages.dedup import MinHashLSH, SimHash, shingle_set_jaccard
+from ..stages.text import Fingerprint, LangId, TokenStats
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ------------------------------------------------------------- oracle-backed
+def q_dedup_docs(sf_dir: str):
+    """Exact dedup by text: representative doc (min id) + copy count.
+    The unique-logs SHA1 dedup analog (EnvLogUniverseGenerator.py:91-94)."""
+    from .analytics import bucketed_group_agg
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text", sort=False).agg(
+            keep_id=("doc_id", "min"), n_copies=("doc_id", "size")).reset_index()
+        return pd.DataFrame({"keep_id": out["keep_id"].astype(np.int64),
+                             "n_copies": out["n_copies"].astype(np.int64)})
+
+    return bucketed_group_agg(ds, ["text"], agg, num_buckets=16)
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """doc_id + md5 hex fingerprint (exactly reproducible in SQL)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(Fingerprint, batch_format="pandas", concurrency=2)
+    return out.map_batches(lambda b: b[["doc_id", "fp"]], batch_format="pandas")
+
+
+def q_text_stats(sf_dir: str):
+    """doc_id, computed char count, whitespace token count."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(TokenStats, batch_format="pandas", concurrency=2)
+    return out.map_batches(
+        lambda b: b[["doc_id", "n_chars_computed", "n_tokens"]],
+        batch_format="pandas")
+
+
+def q_lang_dist(sf_dir: str):
+    """Documents + chars per (lang, source)."""
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+    agg = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    return agg.map_batches(
+        lambda b: b.assign(n_docs=b["n_docs"].astype(np.int64),
+                           sum_chars=b["sum_chars"].astype(np.int64)),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------- rows-only
+def q_quality_scores(sf_dir: str):
+    """Per-doc quality features (length/punct/stopword/alpha ratios)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(TokenStats, batch_format="pandas", concurrency=2)
+    return out.map_batches(
+        lambda b: b[["doc_id", "n_tokens", "punct_ratio", "alpha_ratio",
+                     "stopword_ratio", "quality_score"]],
+        batch_format="pandas")
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID (stopword profiles) vs the labeled lang."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return out.map_batches(lambda b: b[["doc_id", "lang", "lang_pred"]],
+                           batch_format="pandas")
+
+
+def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
+                            shingle_k: int = 5) -> pd.DataFrame:
+    """LSH candidate pairs: docs sharing any (band_id, band_hash) bucket.
+    The banding groupby is the only all-to-all (b rows/doc)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    exploded = ds.map_batches(
+        MinHashLSH, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands,
+                               "shingle_k": shingle_k})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash-bucket of many (band, hash) groups: only groups with
+        # ≥2 docs (rare) need the per-group pair expansion
+        g = g.drop_duplicates()
+        dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _, grp in dup.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.sort(grp["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a).astype(np.int64),
+                             "id_b": np.concatenate(out_b).astype(np.int64)})
+
+    from .analytics import bucketed_group_agg
+
+    cand = (
+        bucketed_group_agg(exploded, ["band_id", "band_hash"], pairs_in_bucket,
+                           num_buckets=16)
+        .to_pandas()
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    return cand
+
+
+def q_minhash_dups(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
+    (Verification joins candidate ids back to texts driver-side — fine
+    while candidates ≪ corpus; at scale verification becomes a broadcast
+    of the candidate id-set + a map_batches gather.)"""
+    cand = minhash_candidate_pairs(sf_dir)
+    if not len(cand):
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=float)})
+    texts = _docs(sf_dir, ["doc_id", "text"]).to_pandas().set_index("doc_id")["text"]
+    jac = np.array([
+        shingle_set_jaccard(texts[a], texts[b]) for a, b in
+        zip(cand["id_a"], cand["id_b"])
+    ])
+    out = cand.assign(jaccard=jac)
+    out = out[out["jaccard"] >= threshold].reset_index(drop=True)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_simhash_bands(sf_dir: str) -> pd.DataFrame:
+    """SimHash signatures + band buckets (near-dup = shared band, then
+    Hamming verify)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(SimHash, batch_format="pandas", concurrency=2)
+    return out.map_batches(
+        lambda b: b[["doc_id", "simhash", "sim_band0", "sim_band1",
+                     "sim_band2", "sim_band3"]].assign(
+                         simhash=b["simhash"].astype("uint64")),
+        batch_format="pandas").to_pandas()

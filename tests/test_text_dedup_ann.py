@@ -1,0 +1,181 @@
+"""Text analysis, near-dup detection, ANN, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from associationabacminer_ray.stages.dedup import (
+    hamming64,
+    lsh_bands,
+    minhash_signatures,
+    shingle_set_jaccard,
+    simhash_signatures,
+    word_ngram_jaccard,
+)
+from associationabacminer_ray.stages.multimodal import (
+    DecodeStub,
+    FeatureExtractStub,
+    frame_sample_plan,
+    make_fake_multimodal_table,
+)
+from associationabacminer_ray.stages.text import Fingerprint, LangId, TokenStats
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestTokenStats:
+    def test_edge_cases(self):
+        df = pd.DataFrame({"text": ["", "one two three", "hi!!!", None, "a" * 600]})
+        out = TokenStats()(df)
+        assert out["n_tokens"].tolist() == [0, 3, 1, 0, 1]
+        assert out["n_chars_computed"].tolist() == [0, 13, 5, 0, 600]
+        assert out.loc[2, "punct_ratio"] == pytest.approx(3 / 5)
+        assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+        # quality ranks a real sentence above noise
+        df2 = TokenStats()(pd.DataFrame({"text": [
+            "the cat sat on the mat and looked at the dog for a while",
+            "!!!! ???? ;;;"]}))
+        assert df2.loc[0, "quality_score"] > df2.loc[1, "quality_score"]
+
+
+class TestLangId:
+    def test_profiles(self):
+        df = pd.DataFrame({"text": [
+            "the house and the garden of a friend is that way",
+            "der Hund und die Katze ist mit einem Ball zu Hause",
+            "el perro y la casa es que un gato en la calle",
+            "le chien est dans la maison pour les amis",
+            "",
+        ]})
+        out = LangId()(df)
+        assert out["lang_pred"].tolist() == ["en", "de", "es", "fr", "unknown"]
+
+
+class TestFingerprint:
+    def test_md5_and_rolling(self):
+        import hashlib
+
+        df = pd.DataFrame({"text": ["hello world", "hello world", "other", ""]})
+        out = Fingerprint()(df)
+        assert out.loc[0, "fp"] == hashlib.md5(b"hello world").hexdigest()
+        assert out.loc[0, "fp"] == out.loc[1, "fp"] != out.loc[2, "fp"]
+        assert out.loc[0, "rolling_fp"] == out.loc[1, "rolling_fp"]
+        assert out.loc[3, "rolling_fp"] == 0
+        # order sensitivity
+        out2 = Fingerprint()(pd.DataFrame({"text": ["world hello"]}))
+        assert out2.loc[0, "rolling_fp"] != out.loc[0, "rolling_fp"]
+
+
+class TestMinHash:
+    def test_signature_similarity_tracks_jaccard(self):
+        a = "the quick brown fox jumps over the lazy dog in the park"
+        b = "the quick brown fox jumps over the lazy cat in the park"
+        c = "completely different content about database query engines"
+        sig = minhash_signatures(pd.Series([a, b, c]), num_perm=128)
+        est_ab = (sig[0] == sig[1]).mean()
+        est_ac = (sig[0] == sig[2]).mean()
+        true_ab = shingle_set_jaccard(a, b)
+        assert abs(est_ab - true_ab) < 0.15
+        assert est_ac < 0.1 < est_ab
+
+    def test_lsh_bands_identical_docs_collide(self):
+        sig = minhash_signatures(pd.Series(["same text here"] * 2 + ["nope"]),
+                                 num_perm=64)
+        bands = lsh_bands(sig, num_bands=16)
+        assert (bands[0] == bands[1]).all()
+        assert not (bands[0] == bands[2]).all()
+
+    def test_ngram_jaccard(self):
+        assert word_ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert word_ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+class TestSimHash:
+    def test_near_docs_close_in_hamming(self):
+        a = "the quick brown fox jumps over the lazy dog in the park today"
+        b = a.replace("dog", "cat")
+        c = "entirely unrelated words about spark shuffle partitions"
+        sig = simhash_signatures(pd.Series([a, b, c]))
+        d_ab = hamming64(sig[:1], sig[1:2])[0]
+        d_ac = hamming64(sig[:1], sig[2:3])[0]
+        assert d_ab < d_ac
+        assert d_ab <= 12
+
+
+class TestPipelines:
+    def test_minhash_dups_finds_planted_pair(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from associationabacminer_ray.pipelines.text_pipelines import q_minhash_dups
+
+        base = pd.read_parquet(f"{SF}/documents.parquet")
+        planted = base.copy()
+        # plant a near-duplicate of doc 0 with a new id
+        dup = base.iloc[[0]].copy()
+        dup["doc_id"] = 99_999
+        dup["text"] = dup["text"].str.replace("the", "teh", n=1)
+        planted = pd.concat([planted, dup], ignore_index=True)
+        d = tmp_path / "docs"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(planted, preserve_index=False),
+                       str(d / "documents.parquet"))
+        out = q_minhash_dups(str(d), threshold=0.5)
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (0, 99_999) in pairs
+        assert (out["jaccard"] >= 0.5).all()
+
+    def test_knn_ivf_recall_vs_brute(self, ray_session):
+        from associationabacminer_ray.pipelines.ann import knn_brute, knn_ivf
+
+        brute = knn_brute(SF, n_queries=5, k=5)
+        ivf = knn_ivf(SF, n_queries=5, k=5, n_clusters=8, nprobe=4)
+        recall_hits = 0
+        for q in range(5):
+            b = set(brute.loc[brute["query_id"] == q, "neighbor_id"])
+            i = set(ivf.loc[ivf["query_id"] == q, "neighbor_id"])
+            recall_hits += len(b & i)
+        assert recall_hits / 25 >= 0.5  # nprobe=4 of 8 buckets
+
+    def test_langid_runs_on_documents(self, ray_session):
+        from associationabacminer_ray.pipelines.text_pipelines import q_langid
+
+        out = q_langid(SF).to_pandas()
+        assert len(out) == 500
+        assert set(out["lang_pred"]) <= {"en", "de", "es", "fr", "unknown"}
+
+
+class TestMultimodal:
+    def test_decode_stub_raises_without_fake(self):
+        with pytest.raises(NotImplementedError, match="not available"):
+            DecodeStub(fake=False)(make_fake_multimodal_table(4))
+
+    def test_fake_decode_and_features_deterministic(self, ray_session):
+        import ray.data as rd
+
+        tbl = make_fake_multimodal_table(32, modality="image")
+        ds = rd.from_pandas(tbl)
+        # fat binary rows → small batch_size, actor pool
+        out = ds.map_batches(DecodeStub, batch_format="pandas", batch_size=8,
+                             concurrency=2,
+                             fn_constructor_kwargs={"fake": True}).to_pandas()
+        assert len(out) == 32 and "decoded_checksum" in out
+        out2 = ds.map_batches(FeatureExtractStub, batch_format="pandas",
+                              batch_size=8, concurrency=2,
+                              fn_constructor_kwargs={"dim": 16}).to_pandas()
+        f0 = np.stack(out2.sort_values("item_id")["feature"].to_numpy())
+        out3 = ds.map_batches(FeatureExtractStub, batch_format="pandas",
+                              batch_size=8, concurrency=2,
+                              fn_constructor_kwargs={"dim": 16}).to_pandas()
+        f1 = np.stack(out3.sort_values("item_id")["feature"].to_numpy())
+        assert np.array_equal(f0, f1)  # deterministic fake model
+        assert f0.shape == (32, 16)
+
+    def test_frame_sample_plan(self):
+        tbl = make_fake_multimodal_table(4, modality="video")
+        plans = frame_sample_plan(tbl["meta"], every_n=10)
+        import json
+
+        for meta, plan in zip(tbl["meta"], plans):
+            n = json.loads(meta)["n_frames"]
+            assert plan == list(range(0, n, 10))
