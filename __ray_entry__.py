@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_role_convs": S.q_hll_role_convs,
         "value_quantiles": S.q_value_quantiles,
         "greedy_policy": S.q_greedy_policy,
+        "windowed_mining": S.q_windowed_mining,
+        "policy_scores": S.q_policy_scores,
         # near-dup / text heuristics (rows-only, verified in pytest)
         "minhash_dups": T.q_minhash_dups,
         "simhash_bands": T.q_simhash_bands,

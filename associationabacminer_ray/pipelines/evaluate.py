@@ -1,0 +1,142 @@
+"""Policy evaluation, RBAC mining, rule merging, score aggregation, AUC.
+
+- ``score_policy``: the EnvPolicyEvaluator transplant (A12,
+  ``src/eval/EnvPolicyEvaluator.py:202-252``): stream the opr-window's
+  transactions, classify each against the policy (first-match-wins
+  semi-join J1), count TP/FN (+ unique via exact sets at window scale /
+  HLL at cluster scale), and derive the confusion-matrix metrics with
+  the reference's degenerate-case overrides (:231-244).
+- ``rbac_policy``: the RbacRuleMiner analog (A14,
+  ``src/RbacRuleMiner.py:33-47``): one rule per conversation "user" —
+  per-conv distinct tool set.
+- ``merge_policy``: RuleMerger transplant (``src/eval/RuleMerger.py:
+  49-64``): O(n²) pairwise merge while any rule pair differs in at most
+  one element — fine, policies are tiny.
+- ``aggregate_scores``: A13 (``src/job/ScoreAggregator.py:21-56``):
+  mean of score columns grouped by config hash.
+- ``auc_points``: A20 (``src/job/AUCPrinter.py:9-37``): trapezoid AUC
+  over sorted (FPR, TPR) points (no sklearn dependency).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..stages.transactionize import ITEM_SEP
+
+
+def _rule_matches(items_joined: pd.Series, rule_items: list[str]) -> np.ndarray:
+    padded = "," + items_joined + ","
+    mask = np.ones(len(items_joined), dtype=bool)
+    for it in rule_items:
+        mask &= padded.str.contains("," + it + ",", regex=False).to_numpy()
+    return mask
+
+
+def policy_allows(transactions: pd.DataFrame, rules: pd.DataFrame) -> np.ndarray:
+    """First-match-wins: a transaction is allowed if ANY rule's full item
+    set is contained in it (RuleEvaluator.rule_allows_event analog)."""
+    allowed = np.zeros(len(transactions), dtype=bool)
+    items = transactions["items"].reset_index(drop=True)
+    for _, rule in rules.iterrows():
+        todo = ~allowed
+        if not todo.any():
+            break
+        rule_items = (rule["antecedent"].split(ITEM_SEP)
+                      + rule["consequent"].split(ITEM_SEP))
+        allowed[todo] |= _rule_matches(items[todo], sorted(set(rule_items)))
+    return allowed
+
+
+def score_policy(opr_transactions: pd.DataFrame, rules: pd.DataFrame,
+                 universe_total: int | None = None) -> dict:
+    """Confusion-matrix scoring of a mined policy on the operation window.
+
+    TP = exercised & allowed; FN = exercised & denied. FP/TN need the
+    allowed-universe size: ``uPos`` here is the number of DISTINCT
+    transactions the policy would allow out of ``universe_total``
+    possible (the reference enumerates + SHA-hashes the allowed universe,
+    :79-169; we take the closed-form small-scale equivalent and leave
+    the HLL path to the sketch pipelines). Degenerate-case overrides
+    mirror :231-244.
+    """
+    n = len(opr_transactions)
+    allowed = policy_allows(opr_transactions, rules)
+    c_tp = int(allowed.sum())
+    c_fn = int(n - c_tp)
+    uniq = opr_transactions.assign(_allowed=allowed).drop_duplicates("items")
+    u_tp = int(uniq["_allowed"].sum())
+    u_fn = int(len(uniq) - u_tp)
+    total = universe_total if universe_total is not None else len(uniq)
+    u_pos = u_tp  # at window scale: allowed-and-observed distinct transactions
+    u_fp = max(0, u_pos - u_tp)
+    u_tn = max(0, total - (u_tp + u_fn + u_fp))
+
+    # degenerate overrides (EnvPolicyEvaluator.py:231-244)
+    precision = 1.0 if (u_tp + u_fp) == 0 else u_tp / (u_tp + u_fp)
+    recall = 1.0 if (u_tp + u_fn) == 0 else u_tp / (u_tp + u_fn)
+    specificity = 1.0 if (u_tn + u_fp) == 0 else u_tn / (u_tn + u_fp)
+    fpr = 0.0 if (u_fp + u_tn) == 0 else u_fp / (u_fp + u_tn)
+    accuracy = (u_tp + u_tn) / total if total else 1.0
+    return {
+        "c_tp": c_tp, "c_fn": c_fn, "u_tp": u_tp, "u_fn": u_fn,
+        "u_fp": u_fp, "u_tn": u_tn, "precision": precision, "recall": recall,
+        "specificity": specificity, "fpr": fpr, "accuracy": accuracy,
+        "n_rules": int(len(rules)),
+    }
+
+
+def rbac_policy(transactions: pd.DataFrame, user_col: str = "conv_id") -> pd.DataFrame:
+    """One rule per user: their full observed item set (RbacRuleMiner)."""
+    return pd.DataFrame({
+        "user": transactions[user_col],
+        "allowed_items": transactions["items"],
+        "n_items": transactions["items"].str.count(",") + 1,
+    })
+
+
+def merge_policy(rules: pd.DataFrame) -> pd.DataFrame:
+    """Pairwise-merge rules that differ in ≤1 item (RuleMerger.py:49-64):
+    repeat until no pair merges. Rule identity = full sorted item set."""
+    sets = [frozenset(r["antecedent"].split(ITEM_SEP)
+                      + r["consequent"].split(ITEM_SEP))
+            for _, r in rules.iterrows()]
+    changed = True
+    while changed:
+        changed = False
+        out: list[frozenset] = []
+        used = [False] * len(sets)
+        for i in range(len(sets)):
+            if used[i]:
+                continue
+            cur = sets[i]
+            for j in range(i + 1, len(sets)):
+                if used[j]:
+                    continue
+                if len(cur ^ sets[j]) <= 1:  # differ in at most one element
+                    cur = cur | sets[j]
+                    used[j] = True
+                    changed = True
+            out.append(cur)
+        sets = out
+    return pd.DataFrame({
+        "items": [ITEM_SEP.join(sorted(s)) for s in sets],
+        "n_items": [len(s) for s in sets],
+    }).sort_values("items").reset_index(drop=True)
+
+
+def aggregate_scores(scores: pd.DataFrame, by: str = "config_hash") -> pd.DataFrame:
+    """Mean of every numeric score column per config (ScoreAggregator)."""
+    num_cols = [c for c in scores.columns
+                if c != by and np.issubdtype(scores[c].dtype, np.number)]
+    return scores.groupby(by, sort=True)[num_cols].mean().reset_index()
+
+
+def auc_points(points: pd.DataFrame, x: str = "fpr", y: str = "tpr") -> float:
+    """Trapezoid AUC over deduped, sorted (FPR, TPR) points, anchored at
+    (0,0) and (1,1) (AUCPrinter.py:9-37)."""
+    df = points[[x, y]].drop_duplicates().sort_values([x, y])
+    xs = np.concatenate([[0.0], df[x].to_numpy(), [1.0]])
+    ys = np.concatenate([[0.0], df[y].to_numpy(), [1.0]])
+    return float(np.trapz(ys, xs))

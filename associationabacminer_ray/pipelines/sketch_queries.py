@@ -72,3 +72,61 @@ def q_greedy_policy(sf_dir: str) -> pd.DataFrame:
                       num_buckets=16).to_pandas()
     return greedy_cover(tx, metric="cscore", max_rounds=10,
                         coverage_target=0.9, min_support=2)
+
+
+def _synth_window_corpus(sf_dir: str) -> list[str]:
+    """Deterministic transcript corpus for window queries (size keyed to
+    the sf level so sf0.01 exercises more data than sf0.001)."""
+    from ..sources.transcripts import write_synth_transcripts
+
+    n = 4000 if "0.01" in sf_dir else (20000 if "0.1" in sf_dir else 1000)
+    return write_synth_transcripts(f"/tmp/graft_windows/convs_{n}", n_convs=n,
+                                   shards=4)
+
+
+def q_windowed_mining(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window mining sweep (WindowGenerator analog): per window,
+    transactions mined to rules; returns per-window summary rows."""
+    from datetime import datetime
+
+    from .mining import mine_windows
+
+    paths = _synth_window_corpus(sf_dir)
+    results = mine_windows(paths, datetime(2024, 1, 1), datetime(2024, 2, 5),
+                           obs_days=14, opr_days=3, step_days=7,
+                           max_k=2, min_support=2)
+    return pd.DataFrame([
+        {"window_id": r["window_id"], "n_transactions": r["n_transactions"],
+         "n_rules": r["n_rules"],
+         "mining_time_s": round(r["mining_time_elapsed_s"], 3)}
+        for r in results
+    ])
+
+
+def q_policy_scores(sf_dir: str) -> pd.DataFrame:
+    """Mine on an obs window, score on the opr window (A12 confusion
+    matrix with degenerate overrides) — the mine→score job loop."""
+    from datetime import datetime
+
+    import ray.data as rd
+
+    from ..functions.windows import WindowSpec, read_window
+    from .evaluate import score_policy
+    from .itemsets import exact_itemset_supports
+    from .itemsets import transactions as tx_pipeline
+    from .rules import rules_from_supports
+
+    paths = _synth_window_corpus(sf_dir)
+    spec = WindowSpec(datetime(2024, 1, 1), datetime(2024, 1, 22),
+                      datetime(2024, 1, 22), datetime(2024, 1, 29))
+    obs = read_window(paths, spec, "obs", columns=["conv_id", "role", "tool"])
+    obs_tx = tx_pipeline(obs, num_buckets=8).to_pandas()
+    supports = exact_itemset_supports(obs, max_k=2, num_buckets=8,
+                                      min_support=2).to_pandas()
+    rules = rules_from_supports(supports, n_transactions=len(obs_tx),
+                                min_support=2).head(20)
+    opr = read_window(paths, spec, "opr", columns=["conv_id", "role", "tool"])
+    opr_tx = tx_pipeline(opr, num_buckets=8).to_pandas()
+    scores = score_policy(opr_tx, rules)
+    scores["window_id"] = spec.window_id
+    return pd.DataFrame([scores])
