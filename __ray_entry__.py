@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_counts": A.q_daily_event_counts,
         "user_activity": A.q_user_activity,
         "top_events": A.q_top_events,
+        "cooccurrence": A.q_cooccurrence,
         # relational breadth (oracle-checked)
         "q1_lineitem": R.q1_lineitem,
         "orders_customer_join": R.q_orders_customer_join,
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": T.q_quality_scores,
         "langid": T.q_langid,
         "knn_ivf": N.q_knn_ivf,
+        "sample_events": A.q_sample_events,
     }
 
 
@@ -154,6 +156,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY event_type
             ORDER BY n DESC, event_type LIMIT 5
+        """,
+        "cooccurrence": """
+            SELECT event_type AS role,
+                   'k' || regexp_extract(props, '[0-9]+') AS tool,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_convs
+            FROM events GROUP BY 1, 2
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

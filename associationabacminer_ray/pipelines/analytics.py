@@ -205,6 +205,34 @@ def q_user_activity(sf_dir: str) -> pd.DataFrame:
                 "first_ts", "last_ts"]]
 
 
+def q_cooccurrence(sf_dir: str):
+    """A9: pairwise value co-occurrence for the dependent pair
+    (role → tool): per (role, tool), distinct conversations exhibiting
+    the combination (the inv_param_dependency multimap in long form,
+    EnvLogUniverseGenerator.py:259-267)."""
+    ds = _events_transcripts(sf_dir).select_columns(["role", "tool", "conv_id"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["role", "tool"], sort=False)["conv_id"].nunique().reset_index()
+        out.columns = ["role", "tool", "n_convs"]
+        out["n_convs"] = out["n_convs"].astype(np.int64)
+        return out
+
+    return bucketed_group_agg(ds, ["role", "tool"], agg, num_buckets=16)
+
+
+def q_sample_events(sf_dir: str) -> pd.DataFrame:
+    """O4: seeded Bernoulli sampling (instance_sample_rate analog) —
+    returns the sample's aggregate so the result is small and stable
+    in expectation (rows-only check: sampling is inherently seeded-
+    random across block layouts)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    sample = ds.random_sample(0.1, seed=42)
+    agg = sample.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
 def q_top_events(sf_dir: str) -> pd.DataFrame:
     """A5/A6: top-5 event types by count (deterministic tie-break)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])

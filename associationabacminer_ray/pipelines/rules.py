@@ -30,6 +30,68 @@ from ..sketches import BloomFilter
 from ..stages.transactionize import ITEM_SEP
 
 
+def extract_constant_items(supports: pd.DataFrame,
+                           n_transactions: int) -> tuple[pd.DataFrame, list[str]]:
+    """Single-value-column handling (``TableCreator.py:124-128`` /
+    ``EnvOverassignmentCalculator.py:174``): items present in EVERY
+    transaction carry no discriminative signal — pull them out of
+    mining and re-inject them into every selected rule. Returns the
+    pruned supports table (constant items removed from itemset strings)
+    and the constant item list."""
+    singles = supports[supports["k"] == 1]
+    constants = sorted(singles.loc[singles["support"] >= n_transactions, "itemset"])
+    if not constants:
+        return supports, []
+    cset = set(constants)
+
+    def prune(itemset: str) -> str:
+        return ITEM_SEP.join(x for x in itemset.split(ITEM_SEP) if x not in cset)
+
+    pruned = supports.copy()
+    pruned["itemset"] = pruned["itemset"].map(prune)
+    pruned = pruned[pruned["itemset"] != ""]
+    # identical pruned itemsets: keep the max support (the subset without
+    # the constant has the same support as with it, by definition)
+    pruned = (pruned.groupby("itemset", as_index=False)["support"].max())
+    pruned["k"] = (pruned["itemset"].str.count("\\" + ITEM_SEP) + 1).astype("int32")
+    return pruned[["itemset", "k", "support"]], constants
+
+
+def reinject_constant_items(rules: pd.DataFrame, constants: list[str]) -> pd.DataFrame:
+    """Append the extracted constant items to every rule's antecedent
+    (the reference re-adds them to every mined rule)."""
+    if not constants or not len(rules):
+        if len(rules):
+            rules = rules.assign(constant_items="")
+        return rules
+    suffix = ITEM_SEP.join(constants)
+    out = rules.copy()
+    out["constant_items"] = suffix
+    out["antecedent"] = out["antecedent"] + ITEM_SEP + suffix
+    out["n_antecedent"] = out["n_antecedent"] + len(constants)
+    return out
+
+
+def policy_constraint_summary(rules: pd.DataFrame) -> pd.DataFrame:
+    """A18 (``ConfigPolicySummarizer.py:18-40``): frequency of every
+    constraint item and of every field (the part left of '=') across a
+    policy's rules."""
+    from collections import Counter
+
+    items: Counter = Counter()
+    fields: Counter = Counter()
+    for _, r in rules.iterrows():
+        parts = r["antecedent"].split(ITEM_SEP) + r["consequent"].split(ITEM_SEP)
+        for p in parts:
+            items[p] += 1
+            fields[p.split("=", 1)[0]] += 1
+    rows = ([("item", k, v) for k, v in items.items()]
+            + [("field", k, v) for k, v in fields.items()])
+    return (pd.DataFrame(rows, columns=["kind", "name", "n"])
+            .sort_values(["kind", "n", "name"], ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
 def rules_from_supports(supports: pd.DataFrame, n_transactions: int,
                         min_support: int = 1, beta: float = 1.0,
                         max_consequent: int | None = 1) -> pd.DataFrame:

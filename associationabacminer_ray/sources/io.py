@@ -1,0 +1,121 @@
+"""Sources & sinks: pruned reads, partitioned resumable writes, flatten.
+
+- ``read_table``: column-pruned + predicate-pushdown parquet read (S1).
+- ``write_partitioned``: the resumable sink (S2/S5): one directory per
+  partition, atomic (tmp dir + rename), with a manifest of completed
+  partitions so a rerun skips finished work — "never one giant file".
+- ``flatten_struct_columns`` (M1, ``event_flattner.py:20-82``): nested
+  struct columns → flat ``parent_child`` columns (lists dropped, like
+  the reference).
+- ``pivot_list_of_struct`` (M4, ``ResourceFlattner.py:10-30``): a
+  ``list<struct{key,value}>`` column pivoted into fixed
+  ``prefix_<key>`` columns with a default fill.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+
+
+def read_table(path: str, columns: list[str] | None = None, filter_expr=None):
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns, filter=filter_expr)
+
+
+def write_partitioned(ds, out_dir: str, partition_col: str,
+                      existing_ok: bool = True) -> list[str]:
+    """Write one sub-directory per value of ``partition_col`` with a
+    manifest; partitions already in the manifest are skipped (resume)."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    done: set[str] = set()
+    if existing_ok and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = set(json.load(f))
+    written = []
+    values = ds.unique(partition_col)
+    for value in sorted(values):
+        key = str(value)
+        if key in done:
+            continue
+        part_dir = os.path.join(out_dir, f"{partition_col}={key}")
+        tmp_dir = part_dir + ".tmp"
+        sub = ds.map_batches(
+            lambda b, v=value: b[b[partition_col] == v], batch_format="pandas")
+        sub.write_parquet(tmp_dir)
+        if os.path.exists(part_dir):
+            import shutil
+
+            shutil.rmtree(part_dir)
+        os.replace(tmp_dir, part_dir)
+        done.add(key)
+        with open(manifest_path, "w") as f:
+            json.dump(sorted(done), f)
+        written.append(part_dir)
+    return written
+
+
+def write_small_result(df: pd.DataFrame, path: str) -> str:
+    """Atomic single-file sink for small results (policies, scores —
+    the Mongo upsert analog, S5)."""
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.endswith(".json"):
+        df.to_json(tmp, orient="records")
+    elif path.endswith(".csv"):
+        df.to_csv(tmp, index=False)
+    else:
+        df.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
+
+
+def flatten_struct_columns(t: pa.Table, sep: str = "_",
+                           drop_lists: bool = True) -> pa.Table:
+    """Recursively flatten struct columns to ``parent{sep}child``;
+    list/map columns dropped (the reference drops lists)."""
+    changed = True
+    while changed:
+        changed = False
+        cols, names = [], []
+        for name, col in zip(t.column_names, t.columns):
+            typ = col.type
+            if pa.types.is_struct(typ):
+                flat = col.combine_chunks().flatten()
+                for field, sub in zip(typ, flat):
+                    names.append(f"{name}{sep}{field.name}")
+                    cols.append(sub)
+                changed = True
+            elif drop_lists and (pa.types.is_list(typ) or pa.types.is_large_list(typ)
+                                 or pa.types.is_map(typ)):
+                continue
+            else:
+                names.append(name)
+                cols.append(col)
+        t = pa.table(dict(zip(names, cols)))
+    return t
+
+
+def pivot_list_of_struct(batch: pd.DataFrame, col: str, key_field: str = "key",
+                         value_field: str = "value", prefix: str | None = None,
+                         default: str = "None") -> pd.DataFrame:
+    """list<struct{key,value}> → fixed ``prefix_<key>`` columns
+    (ResourceFlattner semantics: last value wins, missing → default)."""
+    prefix = prefix if prefix is not None else col
+    keys: set[str] = set()
+    rows = []
+    for entry in batch[col]:
+        d = {}
+        for item in (entry or []):
+            d[item[key_field]] = item[value_field]
+        keys.update(d)
+        rows.append(d)
+    out = batch.drop(columns=[col]).copy()
+    for k in sorted(keys):
+        out[f"{prefix}_{k}"] = [r.get(k, default) for r in rows]
+    return out
