@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity": A.q_user_activity,
         "top_events": A.q_top_events,
         "cooccurrence": A.q_cooccurrence,
+        "sessions": A.q_sessions,
         # relational breadth (oracle-checked)
         "q1_lineitem": R.q1_lineitem,
         "orders_customer_join": R.q_orders_customer_join,
@@ -162,6 +163,27 @@ def oracle_sql() -> dict[str, str]:
                    'k' || regexp_extract(props, '[0-9]+') AS tool,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_convs
             FROM events GROUP BY 1, 2
+        """,
+        "sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            ), per AS (
+              SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(MAX(n) AS BIGINT) AS max_session_events
+            FROM per GROUP BY user_id
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

@@ -233,6 +233,34 @@ def q_sample_events(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("event_type").reset_index(drop=True)
 
 
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization (streaming-shaped per the Ray guide:
+    partition by key, sort by ts within the group, window with pandas):
+    per user, sessions delimited by >30-min inactivity gaps — session
+    count, event count, longest session. Oracle-checkable with
+    LAG + cumulative-sum SQL."""
+    GAP_US = 30 * 60 * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].astype("int64")
+        new_session = (
+            (g["user_id"] != g["user_id"].shift())
+            | ((ts_us - ts_us.shift()) > GAP_US)
+        )
+        g = g.assign(_sid=new_session.cumsum())
+        per_session = g.groupby(["user_id", "_sid"], sort=False).size()
+        out = per_session.groupby("user_id").agg(["size", "sum", "max"]).reset_index()
+        out.columns = ["user_id", "n_sessions", "n_events", "max_session_events"]
+        for c in ("n_sessions", "n_events", "max_session_events"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucketed_group_agg(ds, ["user_id"], agg, num_buckets=16)
+
+
 def q_top_events(sf_dir: str) -> pd.DataFrame:
     """A5/A6: top-5 event types by count (deterministic tie-break)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])

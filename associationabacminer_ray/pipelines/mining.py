@@ -22,7 +22,12 @@ import pandas as pd
 
 from ..functions.windows import WindowSpec, generate_windows, read_window
 from .itemsets import exact_itemset_supports, sketched_itemset_supports, transactions
-from .rules import greedy_cover, rules_from_supports
+from .rules import (
+    extract_constant_items,
+    greedy_cover,
+    reinject_constant_items,
+    rules_from_supports,
+)
 
 
 def mine_window(transcripts_path: str, spec: WindowSpec, mode: str = "exact",
@@ -53,8 +58,12 @@ def mine_window(transcripts_path: str, spec: WindowSpec, mode: str = "exact",
             supports = exact_itemset_supports(
                 ds, max_k=max_k, num_buckets=num_buckets,
                 min_support=min_support).to_pandas()
+        # single-value-column semantics (TableCreator.py:124-128): items in
+        # every transaction leave mining, then rejoin every selected rule
+        supports, constants = extract_constant_items(supports, n_tx)
         rules = rules_from_supports(supports, n_transactions=n_tx,
                                     min_support=min_support)
+        rules = reinject_constant_items(rules, constants)
     return {
         "window_id": spec.window_id,
         "mode": "greedy" if greedy else mode,
