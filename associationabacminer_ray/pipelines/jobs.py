@@ -1,0 +1,115 @@
+"""Config-grid job generation + the mine→score job loop (S6/§3).
+
+The reference enumerates a config grid into a Mongo job queue
+(``src/job/job_generator.py:60-167``, config hash :32) and workers
+atomically claim jobs (``src/job/job_executor.py:62-91``). Here:
+
+- ``generate_jobs``: the cartesian config grid × sliding windows, each
+  job carrying a stable ``config_hash`` (content hash of the mining
+  params, so score averaging groups runs of the same config — A13).
+- ``run_jobs``: the driver loop — windows/configs are the cluster-level
+  parallel axis; each job is resumable via skip-if-result-exists
+  (``state.checkpoint`` idiom). Produces a scores table fed to
+  ``evaluate.aggregate_scores``.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from dataclasses import asdict, dataclass, field
+from datetime import datetime
+
+import pandas as pd
+
+from ..functions.windows import WindowSpec, generate_windows, read_window
+from ..state.checkpoint import config_hash
+from .evaluate import score_policy
+from .itemsets import exact_itemset_supports, transactions
+from .rules import reinject_constant_items, rules_from_supports, extract_constant_items
+
+
+@dataclass(frozen=True)
+class MiningConfig:
+    max_k: int = 2
+    min_support: int = 2
+    metric: str = "cscore"
+    beta: float = 1.0
+    obs_days: int = 14
+    opr_days: int = 3
+    step_days: int = 7
+    num_buckets: int = 16
+    top_rules: int = 20
+
+    @property
+    def hash(self) -> str:
+        return config_hash(asdict(self))
+
+
+@dataclass
+class Job:
+    config: MiningConfig
+    window: WindowSpec
+
+    @property
+    def job_id(self) -> str:
+        return f"{self.config.hash}-{self.window.window_id}"
+
+
+def generate_jobs(start: datetime, end: datetime,
+                  grid: dict[str, list] | None = None) -> list[Job]:
+    """Cartesian grid of config overrides × sliding windows."""
+    grid = grid or {}
+    keys = sorted(grid)
+    configs = []
+    for combo in itertools.product(*(grid[k] for k in keys)) if keys else [()]:
+        configs.append(MiningConfig(**dict(zip(keys, combo))))
+    jobs = []
+    for cfg in configs:
+        for w in generate_windows(start, end, cfg.obs_days, cfg.opr_days,
+                                  cfg.step_days):
+            jobs.append(Job(cfg, w))
+    return jobs
+
+
+def run_one_job(transcripts_path, job: Job) -> dict:
+    """mine_job + score_policy (job_executor.run_one_job analog)."""
+    cfg = job.config
+    obs = read_window(transcripts_path, job.window, "obs",
+                      columns=["conv_id", "role", "tool"])
+    obs_tx = transactions(obs, num_buckets=cfg.num_buckets).to_pandas()
+    supports = exact_itemset_supports(
+        obs, max_k=cfg.max_k, num_buckets=cfg.num_buckets,
+        min_support=cfg.min_support).to_pandas()
+    supports, constants = extract_constant_items(supports, len(obs_tx))
+    rules = rules_from_supports(supports, n_transactions=len(obs_tx),
+                                min_support=cfg.min_support, beta=cfg.beta)
+    rules = reinject_constant_items(rules.head(cfg.top_rules), constants)
+    opr = read_window(transcripts_path, job.window, "opr",
+                      columns=["conv_id", "role", "tool"])
+    opr_tx = transactions(opr, num_buckets=cfg.num_buckets).to_pandas()
+    scores = score_policy(opr_tx, rules)
+    scores.update({"job_id": job.job_id, "config_hash": cfg.hash,
+                   "window_id": job.window.window_id})
+    return scores
+
+
+def run_jobs(transcripts_path, jobs: list[Job],
+             results_dir: str | None = None) -> pd.DataFrame:
+    """Driver loop with idempotent skip: a job whose score file exists is
+    not re-run (the reference's claim/skip semantics, job_executor
+    :101-106)."""
+    rows = []
+    for job in jobs:
+        out_path = (os.path.join(results_dir, f"{job.job_id}.parquet")
+                    if results_dir else None)
+        if out_path and os.path.exists(out_path):
+            rows.append(pd.read_parquet(out_path).iloc[0].to_dict())
+            continue
+        scores = run_one_job(transcripts_path, job)
+        if out_path:
+            from ..sources.io import write_small_result
+
+            write_small_result(pd.DataFrame([scores]), out_path)
+        rows.append(scores)
+    return pd.DataFrame(rows)

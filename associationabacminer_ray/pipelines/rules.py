@@ -160,6 +160,100 @@ def _matches_rule(items_joined: pd.Series, rule_items: list[str]) -> np.ndarray:
     return mask
 
 
+def greedy_cover_ray(transactions_ds, n_transactions: int | None = None,
+                     metric: str = "cscore", max_rounds: int = 20,
+                     coverage_target: float = 0.95, min_support: int = 2,
+                     max_k: int = 2, beta: float = 1.0,
+                     bloom_bits: int = 1 << 24,
+                     merge_buckets: int = 32) -> pd.DataFrame:
+    """Distributed greedy cover over a (conv_id, items) transactions
+    Dataset (SURVEY.md §7.4 "greedy set-cover is inherently sequential").
+
+    Rounds are driver iterations; within a round everything is
+    data-parallel: the covered-conversation Bloom filter is broadcast
+    (``ray.put``) and applied inside ``map_batches`` (anti-join J2 — no
+    per-round shuffle of the corpus), supports are partial-counted per
+    batch and merged through the small bucketed sum. Bloom false
+    positives can only over-remove (monotone shrinkage, like the
+    reference's delete_by_query). The transactions Dataset is
+    materialized once so each round re-reads object-store blocks, not
+    parquet.
+    """
+    import ray
+
+    from collections import Counter
+
+    from ..state.broadcast import bloom_filter_stage
+    from .itemsets import sum_by_key_bucketed
+
+    tx = transactions_ds.materialize()
+    if n_transactions is None:
+        n_transactions = tx.count()
+    covered = BloomFilter(num_bits=bloom_bits)
+    have_covered = False
+    selected: list[dict] = []
+
+    def batch_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        counter: Counter = Counter()
+        mult = batch["items"].value_counts()
+        for items_str, m in mult.items():
+            items = tuple(items_str.split(","))
+            for k in range(1, min(max_k, len(items)) + 1):
+                for combo in itertools.combinations(items, k):
+                    counter[ITEM_SEP.join(combo)] += int(m)
+        return pd.DataFrame({"itemset": list(counter.keys()),
+                             "count": np.fromiter(counter.values(), dtype=np.int64,
+                                                  count=len(counter))})
+
+    for rnd in range(max_rounds):
+        cur = tx
+        if have_covered:
+            cur = cur.map_batches(
+                bloom_filter_stage(ray.put(covered), "conv_id"),
+                batch_format="pandas")
+        uncovered = cur.count()
+        if uncovered == 0 or 1 - uncovered / n_transactions >= coverage_target:
+            break
+        partials = cur.map_batches(batch_partials, batch_format="pandas")
+        supports = sum_by_key_bucketed(partials, "itemset", "count", "support",
+                                       num_buckets=merge_buckets).to_pandas()
+        supports["k"] = (supports["itemset"].str.count("\\" + ITEM_SEP) + 1).astype("int32")
+        rules = rules_from_supports(supports[supports["support"] >= min_support],
+                                    uncovered, min_support, beta)
+        if not len(rules):
+            break
+        top = best_rule(rules, metric)
+        rule_items = sorted(top["antecedent"].split(ITEM_SEP)
+                            + top["consequent"].split(ITEM_SEP))
+
+        def matched_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+            m = _matches_rule(batch["items"].reset_index(drop=True), rule_items)
+            return pd.DataFrame(
+                {"h": hash_strings(batch["conv_id"].reset_index(drop=True)[m])})
+
+        hashes = cur.map_batches(matched_hashes, batch_format="pandas")
+        newly = 0
+        for hb in hashes.iter_batches(batch_format="pandas"):
+            arr = hb["h"].to_numpy().astype(np.uint64)
+            if len(arr):
+                covered.add_hashed(arr)
+                newly += len(arr)
+        if newly:
+            have_covered = True
+        selected.append({
+            "round": rnd,
+            "antecedent": top["antecedent"],
+            "consequent": top["consequent"],
+            metric: float(top[metric]),
+            "support_ab": int(top["support_ab"]),
+            "covered_this_round": int(newly),
+            "uncovered_before": int(uncovered),
+        })
+        if newly == 0:
+            break
+    return pd.DataFrame(selected)
+
+
 def greedy_cover(transactions_df: pd.DataFrame, n_transactions: int | None = None,
                  metric: str = "cscore", max_rounds: int = 20,
                  coverage_target: float = 0.95, min_support: int = 2,
