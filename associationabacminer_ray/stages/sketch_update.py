@@ -123,6 +123,66 @@ class SketchUpdater:
         return pd.DataFrame(rows)
 
 
+class CategoricalItemSketchUpdater:
+    """Fast-path updater for low-cardinality categorical item streams:
+    CMS + space-saving over ``item = role '=' tool`` and HLL over
+    ``conv_id``, computed from Arrow DICTIONARY codes — only the few
+    hundred vocab strings are ever hashed, counting is one ``bincount``
+    over int codes (no per-row string work at all). Emits the same
+    (name, salt, blob, rows) partial rows as ``SketchUpdater``.
+    """
+
+    def __init__(self, cms_width: int = 1 << 15, cms_depth: int = 4,
+                 topk_capacity: int = 4096, hll_p: int = 14, num_salts: int = 1,
+                 names: tuple[str, str, str] = ("item_cms", "item_topk", "conv_hll")):
+        self.cms_params = dict(width=cms_width, depth=cms_depth)
+        self.topk_capacity = topk_capacity
+        self.hll_p = hll_p
+        self.num_salts = max(1, num_salts)
+        self.names = names
+        self._seq = 0
+
+    @staticmethod
+    def _codes(col) -> tuple[np.ndarray, np.ndarray]:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if not pa.types.is_dictionary(arr.type):
+            import pyarrow.compute as pc
+
+            arr = pc.dictionary_encode(arr)
+        return (arr.indices.to_numpy(zero_copy_only=False),
+                arr.dictionary.to_numpy(zero_copy_only=False).astype(object))
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        from ..sketches import CountMinSketch, HyperLogLog, SpaceSaving
+
+        salt = self._seq % self.num_salts
+        self._seq += 1
+        r_codes, r_vocab = self._codes(batch.column("role"))
+        t_codes, t_vocab = self._codes(batch.column("tool"))
+        T = len(t_vocab)
+        grid = r_codes.astype(np.int64) * T + t_codes
+        counts = np.bincount(grid, minlength=len(r_vocab) * T)
+        present = np.flatnonzero(counts)
+        items = np.array([f"{r_vocab[c // T]}={t_vocab[c % T]}" for c in present],
+                         dtype=object)
+        item_counts = counts[present].astype(np.int64)
+        cms = CountMinSketch(**self.cms_params)
+        cms.update_hashed(hash_any(items), item_counts)
+        topk = SpaceSaving(capacity=self.topk_capacity)
+        topk.update(items.tolist(), item_counts)
+        hll = HyperLogLog(p=self.hll_p)
+        _, conv_vocab = self._codes(batch.column("conv_id"))
+        hll.update_hashed(hash_any(conv_vocab))
+        return pd.DataFrame(
+            {
+                "name": list(self.names),
+                "salt": np.int32(salt),
+                "blob": [cms.to_bytes(), topk.to_bytes(), hll.to_bytes()],
+                "rows": batch.num_rows,
+            }
+        )
+
+
 def merge_sketch_partials(partials_ds, two_phase: bool | None = None) -> dict[str, Sketch]:
     """Merge a Dataset of (name, salt, blob) partials into one sketch per
     name. Two-phase (salted) when the partials carry >1 salt value."""

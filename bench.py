@@ -48,8 +48,6 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import ray.data as rd
 
     from associationabacminer_ray.pipelines import analytics as A
@@ -59,8 +57,7 @@ def run_bench() -> dict:
         sketched_itemset_supports,
     )
     from associationabacminer_ray.stages.sketch_update import (
-        SketchSpec,
-        SketchUpdater,
+        CategoricalItemSketchUpdater,
         merge_sketch_partials,
     )
 
@@ -69,27 +66,16 @@ def run_bench() -> dict:
     warm = rd.read_parquet(paths, columns=["conv_id", "role", "tool"])
     n_turns = warm.count()
 
-    def add_item(t: pa.Table) -> pa.Table:
-        item = pc.binary_join_element_wise(t["role"], t["tool"], "=")
-        return pa.table({"conv_id": t["conv_id"], "item": item})
-
     timings: dict[str, float] = {}
     headline_only = bool(os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"))
 
     # ---- flat actor-pool sketch-update stage ------------------------------
     t0 = time.perf_counter()
-    specs = [
-        SketchSpec("item_cms", "cms", "item", width=1 << 15, depth=4),
-        SketchSpec("item_topk", "topk", "item", capacity=4096),
-        SketchSpec("conv_hll", "hll", "conv_id", p=14),
-    ]
     if not headline_only:
-        partials = (
-            rd.read_parquet(paths, columns=["conv_id", "role", "tool"])
-            .map_batches(add_item, batch_format="pyarrow", zero_copy_batch=True)
-            .map_batches(SketchUpdater(specs, num_salts=8), batch_format="pyarrow",
-                         batch_size=262144, concurrency=max(2, num_cpus // 2))
-        )
+        partials = rd.read_parquet(paths, columns=["conv_id", "role", "tool"]) \
+            .map_batches(CategoricalItemSketchUpdater(num_salts=8),
+                         batch_format="pyarrow", batch_size=262144,
+                         concurrency=max(2, num_cpus // 2))
         merged = merge_sketch_partials(partials, two_phase=True)
         assert merged["conv_hll"].estimate() > 0
         timings["sketch_update"] = time.perf_counter() - t0
