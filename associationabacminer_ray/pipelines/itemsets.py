@@ -90,9 +90,18 @@ def transactions(ds: Dataset, conv_col: str = "conv_id", num_buckets: int = 64) 
 
 def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 2,
                            num_buckets: int = 64, min_support: int = 1,
-                           max_transaction_items: int | None = 64) -> Dataset:
+                           max_transaction_items: int | None = 64,
+                           min_support_frac: float | None = None) -> Dataset:
     """(itemset, k, support) with support = #conversations containing the
-    itemset. Exact analog of FP-growth counting at min_support."""
+    itemset. Exact analog of FP-growth counting at min_support.
+    ``min_support_frac`` mirrors the reference's relative ``itemset_freq``
+    knob (src/job/job_generator.py:114-136): the absolute threshold
+    becomes ``ceil(frac × n_transactions)``."""
+    if min_support_frac is not None:
+        n_tx = (ds.map_batches(lambda b: b[[conv_col]].drop_duplicates(),
+                               batch_format="pandas")
+                .unique(conv_col))
+        min_support = max(min_support, int(np.ceil(min_support_frac * len(n_tx))))
     pairs = item_pairs(ds, conv_col=conv_col, num_buckets=num_buckets)
     partials = pairs.groupby("bucket").map_groups(
         lambda g: itemset_partials_in_bucket(

@@ -1,0 +1,87 @@
+"""End-to-end mine_window (exact / sketch / greedy), k=3 golden rules
+(FIXTURES §F4), relative min-support."""
+
+import itertools
+from collections import Counter
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from associationabacminer_ray.functions.windows import WindowSpec
+from associationabacminer_ray.pipelines.itemsets import exact_itemset_supports
+from associationabacminer_ray.pipelines.mining import mine_window
+from associationabacminer_ray.sources.transcripts import (
+    synth_transcripts,
+    write_synth_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mcorpus")
+    return write_synth_transcripts(str(d), n_convs=1200, shards=4)
+
+
+SPEC = WindowSpec(datetime(2024, 1, 1), datetime(2024, 1, 20),
+                  datetime(2024, 1, 20), datetime(2024, 1, 25))
+
+
+class TestMineWindow:
+    def test_exact_mode(self, ray_session, corpus):
+        res = mine_window(corpus, SPEC, mode="exact", min_support=2)
+        assert res["n_transactions"] > 0 and res["n_rules"] > 0
+        rules = res["rules"]
+        assert {"antecedent", "consequent", "confidence", "cscore",
+                "constant_items"} <= set(rules.columns)
+        assert res["mode"] == "exact"
+        assert (rules["confidence"] <= 1.0).all()
+
+    def test_sketch_mode_head_agrees_with_exact(self, ray_session, corpus):
+        exact = mine_window(corpus, SPEC, mode="exact", min_support=2)
+        sk = mine_window(corpus, SPEC, mode="sketch", min_support=2)
+        assert sk["n_transactions"] == exact["n_transactions"]
+        e = exact["rules"].head(5)[["antecedent", "consequent"]]
+        s = sk["rules"].head(5)[["antecedent", "consequent"]]
+        pd.testing.assert_frame_equal(e.reset_index(drop=True),
+                                      s.reset_index(drop=True))
+
+    def test_greedy_mode(self, ray_session, corpus):
+        res = mine_window(corpus, SPEC, greedy=True, max_rounds=3, min_support=2)
+        assert res["mode"] == "greedy"
+        assert 1 <= res["n_rules"] <= 3
+        assert res["rules"]["covered_this_round"].iloc[0] > 0
+
+
+class TestGoldenRulesK3:
+    def test_supports_k3_match_oracle(self, ray_session):
+        import ray.data as rd
+
+        tbl = synth_transcripts(800, seed=21)
+        got = exact_itemset_supports(rd.from_arrow(tbl), max_k=3, num_buckets=8,
+                                     max_transaction_items=None).to_pandas()
+        df = tbl.to_pandas()
+        df["item"] = df["role"] + "=" + df["tool"]
+        tx = df.drop_duplicates(["conv_id", "item"]).groupby("conv_id")["item"].agg(
+            lambda s: tuple(sorted(s)))
+        want: Counter = Counter()
+        for items in tx:
+            for k in range(1, min(3, len(items)) + 1):
+                for combo in itertools.combinations(items, k):
+                    want["|".join(combo)] += 1
+        got_map = dict(zip(got["itemset"], got["support"]))
+        assert got_map == dict(want)
+        assert (got["k"] <= 3).all() and (got["k"] == 3).any()
+
+    def test_min_support_frac(self, ray_session):
+        import ray.data as rd
+
+        tbl = synth_transcripts(500, seed=23)
+        n_tx = tbl.to_pandas()["conv_id"].nunique()
+        out = exact_itemset_supports(rd.from_arrow(tbl), max_k=1, num_buckets=8,
+                                     min_support_frac=0.1).to_pandas()
+        assert (out["support"] >= np.ceil(0.1 * n_tx)).all()
+        full = exact_itemset_supports(rd.from_arrow(tbl), max_k=1,
+                                      num_buckets=8).to_pandas()
+        assert len(out) < len(full)
