@@ -77,10 +77,11 @@ def test_bloom_merge_equals_single_pass(values, cuts):
                 min_size=1, max_size=400),
        st.lists(st.integers(0, 400), max_size=3))
 def test_quantile_sketches_merge_within_bound(values, cuts):
-    data = np.asarray(values)
+    data = np.asarray(values, dtype=np.float64)
+    float_parts = np.split(data, sorted(set(min(c, len(data)) for c in cuts)))
     for cls, kw in ((TDigest, {"delta": 100}), (KLL, {"k": 64})):
         merged = cls(**kw)
-        for part in _split(values, cuts):
+        for part in float_parts:
             piece = cls(**kw)
             if len(part):
                 piece.update(part.astype(float))
