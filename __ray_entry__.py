@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": T.q_langid,
         "knn_ivf": N.q_knn_ivf,
         "sample_events": A.q_sample_events,
+        "ngram_dups": T.q_ngram_dups,
+        "chunks": T.q_chunks,
+        "pii_redacted": T.q_pii_redacted,
+        "embedding_dups": N.q_embedding_dups,
     }
 
 

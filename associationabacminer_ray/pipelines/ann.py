@@ -166,3 +166,79 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, n_clusters: int = 16,
 
 def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return knn_ivf(sf_dir)
+
+
+# --------------------------------------------- embedding-cosine near-dup
+class _HyperplanePartial:
+    """LSH bucketing by random-hyperplane sign bits (seeded, broadcast):
+    emits (bucket, vec_id, embedding) rows; vectors sharing a bucket are
+    near-dup candidates."""
+
+    def __init__(self, planes_ref):
+        self.planes = ray.get(planes_ref)  # (n_bits, dim), normalized
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(_stack(batch["embedding"]))
+        bits = (mat @ self.planes.T) > 0  # (n, n_bits)
+        bucket = np.packbits(bits, axis=1, bitorder="little")[:, 0].astype(np.int64)
+        return pd.DataFrame({"bucket": bucket,
+                             "vec_id": batch["vec_id"].to_numpy(),
+                             "embedding": batch["embedding"]})
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.9, n_bits: int = 8,
+                        seed: int = 13) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets →
+    within-bucket exact cosine verification (vectorized per bucket).
+    Only same-bucket pairs are compared — at τ=0.9 the collision
+    probability per bit is 1-θ/π ≈ 0.86, so 8 bits keeps ~0.3 recall
+    per table; for higher recall run multiple seeds and union (the
+    multi-table LSH pattern), which `q_embedding_dups` does."""
+    emb = _embeddings(sf_dir)
+    sample = emb.limit(4).to_pandas()
+    dim = len(sample["embedding"].iloc[0])
+    rng = np.random.default_rng(seed)
+    planes = _normalize(rng.standard_normal((n_bits, dim)))
+    planes_ref = ray.put(planes)
+    buckets = emb.map_batches(_HyperplanePartial, batch_format="pandas",
+                              batch_size=4096, concurrency=2,
+                              fn_constructor_args=(planes_ref,))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for _, grp in g.groupby("bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["vec_id"].to_numpy()
+            mat = _normalize(_stack(grp["embedding"]))
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= threshold
+            for i, j, s in zip(iu[hit], ju[hit], sims[iu, ju][hit]):
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                out_rows.append((a, b, float(s)))
+        if not out_rows:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=float)})
+        return pd.DataFrame(out_rows, columns=["id_a", "id_b", "cosine"])
+
+    from .analytics import bucketed_group_agg
+
+    out = bucketed_group_agg(buckets, ["bucket"], verify, num_buckets=8).to_pandas()
+    if out.empty or "id_a" not in out.columns:  # no bucket produced any pair
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "cosine": pd.Series(dtype=float)})
+    return (out.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def q_embedding_dups(sf_dir: str, threshold: float = 0.9,
+                     n_tables: int = 4) -> pd.DataFrame:
+    """Multi-table hyperplane-LSH near-dup pairs (union over seeds)."""
+    frames = [embedding_near_dups(sf_dir, threshold=threshold, seed=13 + t)
+              for t in range(n_tables)]
+    out = pd.concat(frames, ignore_index=True)
+    return (out.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))

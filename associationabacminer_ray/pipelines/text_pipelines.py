@@ -14,8 +14,13 @@ import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from ..stages.dedup import MinHashLSH, SimHash, shingle_set_jaccard
-from ..stages.text import Fingerprint, LangId, TokenStats
+from ..stages.dedup import (
+    MinHashLSH,
+    SimHash,
+    shingle_set_jaccard,
+    word_ngram_jaccard,
+)
+from ..stages.text import Chunker, Fingerprint, LangId, PIIRedactor, TokenStats
 
 
 def _docs(sf_dir: str, columns=None):
@@ -145,6 +150,57 @@ def q_minhash_dups(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     out = cand.assign(jaccard=jac)
     out = out[out["jaccard"] >= threshold].reset_index(drop=True)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_ngram_dups(sf_dir: str, threshold: float = 0.4, n: int = 2) -> pd.DataFrame:
+    """Word n-gram Jaccard near-dups: LSH candidate pairs verified with
+    the word-bigram set metric (a second, stricter verifier over the
+    same candidate generation as q_minhash_dups)."""
+    cand = minhash_candidate_pairs(sf_dir)
+    if not len(cand):
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "ngram_jaccard": pd.Series(dtype=float)})
+    texts = _docs(sf_dir, ["doc_id", "text"]).to_pandas().set_index("doc_id")["text"]
+    jac = np.array([word_ngram_jaccard(texts[a], texts[b], n=n)
+                    for a, b in zip(cand["id_a"], cand["id_b"])])
+    out = cand.assign(ngram_jaccard=jac)
+    return (out[out["ngram_jaccard"] >= threshold]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def q_chunks(sf_dir: str) -> pd.DataFrame:
+    """Token-window chunking with overlap (flat_map-shaped: 1 doc → N
+    chunk rows) — summary stats so the result stays small."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    chunks = ds.map_batches(Chunker, batch_format="pandas", concurrency=2,
+                            fn_constructor_kwargs={"chunk_tokens": 32,
+                                                   "overlap": 4})
+    from ray.data.aggregate import Count, Max, Sum
+
+    agg = chunks.groupby("doc_id").aggregate(
+        Count(alias_name="n_chunks"),
+        Sum("n_chunk_tokens", alias_name="n_tokens_total"),
+        Max("chunk_idx", alias_name="last_chunk_idx"),
+    ).to_pandas()
+    for c in ("n_chunks", "n_tokens_total", "last_chunk_idx"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pii_redacted(sf_dir: str) -> pd.DataFrame:
+    """PII scrubbing pass: per-source counts of redacted spans."""
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    red = ds.map_batches(PIIRedactor, batch_format="pandas", concurrency=2)
+    from ray.data.aggregate import Count, Sum
+
+    agg = red.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_pii_redacted", alias_name="n_redacted"),
+    ).to_pandas()
+    for c in ("n_docs", "n_redacted"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("source").reset_index(drop=True)
 
 
 def q_simhash_bands(sf_dir: str) -> pd.DataFrame:

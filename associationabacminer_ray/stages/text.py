@@ -100,6 +100,75 @@ class LangId:
         return out
 
 
+class Chunker:
+    """Split long documents into token-window chunks with overlap — the
+    standard LLM-training-data chunking op. flat_map-shaped: one input
+    row → N chunk rows (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+    Whitespace tokens; chunk boundaries deterministic."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 chunk_tokens: int = 64, overlap: int = 8):
+        if overlap >= chunk_tokens:
+            raise ValueError("overlap must be < chunk_tokens")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.chunk_tokens = chunk_tokens
+        self.overlap = overlap
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        step = self.chunk_tokens - self.overlap
+        ids, idxs, texts, lens = [], [], [], []
+        for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
+            toks = (text or "").split()
+            if not toks:
+                ids.append(doc_id); idxs.append(0); texts.append(""); lens.append(0)
+                continue
+            start, ci = 0, 0
+            while start < len(toks):
+                chunk = toks[start:start + self.chunk_tokens]
+                ids.append(doc_id)
+                idxs.append(ci)
+                texts.append(" ".join(chunk))
+                lens.append(len(chunk))
+                if start + self.chunk_tokens >= len(toks):
+                    break
+                start += step
+                ci += 1
+        return pd.DataFrame({self.id_col: ids,
+                             "chunk_idx": np.array(idxs, dtype=np.int32),
+                             "chunk_text": texts,
+                             "n_chunk_tokens": np.array(lens, dtype=np.int64)})
+
+
+class PIIRedactor:
+    """Regex-based PII scrubbing (emails, phone-ish numbers, IPv4, long
+    digit runs) — patterns compiled once per actor; counts what it
+    redacted so downstream quality filters can use the signal."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        # ipv4 before phone: a dotted quad would otherwise match the
+        # looser phone pattern first
+        self.patterns = [
+            ("email", re.compile(r"[\w.+-]+@[\w-]+\.[\w.-]+")),
+            ("ipv4", re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")),
+            ("phone", re.compile(r"\+?\d[\d\s().-]{7,}\d")),
+            ("digits", re.compile(r"\b\d{9,}\b")),
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        text = out[self.text_col].fillna("")
+        total = np.zeros(len(out), dtype=np.int64)
+        for name, pat in self.patterns:
+            counts = text.str.count(pat).astype(np.int64)
+            text = text.str.replace(pat, f"[{name.upper()}]", regex=True)
+            total += counts.to_numpy()
+        out[self.text_col] = text
+        out["n_pii_redacted"] = total
+        return out
+
+
 class Fingerprint:
     """md5 hex digest + 64-bit rolling token-hash fingerprint."""
 
