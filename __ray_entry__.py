@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunks": T.q_chunks,
         "pii_redacted": T.q_pii_redacted,
         "embedding_dups": N.q_embedding_dups,
+        "crosscorpus_dedup": T.q_crosscorpus_dedup,
     }
 
 

@@ -203,6 +203,45 @@ def q_pii_redacted(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("source").reset_index(drop=True)
 
 
+def q_crosscorpus_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-corpus dedup: a Bloom filter of a reference corpus's text
+    hashes (here: docs with even doc_id, standing in for "the previous
+    training set") is broadcast once; the candidate stream is filtered
+    against it inside map_batches — no join, no shuffle. Reports kept vs
+    dropped per source. Bloom FPs can only over-drop (safe direction for
+    training-data dedup)."""
+    import ray
+
+    from ..functions.hashing import hash_strings
+    from ..sketches import BloomFilter
+
+    ref = _docs(sf_dir, ["doc_id", "text"]).filter(
+        lambda r: r["doc_id"] % 2 == 0).to_pandas()
+    bloom = BloomFilter.for_capacity(max(len(ref), 1), fpr=0.001)
+    bloom.add_hashed(hash_strings(ref["text"]))
+    bloom_ref = ray.put(bloom)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        seen = ray.get(bloom_ref).contains_hashed(hash_strings(batch["text"]))
+        return pd.DataFrame({"source": batch["source"],
+                             "kept": (~seen).astype(np.int64),
+                             "dropped": seen.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(tag, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("kept", alias_name="n_kept"),
+                   Sum("dropped", alias_name="n_dropped"))
+        .to_pandas()
+    )
+    for c in ("n_kept", "n_dropped"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("source").reset_index(drop=True)
+
+
 def q_simhash_bands(sf_dir: str) -> pd.DataFrame:
     """SimHash signatures + band buckets (near-dup = shared band, then
     Hamming verify)."""

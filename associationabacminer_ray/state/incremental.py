@@ -21,14 +21,13 @@ with error bounds carried.
 
 from __future__ import annotations
 
-import os
 from datetime import datetime, timedelta
 
 import numpy as np
 import pandas as pd
 
 from ..functions.hashing import hash_strings
-from ..sketches import CountMinSketch, HyperLogLog, Sketch, SpaceSaving
+from ..sketches import Sketch
 from .checkpoint import completed_partitions, config_hash, write_partition
 
 
