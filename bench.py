@@ -101,6 +101,20 @@ def run_bench() -> dict:
                                      min_support=2).count()
         timings["itemset_supports_exact"] = time.perf_counter() - t0
 
+    # ---- text-pipeline throughput over the corpus text column -------------
+    if not headline_only:
+        from associationabacminer_ray.stages.text import TokenStats
+
+        t0 = time.perf_counter()
+        text_ds = rd.read_parquet(paths[:8], columns=["conv_id", "text"])
+        n_docs = text_ds.map_batches(
+            TokenStats, batch_format="pandas", batch_size=8192,
+            concurrency=max(2, num_cpus // 2),
+        ).count()
+        dt = time.perf_counter() - t0
+        timings["text_stats_stage"] = dt
+        timings["text_docs_per_sec"] = round(n_docs / dt, 1)
+
     # ---- oracle-checked query sample on the sf tables ---------------------
     def consume(x):
         return x.to_pandas() if isinstance(x, rd.Dataset) else x

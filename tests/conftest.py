@@ -4,6 +4,15 @@ import pytest
 
 os.environ.setdefault("RAY_DEDUP_LOGS", "0")
 
+try:  # deterministic hypothesis: a fresh falsifying example must not
+    # flake a CI/driver round — failures should reproduce exactly
+    from hypothesis import settings
+
+    settings.register_profile("ci", derandomize=True, deadline=None)
+    settings.load_profile("ci")
+except ImportError:  # pragma: no cover
+    pass
+
 
 @pytest.fixture(scope="session")
 def ray_session():
