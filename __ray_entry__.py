@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": S.q_value_quantiles,
         "greedy_policy": S.q_greedy_policy,
         "windowed_mining": S.q_windowed_mining,
+        "windowed_sketch_sweep": S.q_windowed_sketch_sweep,
         "policy_scores": S.q_policy_scores,
         # near-dup / text heuristics (rows-only, verified in pytest)
         "minhash_dups": T.q_minhash_dups,

@@ -103,6 +103,34 @@ def q_windowed_mining(sf_dir: str) -> pd.DataFrame:
     ])
 
 
+def q_windowed_sketch_sweep(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window sketch sweep over the incremental daily store:
+    each day's partials are built ONCE, every window is a merge of its
+    days' blobs (the delta architecture — no per-window recompute)."""
+    from datetime import datetime, timedelta
+
+    from ..state.incremental import DailySketchStore
+
+    paths = _synth_window_corpus(sf_dir)
+    n = 4000 if "0.01" in sf_dir else (20000 if "0.1" in sf_dir else 1000)
+    store = DailySketchStore(f"/tmp/graft_windows/daily_{n}")
+    start = datetime(2024, 1, 2)
+    store.ensure_days(paths, start, start + timedelta(days=10))
+    rows = []
+    for off in range(0, 6, 2):  # 3 overlapping 5-day windows, step 2
+        lo = start + timedelta(days=off)
+        hi = lo + timedelta(days=5)
+        m = store.window_sketches(lo, hi)
+        top = m["topk"].top(3)
+        rows.append({
+            "window_start": lo.strftime("%Y-%m-%d"),
+            "est_transactions": int(round(m["hll"].estimate())),
+            "top_itemset": top[0][0],
+            "top_support_est": int(top[0][1]),
+        })
+    return pd.DataFrame(rows)
+
+
 def q_policy_scores(sf_dir: str) -> pd.DataFrame:
     """Mine on an obs window, score on the opr window (A12 confusion
     matrix with degenerate overrides) — the mine→score job loop."""

@@ -267,6 +267,26 @@ class TestQuantileSketches:
             assert back.quantile(q) == pytest.approx(sk.quantile(q), abs=1e-12)
 
 
+# ---------------------------------------------------------------- HLL set algebra
+def test_hll_intersection_estimate():
+    from associationabacminer_ray.sketches.hll import (
+        hll_intersection_estimate,
+        hll_union_estimate,
+    )
+
+    a = HyperLogLog(p=14).update_hashed(hash_ints(np.arange(0, 60_000)))
+    b = HyperLogLog(p=14).update_hashed(hash_ints(np.arange(40_000, 100_000)))
+    a_bytes = a.to_bytes()
+    union = hll_union_estimate(a, b)
+    inter = hll_intersection_estimate(a, b)
+    assert a.to_bytes() == a_bytes  # operands not mutated
+    assert abs(union - 100_000) <= 4 * a.relative_error * 100_000
+    assert abs(inter - 20_000) <= 3 * 4 * a.relative_error * 100_000
+    # disjoint sets → ~0 (clamped)
+    c = HyperLogLog(p=14).update_hashed(hash_ints(np.arange(200_000, 210_000)))
+    assert hll_intersection_estimate(a, c) <= 4 * a.relative_error * 70_000 + 100
+
+
 # ---------------------------------------------------------------- registry
 def test_registry_dispatch_and_type_guard():
     cms = CountMinSketch(width=64, depth=2)
