@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": R.q1_lineitem,
         "orders_customer_join": R.q_orders_customer_join,
         "part_brand_stats": R.q_part_brand_stats,
+        "top_orders": R.q_top_orders,
+        "lineitem_orders_join": R.q_lineitem_orders_join,
         # text / dedup over documents (oracle-checked)
         "dedup_docs": T.q_dedup_docs,
         "doc_fingerprint": T.q_doc_fingerprint,
@@ -218,6 +220,21 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_retail_cents
             FROM part WHERE p_size > 25
             GROUP BY p_brand
+        """,
+        "top_orders": """
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT) AS total_cents
+            FROM orders
+            ORDER BY total_cents DESC, o_orderkey LIMIT 10
+        """,
+        "lineitem_orders_join": """
+            SELECT o.o_orderpriority AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(FLOOR(
+                        l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5
+                   ) AS BIGINT)) AS BIGINT) AS sum_revenue_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "dedup_docs": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,

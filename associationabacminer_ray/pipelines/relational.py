@@ -109,6 +109,102 @@ def q_orders_customer_join(sf_dir: str):
     )
 
 
+def q_top_orders(sf_dir: str):
+    """Global sort + limit (O2/A5 Ray-native): top-10 orders by total
+    price, deterministic tie-break on orderkey."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "total_cents": _cents(t["o_totalprice"])})
+
+    top = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .sort(["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return top.map_batches(
+        lambda b: b.assign(total_cents=b["total_cents"].astype(np.int64),
+                           o_orderkey=b["o_orderkey"].astype(np.int64)),
+        batch_format="pandas",
+    )
+
+
+def q_lineitem_orders_join(sf_dir: str, num_buckets: int = 16):
+    """Both-sides-large join via the explicit partitioned hash-join
+    pattern (SURVEY §2.4 / guide): tag each side, bucket BOTH on
+    hash(join key) % B, co-group per bucket, pandas-merge inside, and
+    pre-aggregate per bucket so only (priority, partial) rows leave —
+    the shuffle moves each row once. Result: revenue per order
+    priority. Skewed keys would be salted into sub-buckets; orderkey is
+    uniform so B buckets suffice."""
+    from ..functions.hashing import hash_ints
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def prep_li(t: pa.Table) -> pd.DataFrame:
+        revenue_cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                100.0), 0.5)), pa.int64())
+        df = pd.DataFrame({"key": t["l_orderkey"].to_numpy(),
+                           "revenue_cents": revenue_cents.to_numpy()})
+        df["side"] = "L"
+        df["priority"] = ""
+        return df
+
+    def prep_orders(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"key": t["o_orderkey"].to_numpy(),
+                           "priority": t["o_orderpriority"].to_numpy()})
+        df["side"] = "R"
+        df["revenue_cents"] = np.int64(0)
+        return df
+
+    cols = ["key", "side", "priority", "revenue_cents"]
+    both = (
+        li.map_batches(prep_li, batch_format="pyarrow")
+        .map_batches(lambda b: b[cols], batch_format="pandas")
+        .union(orders.map_batches(prep_orders, batch_format="pyarrow")
+               .map_batches(lambda b: b[cols], batch_format="pandas"))
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(hash_ints(b["key"]) %
+                                np.uint64(num_buckets)).astype(np.int32))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "L"][["key", "revenue_cents"]]
+        right = g[g["side"] == "R"][["key", "priority"]]
+        j = left.merge(right, on="key", how="inner")
+        out = j.groupby("priority", sort=False).agg(
+            n_items=("key", "size"), sum_revenue_cents=("revenue_cents", "sum")
+        ).reset_index()
+        return out
+
+    partial = (
+        both.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("priority", sort=False).agg(
+            n_items=("n_items", "sum"),
+            sum_revenue_cents=("sum_revenue_cents", "sum")).reset_index()
+        out["n_items"] = out["n_items"].astype(np.int64)
+        out["sum_revenue_cents"] = out["sum_revenue_cents"].astype(np.int64)
+        return out
+
+    from .analytics import bucketed_group_agg
+
+    return bucketed_group_agg(partial, ["priority"], final, num_buckets=4)
+
+
 def q_part_brand_stats(sf_dir: str):
     """Filter + project + grouped aggregate with pruning at the read."""
     ds = rd.read_parquet(f"{sf_dir}/part.parquet",
