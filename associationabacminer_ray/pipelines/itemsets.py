@@ -36,6 +36,10 @@ from ..stages.transactionize import (
 )
 from ..udaf import SketchMergeAgg
 
+_EMPTY_SUPPORTS = pd.DataFrame({"itemset": pd.Series(dtype=object),
+                                "k": pd.Series(dtype="int32"),
+                                "support": pd.Series(dtype="int64")})
+
 
 def sum_by_key_bucketed(ds: Dataset, key_col: str, value_col: str,
                         out_col: str | None = None,
@@ -114,6 +118,8 @@ def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 
                               num_buckets=max(8, num_buckets // 2))
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "support" not in batch.columns:
+            return _EMPTY_SUPPORTS.copy()
         batch = batch[batch["support"] >= min_support]
         out = batch.copy()
         out["k"] = (out["itemset"].str.count("\\" + ITEM_SEP) + 1).astype(np.int32)
@@ -201,6 +207,10 @@ def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int
         # each bucket stamps its transaction count on every name row, so any
         # single name's sum is the global total
         out["n_transactions"] = int(row["n_transactions"])
+    if not out:  # empty input: fresh zero-state sketches
+        out = {"cms": CountMinSketch(width=cms_width, depth=cms_depth),
+               "topk": SpaceSaving(capacity=topk_capacity),
+               "hll": HyperLogLog(p=hll_p), "n_transactions": 0}
     return out
 
 
@@ -281,12 +291,18 @@ def itemset_supports_partitioned(paths: list[str], mode: str = "sketch",
                    "conv_hll": "hll"}[row["name"]]
             out[key] = Sketch.from_bytes(bytes(row["blob"]))
             out["n_transactions"] = int(row["n_transactions"])
+        if not out:
+            out = {"cms": CountMinSketch(width=cms_width, depth=cms_depth),
+                   "topk": SpaceSaving(capacity=topk_capacity),
+                   "hll": HyperLogLog(p=hll_p), "n_transactions": 0}
         return out
 
     agg = sum_by_key_bucketed(partials, "itemset", "count", "support",
                               num_buckets=merge_buckets)
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "support" not in batch.columns:
+            return _EMPTY_SUPPORTS.copy()
         batch = batch[batch["support"] >= min_support]
         out = batch.copy()
         out["k"] = (out["itemset"].str.count("\\" + ITEM_SEP) + 1).astype(np.int32)

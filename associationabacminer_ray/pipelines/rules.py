@@ -38,6 +38,8 @@ def extract_constant_items(supports: pd.DataFrame,
     mining and re-inject them into every selected rule. Returns the
     pruned supports table (constant items removed from itemset strings)
     and the constant item list."""
+    if not len(supports) or "k" not in supports.columns:
+        return supports, []
     singles = supports[supports["k"] == 1]
     constants = sorted(singles.loc[singles["support"] >= n_transactions, "itemset"])
     if not constants:
@@ -102,6 +104,10 @@ def rules_from_supports(supports: pd.DataFrame, n_transactions: int,
     map_batches over its partitions with the 1..(k-1)-itemset supports
     broadcast as a dict.
     """
+    if not len(supports) or "itemset" not in supports.columns:
+        supports = pd.DataFrame({"itemset": pd.Series(dtype=object),
+                                 "k": pd.Series(dtype="int32"),
+                                 "support": pd.Series(dtype="int64")})
     sup_map: dict[str, int] = dict(zip(supports["itemset"], supports["support"]))
     rows: list[tuple] = []
     multi = supports[supports["k"] >= 2]

@@ -85,3 +85,15 @@ class TestGoldenRulesK3:
         full = exact_itemset_supports(rd.from_arrow(tbl), max_k=1,
                                       num_buckets=8).to_pandas()
         assert len(out) < len(full)
+
+
+class TestEmptyWindow:
+    EMPTY = WindowSpec(datetime(2030, 1, 1), datetime(2030, 1, 10),
+                       datetime(2030, 1, 10), datetime(2030, 1, 12))
+
+    @pytest.mark.parametrize("kw", [{"mode": "exact"}, {"mode": "sketch"},
+                                    {"greedy": True}])
+    def test_mine_empty_window_returns_zero(self, ray_session, corpus, kw):
+        res = mine_window(corpus, self.EMPTY, **kw)
+        assert res["n_transactions"] == 0
+        assert res["n_rules"] == 0
