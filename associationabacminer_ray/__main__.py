@@ -1,0 +1,195 @@
+"""CLI entry points — the job_executor / script surface of the engine.
+
+Usage (owns its Ray session; guarded for pre-initialised ones):
+
+  python -m associationabacminer_ray supports  --input DIR_OR_GLOB [--mode exact|sketch|partitioned] [--max-k 2] [--min-support 2] --out OUT.parquet
+  python -m associationabacminer_ray mine      --input ... --obs-start 2024-01-01 --obs-days 14 [--greedy] --out policy.parquet
+  python -m associationabacminer_ray score     --input ... --obs-start 2024-01-01 --obs-days 14 --opr-days 3 --out scores.json
+  python -m associationabacminer_ray sweep     --input ... --start 2024-01-01 --end 2024-02-01 [--obs-days 14 --opr-days 3 --step-days 7] --out scores_dir/
+  python -m associationabacminer_ray synth     --convs 100000 --out DIR [--shards 16]
+
+``--input`` accepts a parquet file, directory, or glob of transcript
+shards (conv_id, turn_idx, role, text, tool, ts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+from datetime import datetime, timedelta
+
+
+def _resolve_input(spec: str) -> list[str]:
+    if os.path.isdir(spec):
+        return sorted(glob.glob(os.path.join(spec, "*.parquet")))
+    hits = sorted(glob.glob(spec))
+    if not hits:
+        raise SystemExit(f"no parquet input matches {spec!r}")
+    return hits
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_supports(args) -> None:
+    import ray.data as rd
+
+    from .pipelines.itemsets import (
+        exact_itemset_supports,
+        itemset_supports_partitioned,
+        sketched_itemset_supports,
+    )
+
+    paths = _resolve_input(args.input)
+    if args.mode == "partitioned":
+        out = itemset_supports_partitioned(paths, mode="exact", max_k=args.max_k,
+                                           min_support=args.min_support).to_pandas()
+    elif args.mode == "sketch":
+        res = sketched_itemset_supports(
+            rd.read_parquet(paths, columns=["conv_id", "role", "tool"]),
+            max_k=args.max_k)
+        import pandas as pd
+
+        out = pd.DataFrame(
+            [(k, k.count("|") + 1, c, e) for k, c, e in res["topk"].top()],
+            columns=["itemset", "k", "support_est", "err_bound"])
+    else:
+        out = exact_itemset_supports(
+            rd.read_parquet(paths, columns=["conv_id", "role", "tool"]),
+            max_k=args.max_k, min_support=args.min_support).to_pandas()
+    out.to_parquet(args.out, index=False)
+    print(f"wrote {len(out)} rows -> {args.out}")
+
+
+def _window_from_args(args):
+    from .functions.windows import WindowSpec
+
+    obs_start = datetime.fromisoformat(args.obs_start)
+    obs_end = obs_start + timedelta(days=args.obs_days)
+    return WindowSpec(obs_start, obs_end, obs_end,
+                      obs_end + timedelta(days=args.opr_days))
+
+
+def cmd_mine(args) -> None:
+    from .pipelines.mining import mine_window
+
+    spec = _window_from_args(args)
+    res = mine_window(_resolve_input(args.input), spec, mode=args.mode,
+                      greedy=args.greedy, max_k=args.max_k,
+                      min_support=args.min_support)
+    res["rules"].to_parquet(args.out, index=False)
+    print(json.dumps({k: v for k, v in res.items() if k != "rules"}))
+    print(f"wrote {res['n_rules']} rules -> {args.out}")
+
+
+def cmd_score(args) -> None:
+    from .pipelines.jobs import Job, MiningConfig, run_one_job
+
+    cfg = MiningConfig(max_k=args.max_k, min_support=args.min_support,
+                       obs_days=args.obs_days, opr_days=args.opr_days)
+    job = Job(cfg, _window_from_args(args))
+    scores = run_one_job(_resolve_input(args.input), job)
+    with open(args.out, "w") as f:
+        json.dump(scores, f, indent=2)
+    print(json.dumps(scores))
+
+
+def cmd_sweep(args) -> None:
+    from .pipelines.evaluate import aggregate_scores
+    from .pipelines.jobs import generate_jobs, run_jobs
+
+    jobs = generate_jobs(datetime.fromisoformat(args.start),
+                         datetime.fromisoformat(args.end),
+                         grid={"obs_days": [args.obs_days],
+                               "opr_days": [args.opr_days],
+                               "step_days": [args.step_days],
+                               "min_support": [args.min_support]})
+    os.makedirs(args.out, exist_ok=True)
+    scores = run_jobs(_resolve_input(args.input), jobs, results_dir=args.out)
+    agg = aggregate_scores(scores)
+    agg.to_parquet(os.path.join(args.out, "aggregate_scores.parquet"), index=False)
+    print(f"{len(jobs)} jobs -> {args.out} | mean recall "
+          f"{agg['recall'].iloc[0]:.3f} precision {agg['precision'].iloc[0]:.3f}")
+
+
+def cmd_synth(args) -> None:
+    from .sources.transcripts import write_synth_transcripts
+
+    paths = write_synth_transcripts(args.out, n_convs=args.convs,
+                                    shards=args.shards, seed=args.seed)
+    print(f"wrote {len(paths)} shards -> {args.out}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="associationabacminer_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, window=False):
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--max-k", type=int, default=2)
+        sp.add_argument("--min-support", type=int, default=2)
+        if window:
+            sp.add_argument("--obs-start", required=True)
+            sp.add_argument("--obs-days", type=int, default=14)
+            sp.add_argument("--opr-days", type=int, default=3)
+
+    sp = sub.add_parser("supports")
+    common(sp)
+    sp.add_argument("--mode", choices=["exact", "sketch", "partitioned"],
+                    default="exact")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_supports)
+
+    sp = sub.add_parser("mine")
+    common(sp, window=True)
+    sp.add_argument("--mode", choices=["exact", "sketch"], default="exact")
+    sp.add_argument("--greedy", action="store_true")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_mine)
+
+    sp = sub.add_parser("score")
+    common(sp, window=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_score)
+
+    sp = sub.add_parser("sweep")
+    common(sp)
+    sp.add_argument("--start", required=True)
+    sp.add_argument("--end", required=True)
+    sp.add_argument("--obs-days", type=int, default=14)
+    sp.add_argument("--opr-days", type=int, default=3)
+    sp.add_argument("--step-days", type=int, default=7)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("synth")
+    sp.add_argument("--convs", type=int, required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--shards", type=int, default=16)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus)
+    try:
+        args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
