@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # mining / transcript pipelines (exact mode — oracle-checked)
+        "transcripts_view": A.q_transcripts_view,
         "support_items": A.q_support_items,
         "support_pairs": A.q_support_pairs,
         "rules_conf": A.q_rules_conf,
@@ -102,7 +103,12 @@ _CENTS = "CAST(FLOOR(value*100+0.5) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
+    from associationabacminer_ray.sources.transcripts import (
+        TRANSCRIPTS_FROM_EVENTS_SQL,
+    )
+
     return {
+        "transcripts_view": TRANSCRIPTS_FROM_EVENTS_SQL,
         "support_items": f"""
             WITH {_ITEMS_CTE}
             SELECT item, CAST(COUNT(*) AS BIGINT) AS support FROM t GROUP BY item

@@ -54,6 +54,16 @@ def bucketed_group_agg(ds, key_cols: list[str], agg_fn, num_buckets: int = 32):
     )
 
 
+def q_transcripts_view(sf_dir: str):
+    """The full events→transcripts mapping INCLUDING the per-conversation
+    dense turn index (bucketed shuffle + stable in-group sort). Checked
+    row-for-row against the SQL ROW_NUMBER oracle — this is the
+    BASELINE.md per-turn text-equality / stable-ordering invariant
+    exercised on the driver's own data."""
+    return transcripts_from_events(f"{sf_dir}/events.parquet",
+                                   with_turn_idx=True)
+
+
 # ------------------------------------------------------------------ mining
 def q_support_items(sf_dir: str):
     """1-itemset supports: #conversations exhibiting each role=tool item."""
