@@ -26,11 +26,19 @@ import time
 BENCH_DIR = "/tmp/graft_bench/tr_2200000"
 BENCH_CONVS = 2_200_000
 BENCH_SHARDS = 64
+# --scaling uses a 4x corpus (~80M turns) so compute dominates the ~1.5s
+# fixed session/merge overhead at both CPU levels; cached after first build
+SCALE_DIR = "/tmp/graft_bench/tr_8800000"
+SCALE_CONVS = 8_800_000
+SCALE_SHARDS = 256
 
 
-def build_corpus() -> list[str]:
+def build_corpus(scale: bool = False) -> list[str]:
     from associationabacminer_ray.sources.transcripts import write_synth_transcripts
 
+    if scale:
+        return write_synth_transcripts(SCALE_DIR, n_convs=SCALE_CONVS, seed=42,
+                                       shards=SCALE_SHARDS)
     return write_synth_transcripts(BENCH_DIR, n_convs=BENCH_CONVS, seed=42,
                                    shards=BENCH_SHARDS)
 
@@ -61,13 +69,13 @@ def run_bench() -> dict:
         merge_sketch_partials,
     )
 
-    paths = build_corpus()
+    headline_only = bool(os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"))
+    paths = build_corpus(scale=headline_only)
     # warm the page cache so we measure compute + shuffle, not first disk read
     warm = rd.read_parquet(paths, columns=["conv_id", "role", "tool"])
     n_turns = warm.count()
 
     timings: dict[str, float] = {}
-    headline_only = bool(os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"))
 
     # ---- flat actor-pool sketch-update stage ------------------------------
     t0 = time.perf_counter()
@@ -84,7 +92,7 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     res = itemset_supports_partitioned(paths, mode="sketch", max_k=2)
     headline_sec = time.perf_counter() - t0
-    assert res["n_transactions"] == BENCH_CONVS
+    assert res["n_transactions"] == (SCALE_CONVS if headline_only else BENCH_CONVS)
     timings["itemset_sketch_partitioned"] = headline_sec
 
     # general-input (shuffle) paths, for comparison
