@@ -170,35 +170,43 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
 
 # --------------------------------------------- embedding-cosine near-dup
 class _HyperplanePartial:
-    """LSH bucketing by random-hyperplane sign bits (seeded, broadcast):
-    emits (bucket, vec_id, embedding) rows; vectors sharing a bucket are
-    near-dup candidates."""
+    """Multi-table LSH bucketing by random-hyperplane sign bits (seeded,
+    broadcast): ONE matmul against all tables' planes per batch, emitting
+    (table, bucket, vec_id, embedding) rows — vectors sharing a (table,
+    bucket) are near-dup candidates; multiple tables buy recall in a
+    single pipeline pass."""
 
     def __init__(self, planes_ref):
-        self.planes = ray.get(planes_ref)  # (n_bits, dim), normalized
+        self.planes = ray.get(planes_ref)  # (n_tables, n_bits, dim)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         mat = _normalize(_stack(batch["embedding"]))
-        bits = (mat @ self.planes.T) > 0  # (n, n_bits)
-        bucket = np.packbits(bits, axis=1, bitorder="little")[:, 0].astype(np.int64)
-        return pd.DataFrame({"bucket": bucket,
-                             "vec_id": batch["vec_id"].to_numpy(),
-                             "embedding": batch["embedding"]})
+        n_tables, n_bits, dim = self.planes.shape
+        bits = (mat @ self.planes.reshape(-1, dim).T) > 0  # (n, tables*bits)
+        bits = bits.reshape(len(mat), n_tables, n_bits)
+        bucket = np.packbits(bits, axis=2, bitorder="little")[:, :, 0].astype(np.int64)
+        n = len(batch)
+        return pd.DataFrame(
+            {"table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+             "bucket": bucket.reshape(-1),
+             "vec_id": np.repeat(batch["vec_id"].to_numpy(), n_tables),
+             "embedding": np.repeat(batch["embedding"].to_numpy(), n_tables)})
 
 
 def embedding_near_dups(sf_dir: str, threshold: float = 0.9, n_bits: int = 8,
-                        seed: int = 13) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets →
-    within-bucket exact cosine verification (vectorized per bucket).
-    Only same-bucket pairs are compared — at τ=0.9 the collision
-    probability per bit is 1-θ/π ≈ 0.86, so 8 bits keeps ~0.3 recall
-    per table; for higher recall run multiple seeds and union (the
-    multi-table LSH pattern), which `q_embedding_dups` does."""
+                        n_tables: int = 4, seed: int = 13) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane-LSH
+    buckets → within-(table,bucket) exact cosine verification
+    (vectorized). At τ=0.9 the per-bit collision probability is
+    1-θ/π ≈ 0.86, so one 8-bit table gives ~0.3 recall; 4 tables in the
+    SAME pipeline pass push it near 0.8 while only same-bucket pairs
+    are ever compared."""
     emb = _embeddings(sf_dir)
     sample = emb.limit(4).to_pandas()
     dim = len(sample["embedding"].iloc[0])
     rng = np.random.default_rng(seed)
-    planes = _normalize(rng.standard_normal((n_bits, dim)))
+    planes = _normalize(
+        rng.standard_normal((n_tables * n_bits, dim))).reshape(n_tables, n_bits, dim)
     planes_ref = ray.put(planes)
     buckets = emb.map_batches(_HyperplanePartial, batch_format="pandas",
                               batch_size=4096, concurrency=2,
@@ -206,10 +214,13 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.9, n_bits: int = 8,
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
-        for _, grp in g.groupby("bucket", sort=False):
+        for _, grp in g.groupby(["table", "bucket"], sort=False):
             if len(grp) < 2:
                 continue
+            grp = grp.drop_duplicates("vec_id")
             ids = grp["vec_id"].to_numpy()
+            if len(ids) < 2:
+                continue
             mat = _normalize(_stack(grp["embedding"]))
             sims = mat @ mat.T
             iu, ju = np.triu_indices(len(ids), k=1)
@@ -225,7 +236,8 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.9, n_bits: int = 8,
 
     from .analytics import bucketed_group_agg
 
-    out = bucketed_group_agg(buckets, ["bucket"], verify, num_buckets=8).to_pandas()
+    out = bucketed_group_agg(buckets, ["table", "bucket"], verify,
+                             num_buckets=8).to_pandas()
     if out.empty or "id_a" not in out.columns:  # no bucket produced any pair
         return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                              "id_b": pd.Series(dtype=np.int64),
@@ -236,9 +248,5 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.9, n_bits: int = 8,
 
 def q_embedding_dups(sf_dir: str, threshold: float = 0.9,
                      n_tables: int = 4) -> pd.DataFrame:
-    """Multi-table hyperplane-LSH near-dup pairs (union over seeds)."""
-    frames = [embedding_near_dups(sf_dir, threshold=threshold, seed=13 + t)
-              for t in range(n_tables)]
-    out = pd.concat(frames, ignore_index=True)
-    return (out.drop_duplicates(["id_a", "id_b"])
-            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    """Multi-table hyperplane-LSH near-dup pairs (one pipeline pass)."""
+    return embedding_near_dups(sf_dir, threshold=threshold, n_tables=n_tables)

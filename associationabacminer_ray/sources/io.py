@@ -27,6 +27,37 @@ def read_table(path: str, columns: list[str] | None = None, filter_expr=None):
     return rd.read_parquet(path, columns=columns, filter=filter_expr)
 
 
+def read_transcripts(paths, fmt: str = "parquet",
+                     columns: list[str] | None = None):
+    """Format-agnostic transcripts source: parquet (preferred — pruned,
+    predicate-pushdown), jsonl, or csv. Non-parquet formats re-coerce
+    dtypes to the canonical schema (ts parsed, turn_idx int32) since
+    text formats carry no types."""
+    import ray.data as rd
+
+    if fmt == "parquet":
+        return rd.read_parquet(paths, columns=columns)
+    if fmt == "jsonl":
+        ds = rd.read_json(paths)
+    elif fmt == "csv":
+        ds = rd.read_csv(paths)
+    else:
+        raise ValueError(f"unknown transcripts format {fmt!r}")
+
+    def coerce(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["ts"] = pd.to_datetime(out["ts"])
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        for c in ("conv_id", "role", "text", "tool"):
+            out[c] = out[c].astype(object).where(out[c].notna(), None)
+        return out[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+    ds = ds.map_batches(coerce, batch_format="pandas")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def write_partitioned(ds, out_dir: str, partition_col: str,
                       existing_ok: bool = True) -> list[str]:
     """Write one sub-directory per value of ``partition_col`` with a

@@ -104,3 +104,38 @@ def test_policy_constraint_summary():
     fields = dict(out.loc[out["kind"] == "field", ["name", "n"]].itertuples(index=False))
     assert items["user=a"] == 2 and items["tool=b"] == 2 and items["tool=c"] == 1
     assert fields["user"] == 2 and fields["tool"] == 3
+
+
+class TestMultiFormatSource:
+    def test_jsonl_and_csv_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from associationabacminer_ray.pipelines.itemsets import (
+            exact_itemset_supports,
+        )
+        from associationabacminer_ray.sources.io import read_transcripts
+        from associationabacminer_ray.sources.transcripts import synth_transcripts
+
+        tbl = synth_transcripts(300, seed=33)
+        df = tbl.to_pandas()
+        (tmp_path / "j").mkdir(); (tmp_path / "c").mkdir()
+        jpath = str(tmp_path / "j" / "t.jsonl")
+        cpath = str(tmp_path / "c" / "t.csv")
+        df.assign(ts=df["ts"].astype(str)).to_json(jpath, orient="records",
+                                                   lines=True)
+        df.to_csv(cpath, index=False)
+
+        want = exact_itemset_supports(rd.from_arrow(tbl), max_k=1,
+                                      num_buckets=8).to_pandas()
+        want = want.sort_values("itemset").reset_index(drop=True)
+        for fmt, path in (("jsonl", jpath), ("csv", cpath)):
+            ds = read_transcripts(path, fmt=fmt)
+            got = exact_itemset_supports(ds, max_k=1, num_buckets=8).to_pandas()
+            got = got.sort_values("itemset").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, obj=fmt)
+
+    def test_unknown_format_raises(self):
+        from associationabacminer_ray.sources.io import read_transcripts
+
+        with pytest.raises(ValueError, match="unknown"):
+            read_transcripts("x", fmt="xml")
