@@ -32,11 +32,15 @@ from __future__ import annotations
 
 import numpy as np
 
-METRICS = ("cscore", "fbeta", "product", "l_dist", "lift", "confidence")
+METRICS = ("cscore", "fbeta", "product", "l_dist", "lift", "confidence",
+           "harmonic_mean", "arithmetic_mean", "arithmetic_mean_wsc",
+           "product_ref", "Qrul_count", "Qrul_count1", "Qrul_count_i",
+           "Qrul_count1_i", "Qrul_freq", "Qrul_freq1", "Qrul_freq_i",
+           "Qrul_freq1_i", "l_dist_ref")
 
 # metrics where SMALLER is better (reference: l_dist minimized,
 # src/EnvAbacRuleMiner.py:109-119)
-MINIMIZED_METRICS = frozenset({"l_dist"})
+MINIMIZED_METRICS = frozenset({"l_dist", "l_dist_ref"})
 
 
 def coverage_rate(support_ab, n_transactions) -> np.ndarray:
@@ -74,14 +78,16 @@ def cscore(cov, overr, beta: float = 1.0) -> np.ndarray:
 
 
 def fbeta(cov, overr, beta: float = 1.0) -> np.ndarray:
-    """Fβ harmonic mean of coverage and overassignment rates
-    (EnvOverassignmentCalculator.py:140-148); 0 where both are 0."""
+    """Fβ harmonic mean of coverage and overassignment rates — reference
+    operand order: ``(1+β²)·(overR·covR) / (β²·overR + covR)``
+    (EnvOverassignmentCalculator.py:145, 'harmonic_mean'); 0 where both
+    are 0. β<1 weights overR, β>1 weights covR (reference comment)."""
     c = np.asarray(cov, dtype=np.float64)
     o = np.asarray(overr, dtype=np.float64)
-    denom = beta * beta * c + o
+    denom = beta * beta * o + c
     out = np.zeros_like(c)
     nz = denom > 0
-    out[nz] = (1 + beta * beta) * (c[nz] * o[nz]) / denom[nz]
+    out[nz] = (1 + beta * beta) * (o[nz] * c[nz]) / denom[nz]
     return out
 
 
@@ -106,6 +112,63 @@ def wsc(n_antecedent_items, n_consequent_items, w_antecedent: float = 1.0,
             + w_consequent * np.asarray(n_consequent_items, dtype=np.float64))
 
 
+def reference_score_family(df, n_transactions: int, beta: float = 1.0):
+    """The reference's FULL per-rule score family with its exact formulas
+    (``EnvOverassignmentCalculator.py:140-163``), on transplanted
+    quantities (SURVEY §7.0):
+
+    - ``unique_log_entries``  → support(A∪B) (distinct conversations the
+      rule matches). The reference also tracks turn-level
+      ``all_log_entries``; transactions collapse turn multiplicity, so
+      the freq variants here use the same support (documented
+      degeneracy — the *formulas* are exact).
+    - ``allowed_events_count`` → support(A) (conversations the rule
+      would allow — the u×o×e universe product analog, floored at 1
+      like the reference floors each factor).
+    - ``overassignment_total`` = allowed − unique;
+      ``total_possible_priv_states`` analog = n_transactions.
+    - ``under_assignments`` = n_transactions − unique.
+    - ``wsc`` = len(constraints) (reference :120).
+
+    Appends: harmonic_mean, arithmetic_mean, arithmetic_mean_wsc,
+    product_ref, Qrul_count{,1,_i,1_i}, Qrul_freq{,1,_i,1_i},
+    l_dist_ref (MINIMIZED: under + β·over, reference :157).
+    """
+    unique = np.asarray(df["support_ab"], dtype=np.float64)
+    allowed = np.maximum(np.asarray(df["support_a"], dtype=np.float64), 1.0)
+    all_ = unique  # turn-level multiplicity collapsed (see docstring)
+    wsc_ = np.asarray(df["n_antecedent"] + df["n_consequent"], dtype=np.float64)
+    n = float(max(n_transactions, 1))
+    over_total = np.maximum(allowed - unique, 0.0)
+    over_rate = over_total / n
+    overR = 1.0 - over_rate
+    covR = unique / n
+    b2 = beta * beta
+
+    denom = b2 * overR + covR
+    harmonic = np.zeros_like(covR)
+    nz = denom > 0
+    harmonic[nz] = (1 + b2) * (overR[nz] * covR[nz]) / denom[nz]
+    df["harmonic_mean"] = harmonic
+    df["arithmetic_mean"] = (beta * covR + overR) / 2.0
+    covRW = all_ / wsc_
+    df["arithmetic_mean_wsc"] = (beta * covRW + overR) / 2.0
+    over_floor = np.maximum(over_total, 1.0)
+    df["product_ref"] = (unique * beta) / over_floor
+    safe_unique = np.maximum(unique, 1.0)
+    safe_all = np.maximum(all_, 1.0)
+    df["Qrul_count1"] = unique * (1 - (beta * over_total) / allowed)
+    df["Qrul_count1_i"] = unique * (1 - beta * over_total / safe_unique)
+    df["Qrul_freq1"] = all_ * (1 - (beta * over_total) / allowed)
+    df["Qrul_freq1_i"] = all_ * (1 - beta * over_total / safe_all)
+    df["Qrul_count"] = (unique / wsc_) * (1 - (beta * over_total) / allowed)
+    df["Qrul_count_i"] = (unique / wsc_) * (1 - beta * over_total / safe_unique)
+    df["Qrul_freq"] = (all_ / wsc_) * (1 - (beta * over_total) / allowed)
+    df["Qrul_freq_i"] = (all_ / wsc_) * (1 - beta * over_total / safe_all)
+    df["l_dist_ref"] = (n - unique) + beta * over_total
+    return df
+
+
 def score_columns(df, n_transactions: int, beta: float = 1.0):
     """Append the full score family to a rules DataFrame having columns
     support_ab, support_a, support_b, n_antecedent, n_consequent."""
@@ -119,6 +182,7 @@ def score_columns(df, n_transactions: int, beta: float = 1.0):
     df["product"] = product_score(cov, conf)
     df["l_dist"] = l_dist(cov, conf)
     df["wsc"] = wsc(df["n_antecedent"], df["n_consequent"])
+    df = reference_score_family(df, n_transactions, beta)
     return df
 
 

@@ -102,3 +102,43 @@ def test_generate_windows():
     assert s.opr_start == s.obs_end
     assert (s.obs_end - s.obs_start).days == 30
     assert s.window_id == "obs-20240101-20240131"
+
+
+def test_reference_score_family_formulas():
+    """Exact reference formulas (EnvOverassignmentCalculator.py:140-163)
+    on a hand-computed example: unique=4, allowed=10, n=20, wsc=2, beta=1."""
+    df = pd.DataFrame({"support_ab": [4], "support_a": [10], "support_b": [5],
+                       "n_antecedent": [1], "n_consequent": [1]})
+    out = S.reference_score_family(df.copy(), n_transactions=20, beta=1.0)
+    over = 10 - 4                       # 6
+    overR = 1 - over / 20               # 0.7
+    covR = 4 / 20                       # 0.2
+    assert out["harmonic_mean"][0] == pytest.approx(
+        2 * overR * covR / (overR + covR))
+    assert out["arithmetic_mean"][0] == pytest.approx((covR + overR) / 2)
+    assert out["arithmetic_mean_wsc"][0] == pytest.approx((4 / 2 + overR) / 2)
+    assert out["product_ref"][0] == pytest.approx(4 / 6)
+    assert out["Qrul_count1"][0] == pytest.approx(4 * (1 - 6 / 10))
+    assert out["Qrul_count1_i"][0] == pytest.approx(4 * (1 - 6 / 4))
+    assert out["Qrul_count"][0] == pytest.approx((4 / 2) * (1 - 6 / 10))
+    assert out["Qrul_count_i"][0] == pytest.approx((4 / 2) * (1 - 6 / 4))
+    # additive l_dist: under + beta*over (reference :157), minimized
+    assert out["l_dist_ref"][0] == pytest.approx((20 - 4) + 6)
+    assert "l_dist_ref" in S.MINIMIZED_METRICS
+
+
+def test_fbeta_reference_operand_order():
+    # beta=2 weights covR (reference comment: B>1 covR more important)
+    hi_cov = S.fbeta([0.9], [0.1], beta=2.0)[0]
+    hi_over = S.fbeta([0.1], [0.9], beta=2.0)[0]
+    assert hi_cov > hi_over
+
+
+def test_best_rule_accepts_reference_metrics():
+    sup = pd.DataFrame({"itemset": ["a", "b", "a|b"], "k": [1, 1, 2],
+                        "support": [10, 6, 5]})
+    rules = rules_from_supports(sup, n_transactions=20)
+    top = best_rule(rules, "Qrul_count")
+    assert top["antecedent"] in ("a", "b")
+    top2 = best_rule(rules, "l_dist_ref")
+    assert np.isfinite(top2["l_dist_ref"])
