@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": R.q_part_brand_stats,
         "top_orders": R.q_top_orders,
         "lineitem_orders_join": R.q_lineitem_orders_join,
+        "lineitem_orders_join_native": R.q_lineitem_orders_join_native,
         # text / dedup over documents (oracle-checked)
         "dedup_docs": T.q_dedup_docs,
         "doc_fingerprint": T.q_doc_fingerprint,
@@ -91,6 +92,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crosscorpus_dedup": T.q_crosscorpus_dedup,
     }
 
+
+_JOIN_SQL = """
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(
+                l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5
+           ) AS BIGINT)) AS BIGINT) AS sum_revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
 
 # Shared oracle fragment: the events→transcripts→items mapping (mirrors
 # sources.transcripts.transcripts_from_events + stages.transactionize).
@@ -233,15 +244,8 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY total_cents DESC, o_orderkey LIMIT 10
         """,
-        "lineitem_orders_join": """
-            SELECT o.o_orderpriority AS priority,
-                   CAST(COUNT(*) AS BIGINT) AS n_items,
-                   CAST(SUM(CAST(FLOOR(
-                        l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5
-                   ) AS BIGINT)) AS BIGINT) AS sum_revenue_cents
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-            GROUP BY o.o_orderpriority
-        """,
+        "lineitem_orders_join_native": _JOIN_SQL,
+        "lineitem_orders_join": _JOIN_SQL,
         "dedup_docs": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
                    CAST(COUNT(*) AS BIGINT) AS n_copies

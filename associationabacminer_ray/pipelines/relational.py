@@ -205,6 +205,43 @@ def q_lineitem_orders_join(sf_dir: str, num_buckets: int = 16):
     return bucketed_group_agg(partial, ["priority"], final, num_buckets=4)
 
 
+def q_lineitem_orders_join_native(sf_dir: str, num_partitions: int = 8):
+    """Same join via Ray's native hash-partitioned ``Dataset.join``
+    (available since 2.49) — kept alongside the explicit bucketed join:
+    measured 1.8× faster here, but its hash-shuffle aggregator actors
+    need ``num_partitions`` kept modest in local mode (large values
+    spawn hundreds of aggregator workers — see BASELINE.md)."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                100.0), 0.5)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_cents": cents})
+
+    joined = li.map_batches(revenue, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderpriority", sort=False).agg(
+            n_items=("l_orderkey", "size"),
+            sum_revenue_cents=("revenue_cents", "sum")).reset_index()
+        out.columns = ["priority", "n_items", "sum_revenue_cents"]
+        out["n_items"] = out["n_items"].astype(np.int64)
+        out["sum_revenue_cents"] = out["sum_revenue_cents"].astype(np.int64)
+        return out
+
+    from .analytics import bucketed_group_agg
+
+    return bucketed_group_agg(joined, ["o_orderpriority"], agg, num_buckets=4)
+
+
 def q_part_brand_stats(sf_dir: str):
     """Filter + project + grouped aggregate with pruning at the read."""
     ds = rd.read_parquet(f"{sf_dir}/part.parquet",
