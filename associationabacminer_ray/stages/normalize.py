@@ -31,6 +31,19 @@ import pandas as pd
 
 DEFAULT_HOUR_BINS = (0, 4, 8, 12, 16, 20, 24)  # the 6×4h bins (:39-56)
 
+# CRUD verb classing (ConfigurableEventNormalizer.py:57-60, 128-138):
+# the reference maps eventName verb prefixes onto read/write classes;
+# transplanted onto tool-name first tokens.
+CRUD_VERBS = {
+    "read": {"get", "list", "describe", "query", "search", "read", "head",
+             "lookup", "fetch", "scan"},
+    "create": {"create", "put", "add", "insert", "upload", "register", "write"},
+    "update": {"update", "modify", "set", "patch", "attach", "enable",
+               "disable", "tag"},
+    "delete": {"delete", "remove", "terminate", "revoke", "detach", "drop"},
+}
+_VERB_TO_CLASS = {v: c for c, vs in CRUD_VERBS.items() for v in vs}
+
 
 class NormalizeTurns:
     def __init__(self, hour_bins: tuple[int, ...] = DEFAULT_HOUR_BINS,
@@ -59,7 +72,13 @@ class NormalizeTurns:
         out["role"] = role
         out["tool"] = tool
         # bigram-prefix bin analog (ConfigurableEventNormalizer.py:121-127)
-        out["tool_bin"] = pd.Series(tool, index=out.index).str.split("_").str[:2].str.join("_")
+        tool_s = pd.Series(tool, index=out.index)
+        first_tok = tool_s.str.split("_").str[0].str.lower()
+        out["tool_bin"] = tool_s.str.split("_").str[:2].str.join("_")
+        # bin-of-bin (bin_bin_userAgent analog, :171-185): first token only
+        out["tool_bin2"] = first_tok
+        # CRUD class from the verb prefix (:128-138); 'other' when unmapped
+        out["action_class"] = first_tok.map(_VERB_TO_CLASS).fillna("other")
         if self.make_item:
             out["item"] = pd.Series(role, index=out.index) + "=" + pd.Series(
                 tool, index=out.index)

@@ -40,6 +40,8 @@ class TestNormalizer:
         assert out["role"].tolist() == ["user", "NONE", "NONE", "tool"]
         assert out["tool"].tolist() == ["tool_03", "NONE", "NONE", "query_db_fast"]
         assert out["tool_bin"].tolist() == ["tool_03", "NONE", "NONE", "query_db"]
+        assert out["tool_bin2"].tolist() == ["tool", "none", "none", "query"]
+        assert out["action_class"].tolist() == ["other", "other", "other", "read"]
         assert out["item"].tolist() == ["user=tool_03", "NONE=NONE", "NONE=NONE",
                                         "tool=query_db_fast"]
         assert out["is_long_text"].tolist() == [False, False, True, False]
