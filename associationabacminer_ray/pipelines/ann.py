@@ -145,7 +145,14 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, n_clusters: int = 16,
     queries probe their nprobe nearest buckets. (query_id, neighbor_id,
     rank); recall vs brute force asserted in pytest."""
     emb = _embeddings(sf_dir)
-    sample = emb.limit(sample_n).to_pandas()
+    # seeded Bernoulli sample for the codebook (limit() would bias to the
+    # first rows); fall back to everything for tiny tables
+    n_total = emb.count()
+    frac = min(1.0, sample_n / max(n_total, 1))
+    sample = (emb.random_sample(frac, seed=seed).to_pandas() if frac < 1.0
+              else emb.to_pandas())
+    if len(sample) < n_clusters:
+        sample = emb.to_pandas()
     centers = _kmeans_lite(_normalize(_stack(sample["embedding"])), n_clusters,
                            seed=seed)
     qdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas()
