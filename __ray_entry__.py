@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_view": A.q_transcripts_view,
         "support_items": A.q_support_items,
         "support_pairs": A.q_support_pairs,
+        "support_weighted": A.q_support_weighted,
         "rules_conf": A.q_rules_conf,
         "transactions": A.q_transactions,
         "role_activity": A.q_role_activity,
@@ -112,6 +113,12 @@ _ITEMS_CTE = (
 
 _CENTS = "CAST(FLOOR(value*100+0.5) AS BIGINT)"
 
+# like _ITEMS_CTE but keeping every turn row (for turn-weighted supports)
+_ITEMS_CTE_FULL = (
+    "tf AS (SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id, "
+    "event_type || '=k' || regexp_extract(props, '[0-9]+') AS item FROM events)"
+)
+
 
 def oracle_sql() -> dict[str, str]:
     from associationabacminer_ray.sources.transcripts import (
@@ -129,6 +136,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS support
             FROM t a JOIN t b ON a.conv_id = b.conv_id AND a.item < b.item
             GROUP BY a.item, b.item
+        """,
+        "support_weighted": f"""
+            WITH {_ITEMS_CTE_FULL},
+            ct AS (SELECT conv_id, COUNT(*) AS n_turns FROM tf GROUP BY conv_id),
+            d AS (SELECT DISTINCT conv_id, item FROM tf),
+            s1 AS (SELECT item AS itemset, 1 AS k, COUNT(*) AS support,
+                          SUM(ct.n_turns) AS turn_support
+                   FROM d JOIN ct USING (conv_id) GROUP BY item),
+            p AS (SELECT a.conv_id, a.item AS ia, b.item AS ib
+                  FROM d a JOIN d b ON a.conv_id = b.conv_id AND a.item < b.item),
+            s2 AS (SELECT ia || '|' || ib AS itemset, 2 AS k, COUNT(*) AS support,
+                          SUM(ct.n_turns) AS turn_support
+                   FROM p JOIN ct USING (conv_id) GROUP BY 1)
+            SELECT itemset, CAST(k AS INTEGER) AS k,
+                   CAST(support AS BIGINT) AS support,
+                   CAST(turn_support AS BIGINT) AS turn_support
+            FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
         """,
         "rules_conf": f"""
             WITH {_ITEMS_CTE},

@@ -136,7 +136,10 @@ def reference_score_family(df, n_transactions: int, beta: float = 1.0):
     """
     unique = np.asarray(df["support_ab"], dtype=np.float64)
     allowed = np.maximum(np.asarray(df["support_a"], dtype=np.float64), 1.0)
-    all_ = unique  # turn-level multiplicity collapsed (see docstring)
+    # turn-level support when the pipeline tracked it (the real
+    # all_log_entries analog); falls back to conv support otherwise
+    all_ = (np.asarray(df["support_ab_turns"], dtype=np.float64)
+            if "support_ab_turns" in df.columns else unique)
     wsc_ = np.asarray(df["n_antecedent"] + df["n_consequent"], dtype=np.float64)
     n = float(max(n_transactions, 1))
     over_total = np.maximum(allowed - unique, 0.0)

@@ -64,6 +64,40 @@ def q_transcripts_view(sf_dir: str):
                                    with_turn_idx=True)
 
 
+def _cached_event_transcripts_parquet(sf_dir: str) -> list[str]:
+    """Materialize the events→transcripts mapping to a /tmp parquet once
+    per sf level (deterministic) so the conv-partitioned pipelines can
+    run on it (one events file ⇒ no conversation spans shards)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out_dir = f"/tmp/graft_tr_cache/{tag}"
+    path = os.path.join(out_dir, "transcripts.parquet")
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        df = transcripts_from_events(f"{sf_dir}/events.parquet") \
+            .to_pandas()[["conv_id", "role", "tool"]]
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return [path]
+
+
+def q_support_weighted(sf_dir: str):
+    """Itemset supports with TURN-weighted support (Σ raw turns of the
+    conversations containing the itemset — the all_log_entries analog
+    that makes the Qrul_freq score family distinct). Runs the
+    conv-partitioned zero-shuffle pipeline with turn tracking."""
+    from .itemsets import itemset_supports_partitioned
+
+    paths = _cached_event_transcripts_parquet(sf_dir)
+    return itemset_supports_partitioned(paths, mode="exact", max_k=2,
+                                        max_transaction_items=None,
+                                        with_turn_counts=True)
+
+
 # ------------------------------------------------------------------ mining
 def q_support_items(sf_dir: str):
     """1-itemset supports: #conversations exhibiting each role=tool item."""

@@ -43,7 +43,8 @@ _EMPTY_SUPPORTS = pd.DataFrame({"itemset": pd.Series(dtype=object),
 
 def sum_by_key_bucketed(ds: Dataset, key_col: str, value_col: str,
                         out_col: str | None = None,
-                        num_buckets: int = 64) -> Dataset:
+                        num_buckets: int = 64,
+                        extra_value_cols: list[str] | None = None) -> Dataset:
     """High-cardinality SUM-by-key.
 
     Ray's ``groupby(key).aggregate(...)`` pays a per-GROUP Python/slicing
@@ -58,10 +59,13 @@ def sum_by_key_bucketed(ds: Dataset, key_col: str, value_col: str,
         return b.assign(
             _mb=(hash_strings(b[key_col]) % np.uint64(num_buckets)).astype(np.int32))
 
+    extra = list(extra_value_cols or [])
+
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(key_col, sort=False)[value_col].sum().reset_index()
-        out.columns = [key_col, out_col]
-        out[out_col] = out[out_col].astype(np.int64)
+        out = g.groupby(key_col, sort=False)[[value_col] + extra].sum().reset_index()
+        out.columns = [key_col, out_col] + extra
+        for c in [out_col] + extra:
+            out[c] = out[c].astype(np.int64)
         return out
 
     return (
@@ -220,7 +224,8 @@ def itemset_supports_partitioned(paths: list[str], mode: str = "sketch",
                                  min_support: int = 1,
                                  cms_width: int = 1 << 13, cms_depth: int = 4,
                                  topk_capacity: int = 4096, hll_p: int = 14,
-                                 merge_buckets: int = 32):
+                                 merge_buckets: int = 32,
+                                 with_turn_counts: bool = False):
     """Shuffle-free supports for conv-partitioned input.
 
     PARTITIONING ASSUMPTION (documented per the custom-operator rule): no
@@ -252,7 +257,8 @@ def itemset_supports_partitioned(paths: list[str], mode: str = "sketch",
                 path, conv_col=conv_col)
             partial = itemset_partials_from_codes(
                 conv_codes, item_codes, item_vocab, max_k=max_k,
-                max_transaction_items=max_transaction_items)
+                max_transaction_items=max_transaction_items,
+                with_turn_counts=with_turn_counts and not sketch)
             if not sketch:
                 frames.append(partial)
                 continue
@@ -297,16 +303,25 @@ def itemset_supports_partitioned(paths: list[str], mode: str = "sketch",
                    "hll": HyperLogLog(p=hll_p), "n_transactions": 0}
         return out
 
+    extra = ["turn_count"] if with_turn_counts else None
     agg = sum_by_key_bucketed(partials, "itemset", "count", "support",
-                              num_buckets=merge_buckets)
+                              num_buckets=merge_buckets,
+                              extra_value_cols=extra)
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty or "support" not in batch.columns:
-            return _EMPTY_SUPPORTS.copy()
+            out = _EMPTY_SUPPORTS.copy()
+            if with_turn_counts:
+                out["turn_support"] = pd.Series(dtype=np.int64)
+            return out
         batch = batch[batch["support"] >= min_support]
         out = batch.copy()
         out["k"] = (out["itemset"].str.count("\\" + ITEM_SEP) + 1).astype(np.int32)
-        return out[["itemset", "k", "support"]]
+        keep = ["itemset", "k", "support"]
+        if with_turn_counts:
+            out["turn_support"] = out["turn_count"].astype(np.int64)
+            keep.append("turn_support")
+        return out[keep]
 
     return agg.map_batches(finish, batch_format="pandas")
 

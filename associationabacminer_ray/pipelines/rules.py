@@ -109,6 +109,10 @@ def rules_from_supports(supports: pd.DataFrame, n_transactions: int,
                                  "k": pd.Series(dtype="int32"),
                                  "support": pd.Series(dtype="int64")})
     sup_map: dict[str, int] = dict(zip(supports["itemset"], supports["support"]))
+    has_turns = "turn_support" in supports.columns
+    turn_map: dict[str, int] = (dict(zip(supports["itemset"],
+                                         supports["turn_support"]))
+                                if has_turns else {})
     rows: list[tuple] = []
     multi = supports[supports["k"] >= 2]
     for itemset, support_ab in zip(multi["itemset"], multi["support"]):
@@ -128,12 +132,16 @@ def rules_from_supports(supports: pd.DataFrame, n_transactions: int,
                 if support_a is None or support_b is None:
                     continue  # below min_support upstream
                 rows.append((a_key, b_key, support_ab, support_a, support_b,
-                             len(ante), len(cons)))
+                             len(ante), len(cons),
+                             turn_map.get(itemset, support_ab)))
     df = pd.DataFrame(rows, columns=["antecedent", "consequent", "support_ab",
                                      "support_a", "support_b", "n_antecedent",
-                                     "n_consequent"])
+                                     "n_consequent", "support_ab_turns"])
+    if not has_turns and len(df):
+        df = df.drop(columns=["support_ab_turns"])
     if len(df):
-        for c in ("support_ab", "support_a", "support_b"):
+        for c in ("support_ab", "support_a", "support_b") + (
+                ("support_ab_turns",) if has_turns else ()):
             df[c] = df[c].astype(np.int64)
         df = score_columns(df, n_transactions, beta)
         df = df.sort_values(["cscore", "antecedent", "consequent"],

@@ -64,7 +64,8 @@ def transactions_in_bucket(group: pd.DataFrame, conv_col: str = "conv_id",
 
 
 def expand_itemsets(transactions: pd.Series, multiplicities: np.ndarray,
-                    max_k: int = 2, max_transaction_items: int | None = None) -> Counter:
+                    max_k: int = 2, max_transaction_items: int | None = None,
+                    turn_weights: np.ndarray | None = None) -> Counter:
     """Count all 1..max_k-item subsets across transactions.
 
     ``transactions`` holds tuples of sorted distinct items; the expansion
@@ -72,41 +73,61 @@ def expand_itemsets(transactions: pd.Series, multiplicities: np.ndarray,
     ``max_transaction_items`` guards against pathological conversations
     (a 10^4-item transaction would otherwise explode combinatorially) —
     oversized transactions contribute their 1-itemsets only.
+
+    With ``turn_weights`` (total raw turns of the conversations sharing
+    each distinct transaction), counter values become ``(conv_count,
+    turn_count)`` pairs — turn_count is the ``all_log_entries`` analog
+    (how much raw log the itemset explains, reference
+    EnvOverassignmentCalculator.py:119 'all_log_entries').
     """
     counter: Counter = Counter()
-    for items, mult in zip(transactions, multiplicities):
+    weighted = turn_weights is not None
+    tw = turn_weights if weighted else multiplicities
+    for items, mult, w in zip(transactions, multiplicities, tw):
         mult = int(mult)
+        inc = np.array([mult, int(w)]) if weighted else mult
         n = len(items)
         if max_transaction_items is not None and n > max_transaction_items:
             for it in items:
-                counter[(it,)] += mult
+                counter[(it,)] += inc
             continue
         for k in range(1, min(max_k, n) + 1):
             for combo in itertools.combinations(items, k):
-                counter[combo] += mult
+                counter[combo] += inc
     return counter
 
 
 def itemset_partials_from_codes(conv_codes: np.ndarray, item_codes: np.ndarray,
                                 item_vocab: np.ndarray, max_k: int = 2,
-                                max_transaction_items: int | None = 64) -> pd.DataFrame:
+                                max_transaction_items: int | None = 64,
+                                with_turn_counts: bool = False) -> pd.DataFrame:
     """Exact partial supports from integer codes — the zero-object hot path.
 
     ``conv_codes``/``item_codes`` are dense dictionary indices (parquet
     pages already store these — no string hashing or Python objects are
     touched until the per-DISTINCT-transaction expansion).
     ``item_vocab[code]`` gives the item string.
+
+    ``with_turn_counts`` adds a ``turn_count`` column: Σ raw turns of the
+    conversations containing each itemset — the ``all_log_entries``
+    analog (EnvOverassignmentCalculator.py:119), making the Qrul_freq
+    score family distinct from the count family.
     """
     from ..functions.hashing import splitmix64
 
     n = len(conv_codes)
-    empty = pd.DataFrame({"itemset": pd.Series(dtype=object),
-                          "k": pd.Series(dtype=np.int32),
-                          "count": pd.Series(dtype=np.int64)})
+    cols = {"itemset": pd.Series(dtype=object),
+            "k": pd.Series(dtype=np.int32),
+            "count": pd.Series(dtype=np.int64)}
+    if with_turn_counts:
+        cols["turn_count"] = pd.Series(dtype=np.int64)
+    empty = pd.DataFrame(cols)
     if n == 0:
         return empty
+    conv_codes = conv_codes.astype(np.int64)
+    conv_turns = np.bincount(conv_codes) if with_turn_counts else None
     V = np.int64(len(item_vocab))
-    key = conv_codes.astype(np.int64) * V + item_codes.astype(np.int64)
+    key = conv_codes * V + item_codes.astype(np.int64)
     skey = np.sort(key, kind="stable")
     keep = np.ones(n, dtype=bool)
     keep[1:] = skey[1:] != skey[:-1]
@@ -118,23 +139,35 @@ def itemset_partials_from_codes(conv_codes: np.ndarray, item_codes: np.ndarray,
     lengths = np.diff(np.r_[starts, len(conv_s)]).astype(np.int64)
     tx_key = np.add.reduceat(splitmix64(item_s.astype(np.uint64)), starts) ^ \
         splitmix64(lengths.astype(np.uint64))
-    uniq, first, counts = np.unique(tx_key, return_index=True, return_counts=True)
+    uniq, first, inv, counts = np.unique(tx_key, return_index=True,
+                                         return_inverse=True, return_counts=True)
+    turn_w = None
+    if with_turn_counts:
+        # Σ raw turns of the convs sharing each distinct transaction
+        per_conv_turns = conv_turns[conv_s[starts]]
+        turn_w = np.bincount(inv, weights=per_conv_turns).astype(np.int64)
 
     transactions = [
         tuple(sorted(item_vocab[item_s[s:s + ln]]))
         for s, ln in zip(starts[first], lengths[first])
     ]
-    counter = expand_itemsets(transactions, counts, max_k, max_transaction_items)
+    counter = expand_itemsets(transactions, counts, max_k, max_transaction_items,
+                              turn_weights=turn_w)
     if not counter:
         return empty
     keys = list(counter.keys())
-    return pd.DataFrame(
-        {
-            "itemset": [ITEM_SEP.join(c) for c in keys],
-            "k": np.array([len(c) for c in keys], dtype=np.int32),
-            "count": np.fromiter(counter.values(), dtype=np.int64, count=len(keys)),
-        }
-    )
+    out = {
+        "itemset": [ITEM_SEP.join(c) for c in keys],
+        "k": np.array([len(c) for c in keys], dtype=np.int32),
+    }
+    if with_turn_counts:
+        vals = np.array(list(counter.values()), dtype=np.int64)
+        out["count"] = vals[:, 0]
+        out["turn_count"] = vals[:, 1]
+    else:
+        out["count"] = np.fromiter(counter.values(), dtype=np.int64,
+                                   count=len(keys))
+    return pd.DataFrame(out)
 
 
 def read_shard_codes(path: str, conv_col: str = "conv_id", role_col: str = "role",

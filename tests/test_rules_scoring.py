@@ -142,3 +142,20 @@ def test_best_rule_accepts_reference_metrics():
     assert top["antecedent"] in ("a", "b")
     top2 = best_rule(rules, "l_dist_ref")
     assert np.isfinite(top2["l_dist_ref"])
+
+
+def test_turn_weighted_supports_distinguish_freq_family(ray_session):
+    """With turn_support tracked, Qrul_freq uses Σ-turns (all_log_entries
+    analog) and genuinely differs from Qrul_count."""
+    import __ray_entry__ as e
+
+    sup = e.queries()["support_weighted"]("/root/testdata/sf0.001").to_pandas()
+    assert {"itemset", "k", "support", "turn_support"} <= set(sup.columns)
+    assert (sup["turn_support"] >= sup["support"]).all()
+    rules = rules_from_supports(sup, n_transactions=int(sup["support"].max()),
+                                min_support=2)
+    assert "support_ab_turns" in rules.columns
+    assert (rules["support_ab_turns"] >= rules["support_ab"]).all()
+    # freq family now differs from count family wherever turns > convs
+    differs = rules["Qrul_freq1"] != rules["Qrul_count1"]
+    assert differs.any()
