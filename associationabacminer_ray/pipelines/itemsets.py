@@ -326,6 +326,88 @@ def itemset_supports_partitioned(paths: list[str], mode: str = "sketch",
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def itemset_supports_apriori(paths: list[str], min_support: int,
+                             conv_col: str = "conv_id",
+                             max_transaction_items: int | None = 64,
+                             merge_buckets: int = 32):
+    """Apriori-pruned 3-itemset supports over conv-partitioned input.
+
+    Brute k=3 expansion is C(T,3) per transaction — the itemset-space
+    explosion the reference bounds with ``itemset_limit``. The Apriori
+    property (every subset of a frequent set is frequent) prunes it in
+    two passes:
+
+      pass 1: k ≤ 2 supports (shuffle-free partitioned pipeline)
+      pass 2: the frequent-pair hash set is broadcast (``ray.put``);
+              each shard expands ONLY triples whose three member pairs
+              are all frequent.
+
+    Returns (itemset, k, support) for k ≤ 3 with k=3 complete above
+    min_support (exactness of surviving counts tested vs brute force).
+    """
+    import itertools as _it
+
+    import ray
+
+    base = itemset_supports_partitioned(
+        paths, mode="exact", conv_col=conv_col, max_k=2,
+        max_transaction_items=max_transaction_items, min_support=1,
+        merge_buckets=merge_buckets).to_pandas()
+    freq_pairs = set(
+        base.loc[(base["k"] == 2) & (base["support"] >= min_support), "itemset"])
+    pairs_ref = ray.put(freq_pairs)
+
+    def shard_triples(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        from ..stages.transactionize import read_shard_codes
+
+        frequent = ray.get(pairs_ref)
+        counter: Counter = Counter()
+        for path in batch["path"]:
+            conv_codes, item_codes, item_vocab, _ = read_shard_codes(
+                path, conv_col=conv_col)
+            df = pd.DataFrame({"c": conv_codes, "i": item_codes}).drop_duplicates()
+            for _, grp in df.groupby("c", sort=False):
+                items = sorted(item_vocab[grp["i"].to_numpy()])
+                n = len(items)
+                if n < 3 or (max_transaction_items is not None
+                             and n > max_transaction_items):
+                    continue
+                # candidate triples: all three member pairs frequent
+                for a, b, c in _it.combinations(items, 3):
+                    if (f"{a}{ITEM_SEP}{b}" in frequent
+                            and f"{a}{ITEM_SEP}{c}" in frequent
+                            and f"{b}{ITEM_SEP}{c}" in frequent):
+                        counter[f"{a}{ITEM_SEP}{b}{ITEM_SEP}{c}"] += 1
+        if not counter:
+            return pd.DataFrame({"itemset": pd.Series(dtype=object),
+                                 "count": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"itemset": list(counter.keys()),
+                             "count": np.fromiter(counter.values(),
+                                                  dtype=np.int64,
+                                                  count=len(counter))})
+
+    import ray.data as rd
+
+    shards = rd.from_items([{"path": p} for p in paths])
+    partials = shards.map_batches(shard_triples, batch_format="pandas",
+                                  batch_size=1)
+    triples = sum_by_key_bucketed(partials, "itemset", "count", "support",
+                                  num_buckets=merge_buckets).to_pandas()
+    if len(triples):
+        triples = triples[triples["support"] >= min_support].copy()
+        triples["k"] = np.int32(3)
+    else:
+        triples = pd.DataFrame({"itemset": pd.Series(dtype=object),
+                                "support": pd.Series(dtype=np.int64),
+                                "k": pd.Series(dtype=np.int32)})
+    out = pd.concat(
+        [base[base["support"] >= min_support][["itemset", "k", "support"]],
+         triples[["itemset", "k", "support"]]], ignore_index=True)
+    return out
+
+
 def sketched_itemset_supports_checkpointed(
         input_files: list[str], ckpt_dir: str, conv_col: str = "conv_id",
         max_k: int = 2, num_buckets: int = 64,
