@@ -172,10 +172,24 @@ def reference_score_family(df, n_transactions: int, beta: float = 1.0):
     return df
 
 
-def score_columns(df, n_transactions: int, beta: float = 1.0):
+def score_columns(df, n_transactions: int, beta: float = 1.0,
+                  coverage_denominator: str = "transactions"):
     """Append the full score family to a rules DataFrame having columns
-    support_ab, support_a, support_b, n_antecedent, n_consequent."""
-    cov = coverage_rate(df["support_ab"], n_transactions)
+    support_ab, support_a, support_b, n_antecedent, n_consequent.
+
+    ``coverage_denominator`` mirrors the reference's pluggable
+    ``coverage_rate_method`` (src/EnvAbacRuleMiner.py:182-183):
+    "transactions" (unique-logs analog, default) or "turns" (all-logs
+    analog — numerator switches to support_ab_turns; requires the
+    turn-tracked supports and ``n_transactions`` given as total turns).
+    """
+    if coverage_denominator == "turns":
+        if "support_ab_turns" not in df.columns:
+            raise ValueError("turn-weighted coverage needs support_ab_turns "
+                             "(mine with with_turn_counts=True)")
+        cov = coverage_rate(df["support_ab_turns"], n_transactions)
+    else:
+        cov = coverage_rate(df["support_ab"], n_transactions)
     conf = confidence(df["support_ab"], df["support_a"])
     df["coverage"] = cov
     df["confidence"] = conf

@@ -133,6 +133,18 @@ def aggregate_scores(scores: pd.DataFrame, by: str = "config_hash") -> pd.DataFr
     return scores.groupby(by, sort=True)[num_cols].mean().reset_index()
 
 
+def roc_table(scores: pd.DataFrame, beta_col: str = "beta", x: str = "fpr",
+              y: str = "tpr") -> pd.DataFrame:
+    """ROC points sorted by beta with duplicate (fpr, tpr) points dropped
+    (ROCPrinter.py:22-82 semantics); feed to ``auc_points`` or CSV via
+    sources.io.write_small_result."""
+    cols = [c for c in (beta_col, x, y) if c in scores.columns]
+    out = scores[cols].drop_duplicates([x, y])
+    if beta_col in out.columns:
+        out = out.sort_values(beta_col)
+    return out.reset_index(drop=True)
+
+
 def auc_points(points: pd.DataFrame, x: str = "fpr", y: str = "tpr") -> float:
     """Trapezoid AUC over deduped, sorted (FPR, TPR) points, anchored at
     (0,0) and (1,1) (AUCPrinter.py:9-37)."""

@@ -99,12 +99,15 @@ def transactions(ds: Dataset, conv_col: str = "conv_id", num_buckets: int = 64) 
 def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 2,
                            num_buckets: int = 64, min_support: int = 1,
                            max_transaction_items: int | None = 64,
-                           min_support_frac: float | None = None) -> Dataset:
+                           min_support_frac: float | None = None,
+                           itemset_limit: int | None = None) -> Dataset:
     """(itemset, k, support) with support = #conversations containing the
     itemset. Exact analog of FP-growth counting at min_support.
     ``min_support_frac`` mirrors the reference's relative ``itemset_freq``
     knob (src/job/job_generator.py:114-136): the absolute threshold
-    becomes ``ceil(frac × n_transactions)``."""
+    becomes ``ceil(frac × n_transactions)``. ``itemset_limit`` mirrors
+    the count-threshold top-k (src/EnvAbacRuleMiner.py:234-247): keep
+    only the top-N itemsets by support (Ray-native sort + limit)."""
     if min_support_frac is not None:
         n_tx = (ds.map_batches(lambda b: b[[conv_col]].drop_duplicates(),
                                batch_format="pandas")
@@ -130,7 +133,11 @@ def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 
         out["support"] = out["support"].astype(np.int64)
         return out[["itemset", "k", "support"]]
 
-    return agg.map_batches(finish, batch_format="pandas")
+    out = agg.map_batches(finish, batch_format="pandas")
+    if itemset_limit is not None:
+        out = out.sort(["support", "itemset"],
+                       descending=[True, False]).limit(itemset_limit)
+    return out
 
 
 def _bucket_sketch_partials_fn(conv_col: str, max_k: int,

@@ -159,3 +159,44 @@ def test_turn_weighted_supports_distinguish_freq_family(ray_session):
     # freq family now differs from count family wherever turns > convs
     differs = rules["Qrul_freq1"] != rules["Qrul_count1"]
     assert differs.any()
+
+
+def test_itemset_limit_and_coverage_denominator(ray_session):
+    import ray.data as rd
+
+    from associationabacminer_ray.pipelines.itemsets import exact_itemset_supports
+    from associationabacminer_ray.sources.transcripts import synth_transcripts
+
+    tbl = synth_transcripts(400, seed=41)
+    limited = exact_itemset_supports(rd.from_arrow(tbl), max_k=2, num_buckets=8,
+                                     itemset_limit=10).to_pandas()
+    full = exact_itemset_supports(rd.from_arrow(tbl), max_k=2,
+                                  num_buckets=8).to_pandas()
+    assert len(limited) == 10
+    assert limited["support"].min() >= full["support"].nlargest(11).iloc[-1] - 1
+
+    # coverage denominator switch
+    sup = pd.DataFrame({"itemset": ["a", "b", "a|b"], "k": [1, 1, 2],
+                        "support": [10, 6, 5], "turn_support": [100, 60, 50]})
+    rules = rules_from_supports(sup, n_transactions=20)
+    turns_scored = S.score_columns(
+        rules[["antecedent", "consequent", "support_ab", "support_a",
+               "support_b", "n_antecedent", "n_consequent",
+               "support_ab_turns"]].copy(),
+        n_transactions=200, coverage_denominator="turns")
+    assert turns_scored["coverage"].iloc[0] == pytest.approx(50 / 200)
+    with pytest.raises(ValueError, match="turn-weighted"):
+        S.score_columns(rules.drop(columns=["support_ab_turns"]),
+                        n_transactions=200, coverage_denominator="turns")
+
+
+def test_roc_table():
+    from associationabacminer_ray.pipelines.evaluate import auc_points, roc_table
+
+    df = pd.DataFrame({"beta": [2.0, 1.0, 0.5, 1.5],
+                       "fpr": [0.3, 0.1, 0.1, 0.2],
+                       "tpr": [0.9, 0.6, 0.6, 0.8]})
+    roc = roc_table(df)
+    assert len(roc) == 3  # duplicate (0.1, 0.6) dropped
+    assert roc["beta"].is_monotonic_increasing
+    assert 0.5 < auc_points(roc) <= 1.0
