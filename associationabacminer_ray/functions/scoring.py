@@ -112,7 +112,8 @@ def wsc(n_antecedent_items, n_consequent_items, w_antecedent: float = 1.0,
             + w_consequent * np.asarray(n_consequent_items, dtype=np.float64))
 
 
-def reference_score_family(df, n_transactions: int, beta: float = 1.0):
+def reference_score_family(df, n_transactions: int, beta: float = 1.0,
+                           cov_override=None):
     """The reference's FULL per-rule score family with its exact formulas
     (``EnvOverassignmentCalculator.py:140-163``), on transplanted
     quantities (SURVEY §7.0):
@@ -145,7 +146,10 @@ def reference_score_family(df, n_transactions: int, beta: float = 1.0):
     over_total = np.maximum(allowed - unique, 0.0)
     over_rate = over_total / n
     overR = 1.0 - over_rate
-    covR = unique / n
+    # the pluggable coverage_rate feeds the family directly (reference
+    # :143-156); over_rate/l_dist stay conversation-denominated
+    covR = (np.asarray(cov_override, dtype=np.float64)
+            if cov_override is not None else unique / n)
     b2 = beta * beta
 
     denom = b2 * overR + covR
@@ -173,21 +177,29 @@ def reference_score_family(df, n_transactions: int, beta: float = 1.0):
 
 
 def score_columns(df, n_transactions: int, beta: float = 1.0,
-                  coverage_denominator: str = "transactions"):
+                  coverage_denominator: str = "transactions",
+                  total_turns: int | None = None):
     """Append the full score family to a rules DataFrame having columns
     support_ab, support_a, support_b, n_antecedent, n_consequent.
 
     ``coverage_denominator`` mirrors the reference's pluggable
     ``coverage_rate_method`` (src/EnvAbacRuleMiner.py:182-183):
     "transactions" (unique-logs analog, default) or "turns" (all-logs
-    analog — numerator switches to support_ab_turns; requires the
-    turn-tracked supports and ``n_transactions`` given as total turns).
+    analog: coverage = support_ab_turns / total_turns — requires
+    turn-tracked supports AND ``total_turns``). The switched coverage
+    feeds the WHOLE score family (the reference pipes its pluggable
+    coverage_rate straight into the harmonic/arithmetic means,
+    EnvOverassignmentCalculator.py:143-156); everything conversation-
+    denominated (confidence, lift, over_rate) stays on
+    ``n_transactions`` so units never mix.
     """
     if coverage_denominator == "turns":
         if "support_ab_turns" not in df.columns:
             raise ValueError("turn-weighted coverage needs support_ab_turns "
                              "(mine with with_turn_counts=True)")
-        cov = coverage_rate(df["support_ab_turns"], n_transactions)
+        if total_turns is None:
+            raise ValueError("coverage_denominator='turns' needs total_turns")
+        cov = coverage_rate(df["support_ab_turns"], total_turns)
     else:
         cov = coverage_rate(df["support_ab"], n_transactions)
     conf = confidence(df["support_ab"], df["support_a"])
@@ -199,7 +211,7 @@ def score_columns(df, n_transactions: int, beta: float = 1.0,
     df["product"] = product_score(cov, conf)
     df["l_dist"] = l_dist(cov, conf)
     df["wsc"] = wsc(df["n_antecedent"], df["n_consequent"])
-    df = reference_score_family(df, n_transactions, beta)
+    df = reference_score_family(df, n_transactions, beta, cov_override=cov)
     return df
 
 

@@ -134,14 +134,26 @@ def aggregate_scores(scores: pd.DataFrame, by: str = "config_hash") -> pd.DataFr
 
 
 def roc_table(scores: pd.DataFrame, beta_col: str = "beta", x: str = "fpr",
-              y: str = "tpr") -> pd.DataFrame:
+              y: str | None = None) -> pd.DataFrame:
     """ROC points sorted by beta with duplicate (fpr, tpr) points dropped
     (ROCPrinter.py:22-82 semantics); feed to ``auc_points`` or CSV via
-    sources.io.write_small_result."""
-    cols = [c for c in (beta_col, x, y) if c in scores.columns]
-    out = scores[cols].drop_duplicates([x, y])
+    sources.io.write_small_result.
+
+    ``y`` defaults to "tpr" when present else "recall" (what
+    ``score_policy`` emits). Missing x/y raise a clear error. Duplicate
+    points keep the SMALLEST beta (sort-then-dedup → deterministic
+    regardless of input row order)."""
+    if y is None:
+        y = "tpr" if "tpr" in scores.columns else "recall"
+    missing = [c for c in (x, y) if c not in scores.columns]
+    if missing:
+        raise ValueError(f"roc_table: missing column(s) {missing}; "
+                         f"available: {list(scores.columns)}")
+    cols = ([beta_col] if beta_col in scores.columns else []) + [x, y]
+    out = scores[cols]
     if beta_col in out.columns:
-        out = out.sort_values(beta_col)
+        out = out.sort_values(beta_col, kind="mergesort")
+    out = out.drop_duplicates([x, y])
     return out.reset_index(drop=True)
 
 

@@ -134,7 +134,9 @@ def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 
         return out[["itemset", "k", "support"]]
 
     out = agg.map_batches(finish, batch_format="pandas")
-    if itemset_limit is not None:
+    # reference gate is `itemset_limit > 0` (src/EnvAbacRuleMiner.py:234-247):
+    # 0/None both mean "no cap"
+    if itemset_limit is not None and itemset_limit > 0:
         out = out.sort(["support", "itemset"],
                        descending=[True, False]).limit(itemset_limit)
     return out

@@ -96,7 +96,9 @@ def policy_constraint_summary(rules: pd.DataFrame) -> pd.DataFrame:
 
 def rules_from_supports(supports: pd.DataFrame, n_transactions: int,
                         min_support: int = 1, beta: float = 1.0,
-                        max_consequent: int | None = 1) -> pd.DataFrame:
+                        max_consequent: int | None = 1,
+                        coverage_denominator: str = "transactions",
+                        total_turns: int | None = None) -> pd.DataFrame:
     """Expand a (itemset, k, support) table into scored rules.
 
     The supports table is the *post-aggregation* small side (bounded by
@@ -143,7 +145,9 @@ def rules_from_supports(supports: pd.DataFrame, n_transactions: int,
         for c in ("support_ab", "support_a", "support_b") + (
                 ("support_ab_turns",) if has_turns else ()):
             df[c] = df[c].astype(np.int64)
-        df = score_columns(df, n_transactions, beta)
+        df = score_columns(df, n_transactions, beta,
+                           coverage_denominator=coverage_denominator,
+                           total_turns=total_turns)
         df = df.sort_values(["cscore", "antecedent", "consequent"],
                             ascending=[False, True, True], kind="mergesort")
         df = df.reset_index(drop=True)
@@ -152,7 +156,9 @@ def rules_from_supports(supports: pd.DataFrame, n_transactions: int,
 
 def rules_from_supports_ray(supports_ds, n_transactions: int,
                             min_support: int = 1, beta: float = 1.0,
-                            max_consequent: int | None = 1):
+                            max_consequent: int | None = 1,
+                            coverage_denominator: str = "transactions",
+                            total_turns: int | None = None):
     """Distributed rule expansion + scoring: the supports table stays a
     Dataset; the antecedent/consequent lookup map is broadcast once via
     ``ray.put`` (bounded by the min_support/top-k pruning — the
@@ -211,7 +217,9 @@ def rules_from_supports_ray(supports_ds, n_transactions: int,
             cols.append("support_ab_turns")
         out = pd.DataFrame(rows, columns=cols)
         if len(out):
-            out = score_columns(out, n_transactions, beta)
+            out = score_columns(out, n_transactions, beta,
+                                coverage_denominator=coverage_denominator,
+                                total_turns=total_turns)
         return out
 
     return ds.map_batches(expand, batch_format="pandas")

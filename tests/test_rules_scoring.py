@@ -175,19 +175,33 @@ def test_itemset_limit_and_coverage_denominator(ray_session):
     assert len(limited) == 10
     assert limited["support"].min() >= full["support"].nlargest(11).iloc[-1] - 1
 
-    # coverage denominator switch
+    # coverage denominator switch — threaded through rules_from_supports;
+    # conversation-denominated metrics keep conv units (no unit mixing)
     sup = pd.DataFrame({"itemset": ["a", "b", "a|b"], "k": [1, 1, 2],
                         "support": [10, 6, 5], "turn_support": [100, 60, 50]})
-    rules = rules_from_supports(sup, n_transactions=20)
-    turns_scored = S.score_columns(
-        rules[["antecedent", "consequent", "support_ab", "support_a",
-               "support_b", "n_antecedent", "n_consequent",
-               "support_ab_turns"]].copy(),
-        n_transactions=200, coverage_denominator="turns")
-    assert turns_scored["coverage"].iloc[0] == pytest.approx(50 / 200)
+    turns_rules = rules_from_supports(sup, n_transactions=20,
+                                      coverage_denominator="turns",
+                                      total_turns=200)
+    conv_rules = rules_from_supports(sup, n_transactions=20)
+    row_t = turns_rules.set_index(["antecedent", "consequent"]).loc[("a", "b")]
+    row_c = conv_rules.set_index(["antecedent", "consequent"]).loc[("a", "b")]
+    assert row_t["coverage"] == pytest.approx(50 / 200)
+    # the switched coverage feeds the whole family (reference :143-156)
+    overR = 1 - (10 - 5) / 20
+    covR = 50 / 200
+    assert row_t["harmonic_mean"] == pytest.approx(
+        2 * overR * covR / (overR + covR))
+    # conv-denominated metrics unchanged: no unit mixing
+    assert row_t["lift"] == row_c["lift"]
+    assert row_t["confidence"] == row_c["confidence"]
+    assert row_t["l_dist_ref"] == row_c["l_dist_ref"]
+    with pytest.raises(ValueError, match="total_turns"):
+        S.score_columns(turns_rules.copy(), n_transactions=20,
+                        coverage_denominator="turns")
+    no_turns = conv_rules.drop(columns=["support_ab_turns"])
     with pytest.raises(ValueError, match="turn-weighted"):
-        S.score_columns(rules.drop(columns=["support_ab_turns"]),
-                        n_transactions=200, coverage_denominator="turns")
+        S.score_columns(no_turns, n_transactions=20,
+                        coverage_denominator="turns", total_turns=200)
 
 
 def test_roc_table():
@@ -199,4 +213,27 @@ def test_roc_table():
     roc = roc_table(df)
     assert len(roc) == 3  # duplicate (0.1, 0.6) dropped
     assert roc["beta"].is_monotonic_increasing
+    # deterministic representative: smallest beta wins regardless of order
+    assert roc.loc[(roc["fpr"] == 0.1), "beta"].iloc[0] == 0.5
+    rev = roc_table(df.iloc[::-1].reset_index(drop=True))
+    pd.testing.assert_frame_equal(roc, rev)
     assert 0.5 < auc_points(roc) <= 1.0
+    # y falls back to "recall" (score_policy output); missing cols raise
+    df2 = df.rename(columns={"tpr": "recall"})
+    assert "recall" in roc_table(df2).columns
+    with pytest.raises(ValueError, match="missing column"):
+        roc_table(pd.DataFrame({"beta": [1.0]}))
+
+
+def test_itemset_limit_zero_means_no_cap(ray_session):
+    import ray.data as rd
+
+    from associationabacminer_ray.pipelines.itemsets import exact_itemset_supports
+    from associationabacminer_ray.sources.transcripts import synth_transcripts
+
+    tbl = synth_transcripts(200, seed=43)
+    capped = exact_itemset_supports(rd.from_arrow(tbl), max_k=1, num_buckets=4,
+                                    itemset_limit=0).to_pandas()
+    full = exact_itemset_supports(rd.from_arrow(tbl), max_k=1,
+                                  num_buckets=4).to_pandas()
+    assert len(capped) == len(full)  # 0 = disabled, matching the reference gate
