@@ -61,8 +61,10 @@ def cmd_supports(args) -> None:
             max_k=args.max_k)
         import pandas as pd
 
+        from .stages.transactionize import ITEM_SEP
+
         out = pd.DataFrame(
-            [(k, k.count("|") + 1, c, e) for k, c, e in res["topk"].top()],
+            [(k, k.count(ITEM_SEP) + 1, c, e) for k, c, e in res["topk"].top()],
             columns=["itemset", "k", "support_est", "err_bound"])
     else:
         out = exact_itemset_supports(

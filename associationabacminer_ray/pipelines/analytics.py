@@ -289,7 +289,8 @@ def q_sessions(sf_dir: str):
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        ts_us = g["ts"].astype("int64")
+        ts_us = pd.Series(g["ts"].to_numpy().astype("datetime64[us]")
+                          .astype(np.int64), index=g.index)
         new_session = (
             (g["user_id"] != g["user_id"].shift())
             | ((ts_us - ts_us.shift()) > GAP_US)

@@ -50,16 +50,19 @@ def policy_allows(transactions: pd.DataFrame, rules: pd.DataFrame) -> np.ndarray
 
 
 def score_policy(opr_transactions: pd.DataFrame, rules: pd.DataFrame,
-                 universe_total: int | None = None) -> dict:
+                 universe_total: int | None = None,
+                 universe_transactions: pd.DataFrame | None = None) -> dict:
     """Confusion-matrix scoring of a mined policy on the operation window.
 
-    TP = exercised & allowed; FN = exercised & denied. FP/TN need the
-    allowed-universe size: ``uPos`` here is the number of DISTINCT
-    transactions the policy would allow out of ``universe_total``
-    possible (the reference enumerates + SHA-hashes the allowed universe,
-    :79-169; we take the closed-form small-scale equivalent and leave
-    the HLL path to the sketch pipelines). Degenerate-case overrides
-    mirror :231-244.
+    TP = exercised & allowed; FN = exercised & denied. False positives
+    need an allowed-universe: ``universe_transactions`` (e.g. the obs
+    window's distinct transactions ∪ opr — what the reference's
+    enumerated uPos universe stands for, :79-169) — uPos = #distinct
+    universe transactions the policy allows, uFP = uPos − uTP. Without
+    a universe, uPos degenerates to uTP (precision trivially 1 at pure
+    window scale — documented). ``universe_total`` is the
+    total-possible-priv-states denominator for TN/accuracy.
+    Degenerate-case overrides mirror :231-244.
     """
     n = len(opr_transactions)
     allowed = policy_allows(opr_transactions, rules)
@@ -68,8 +71,14 @@ def score_policy(opr_transactions: pd.DataFrame, rules: pd.DataFrame,
     uniq = opr_transactions.assign(_allowed=allowed).drop_duplicates("items")
     u_tp = int(uniq["_allowed"].sum())
     u_fn = int(len(uniq) - u_tp)
-    total = universe_total if universe_total is not None else len(uniq)
-    u_pos = u_tp  # at window scale: allowed-and-observed distinct transactions
+    if universe_transactions is not None:
+        universe = universe_transactions.drop_duplicates("items")
+        u_pos = int(policy_allows(universe, rules).sum())
+        default_total = len(universe)
+    else:
+        u_pos = u_tp  # window-scale degeneracy: precision trivially 1
+        default_total = len(uniq)
+    total = universe_total if universe_total is not None else default_total
     u_fp = max(0, u_pos - u_tp)
     u_tn = max(0, total - (u_tp + u_fn + u_fp))
 

@@ -88,7 +88,11 @@ def run_one_job(transcripts_path, job: Job) -> dict:
     opr = read_window(transcripts_path, job.window, "opr",
                       columns=["conv_id", "role", "tool"])
     opr_tx = transactions(opr, num_buckets=cfg.num_buckets).to_pandas()
-    scores = score_policy(opr_tx, rules)
+    # allowed-universe = obs ∪ opr distinct transactions (the enumerated
+    # uPos analog) so false positives are measurable
+    universe = pd.concat([obs_tx[["items"]], opr_tx[["items"]]],
+                         ignore_index=True)
+    scores = score_policy(opr_tx, rules, universe_transactions=universe)
     scores.update({"job_id": job.job_id, "config_hash": cfg.hash,
                    "window_id": job.window.window_id})
     return scores

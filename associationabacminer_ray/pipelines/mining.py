@@ -39,8 +39,11 @@ def mine_window(transcripts_path: str, spec: WindowSpec, mode: str = "exact",
     t0 = time.perf_counter()
     ds = read_window(transcripts_path, spec, "obs",
                      columns=["conv_id", "role", "tool"])
-    tx = transactions(ds, num_buckets=num_buckets).to_pandas()
-    n_tx = len(tx)
+    if mode == "sketch" and not greedy:
+        n_tx = 0  # the sketch result carries its own transaction count
+    else:
+        tx = transactions(ds, num_buckets=num_buckets).to_pandas()
+        n_tx = len(tx)
     if greedy:
         policy = greedy_cover(tx, n_transactions=n_tx, metric=metric,
                               max_rounds=max_rounds, min_support=min_support,
@@ -49,8 +52,10 @@ def mine_window(transcripts_path: str, spec: WindowSpec, mode: str = "exact",
     else:
         if mode == "sketch":
             sk = sketched_itemset_supports(ds, max_k=max_k, num_buckets=num_buckets)
+            from ..stages.transactionize import ITEM_SEP
+
             supports = pd.DataFrame(
-                [(k, k.count("|") + 1, c) for k, c, _ in sk["topk"].top()],
+                [(k, k.count(ITEM_SEP) + 1, c) for k, c, _ in sk["topk"].top()],
                 columns=["itemset", "k", "support"],
             )
             n_tx = sk["n_transactions"]

@@ -53,10 +53,13 @@ def extract_constant_items(supports: pd.DataFrame,
     pruned["itemset"] = pruned["itemset"].map(prune)
     pruned = pruned[pruned["itemset"] != ""]
     # identical pruned itemsets: keep the max support (the subset without
-    # the constant has the same support as with it, by definition)
-    pruned = (pruned.groupby("itemset", as_index=False)["support"].max())
+    # the constant has the same support as with it, by definition);
+    # turn_support (when tracked) follows the same rule
+    value_cols = ["support"] + (["turn_support"]
+                                if "turn_support" in pruned.columns else [])
+    pruned = pruned.groupby("itemset", as_index=False)[value_cols].max()
     pruned["k"] = (pruned["itemset"].str.count("\\" + ITEM_SEP) + 1).astype("int32")
-    return pruned[["itemset", "k", "support"]], constants
+    return pruned[["itemset", "k"] + value_cols], constants
 
 
 def reinject_constant_items(rules: pd.DataFrame, constants: list[str]) -> pd.DataFrame:

@@ -155,6 +155,8 @@ def q_policy_scores(sf_dir: str) -> pd.DataFrame:
                                 min_support=2).head(20)
     opr = read_window(paths, spec, "opr", columns=["conv_id", "role", "tool"])
     opr_tx = tx_pipeline(opr, num_buckets=8).to_pandas()
-    scores = score_policy(opr_tx, rules)
+    universe = pd.concat([obs_tx[["items"]], opr_tx[["items"]]],
+                         ignore_index=True)
+    scores = score_policy(opr_tx, rules, universe_transactions=universe)
     scores["window_id"] = spec.window_id
     return pd.DataFrame([scores])

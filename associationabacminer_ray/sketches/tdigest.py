@@ -48,11 +48,12 @@ class TDigest(Sketch):
     # -- update --------------------------------------------------------
     def update(self, values, weights=None) -> "TDigest":
         v = np.asarray(values, dtype=np.float64).ravel()
-        v = v[~np.isnan(v)]
+        mask = ~np.isnan(v)
+        v = v[mask]
         if v.size == 0:
             return self
         w = (np.ones_like(v) if weights is None
-             else np.asarray(weights, dtype=np.float64).ravel())
+             else np.asarray(weights, dtype=np.float64).ravel()[mask])
         self.vmin = min(self.vmin, float(v.min()))
         self.vmax = max(self.vmax, float(v.max()))
         self._buf_vals.append(v)

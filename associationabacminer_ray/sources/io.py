@@ -61,34 +61,47 @@ def read_transcripts(paths, fmt: str = "parquet",
 def write_partitioned(ds, out_dir: str, partition_col: str,
                       existing_ok: bool = True) -> list[str]:
     """Write one sub-directory per value of ``partition_col`` with a
-    manifest; partitions already in the manifest are skipped (resume)."""
+    manifest; partitions already in the manifest are skipped (resume).
+
+    Single data pass: already-done values are filtered out in one
+    ``map_batches``, then one ``groupby(partition_col)`` shuffle routes
+    each partition to a task that writes its directory atomically
+    (tmp + rename inside the task). On a multi-node cluster ``out_dir``
+    must be shared storage (the usual sink contract)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_manifest.json")
     done: set[str] = set()
     if existing_ok and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             done = set(json.load(f))
-    written = []
-    values = ds.unique(partition_col)
-    for value in sorted(values):
-        key = str(value)
-        if key in done:
-            continue
-        part_dir = os.path.join(out_dir, f"{partition_col}={key}")
-        tmp_dir = part_dir + ".tmp"
-        sub = ds.map_batches(
-            lambda b, v=value: b[b[partition_col] == v], batch_format="pandas")
-        sub.write_parquet(tmp_dir)
+    if done:
+        ds = ds.map_batches(
+            lambda b: b[~b[partition_col].astype(str).isin(done)],
+            batch_format="pandas")
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        import uuid
+
+        value = str(g[partition_col].iloc[0])
+        part_dir = os.path.join(out_dir, f"{partition_col}={value}")
+        tmp_dir = part_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        g.to_parquet(os.path.join(tmp_dir, "part-0.parquet"), index=False)
         if os.path.exists(part_dir):
             import shutil
 
             shutil.rmtree(part_dir)
         os.replace(tmp_dir, part_dir)
-        done.add(key)
-        with open(manifest_path, "w") as f:
-            json.dump(sorted(done), f)
-        written.append(part_dir)
-    return written
+        return pd.DataFrame({partition_col: [value]})
+
+    res = (ds.groupby(partition_col)
+           .map_groups(write_group, batch_format="pandas").to_pandas())
+    written_vals = (sorted(res[partition_col].astype(str))
+                    if len(res) and partition_col in res.columns else [])
+    done.update(written_vals)
+    with open(manifest_path, "w") as f:
+        json.dump(sorted(done), f)
+    return [os.path.join(out_dir, f"{partition_col}={v}") for v in written_vals]
 
 
 def write_small_result(df: pd.DataFrame, path: str) -> str:

@@ -144,13 +144,17 @@ class CategoricalItemSketchUpdater:
 
     @staticmethod
     def _codes(col) -> tuple[np.ndarray, np.ndarray]:
+        import pyarrow.compute as pc
+
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if not pa.types.is_dictionary(arr.type):
-            import pyarrow.compute as pc
-
             arr = pc.dictionary_encode(arr)
-        return (arr.indices.to_numpy(zero_copy_only=False),
-                arr.dictionary.to_numpy(zero_copy_only=False).astype(object))
+        vocab = arr.dictionary.to_numpy(zero_copy_only=False).astype(object)
+        indices = arr.indices
+        if indices.null_count:  # nulls live in the indices, not the vocab
+            indices = pc.fill_null(indices, len(vocab))
+            vocab = np.append(vocab, "NONE")
+        return indices.to_numpy(zero_copy_only=False).astype(np.int64), vocab
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         from ..sketches import CountMinSketch, HyperLogLog, SpaceSaving

@@ -80,7 +80,10 @@ class StreamingSessionizer:
         for batch in ds.sort(ts_col).iter_batches(batch_size=32768,
                                                   batch_format="pandas"):
             keys = batch[key_col].to_numpy()
-            ts_us = pd.to_datetime(batch[ts_col]).astype("int64").to_numpy()
+            # explicit unit: ns-typed frames would otherwise make gap_us
+            # compare microseconds against nanoseconds (1000x over-split)
+            ts_us = (pd.to_datetime(batch[ts_col]).to_numpy()
+                     .astype("datetime64[us]").astype(np.int64))
             buckets = (hash_any(keys) % np.uint64(self.num_buckets)).astype(int)
             pending = []
             for b in range(self.num_buckets):

@@ -188,9 +188,19 @@ def read_shard_codes(path: str, conv_col: str = "conv_id", role_col: str = "role
         if not isinstance(arr, pa.DictionaryArray):
             arr = arr.dictionary_encode()
         vocab = arr.dictionary.to_numpy(zero_copy_only=False).astype(object)
-        return arr.indices.to_numpy(zero_copy_only=False), vocab
+        # nulls live in the INDICES (not the vocab): a raw to_numpy gives
+        # NaN → astype(int64) garbage. Map nulls to an appended None slot
+        # so the vocab-level NONE normalization handles them.
+        import pyarrow.compute as pc_
+
+        indices = arr.indices
+        if indices.null_count:
+            indices = pc_.fill_null(indices, len(vocab))
+            vocab = np.append(vocab, None)
+        return indices.to_numpy(zero_copy_only=False).astype(np.int64), vocab
 
     conv_codes, conv_vocab = codes_and_vocab(conv_col)
+    conv_vocab = np.where(pd.isna(conv_vocab), "NONE", conv_vocab)
     r_codes, r_vocab = codes_and_vocab(role_col)
     t_codes, t_vocab = codes_and_vocab(tool_col)
     r_vocab = np.where(pd.isna(r_vocab) | (r_vocab == ""), "NONE", r_vocab)

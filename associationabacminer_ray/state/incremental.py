@@ -32,7 +32,9 @@ from .checkpoint import completed_partitions, config_hash, write_partition
 
 
 def _day_id(day: datetime) -> int:
-    return int(day.timestamp() // 86_400)
+    # calendar-date ordinal: timezone/DST-proof (epoch//86400 collides
+    # two calendar days on DST spring-forward and varies by host TZ)
+    return day.toordinal()
 
 
 def add_conv_day(batch: pd.DataFrame) -> pd.DataFrame:

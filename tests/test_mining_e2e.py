@@ -97,3 +97,65 @@ class TestEmptyWindow:
         res = mine_window(corpus, self.EMPTY, **kw)
         assert res["n_transactions"] == 0
         assert res["n_rules"] == 0
+
+
+class TestNullRoleTool:
+    def test_partitioned_path_handles_nulls(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from associationabacminer_ray.pipelines.itemsets import (
+            exact_itemset_supports,
+            itemset_supports_partitioned,
+        )
+
+        tbl = pa.table({
+            "conv_id": ["c1", "c1", "c2", "c3"],
+            "role": ["user", None, "user", "tool"],
+            "tool": [None, "t1", "", "t2"],
+        })
+        path = str(tmp_path / "nulls.parquet")
+        pq.write_table(tbl, path)
+        got = itemset_supports_partitioned([path], mode="exact", max_k=2,
+                                           max_transaction_items=None).to_pandas()
+        want = exact_itemset_supports(rd.read_parquet(path), max_k=2,
+                                      num_buckets=4,
+                                      max_transaction_items=None).to_pandas()
+        g = got.sort_values("itemset").reset_index(drop=True)
+        w = want.sort_values("itemset").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w[g.columns])
+        assert any("NONE" in i for i in g["itemset"])
+
+    def test_categorical_updater_handles_nulls(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from associationabacminer_ray.stages.sketch_update import (
+            CategoricalItemSketchUpdater,
+            merge_sketch_partials,
+        )
+
+        tbl = pa.table({
+            "conv_id": ["c1", "c2", "c3"],
+            "role": ["user", None, "tool"],
+            "tool": [None, "t1", "t2"],
+        })
+        merged = merge_sketch_partials(
+            rd.from_arrow(tbl).map_batches(CategoricalItemSketchUpdater(),
+                                           batch_format="pyarrow"))
+        keys = [k for k, _, _ in merged["item_topk"].top()]
+        assert "user=NONE" in keys and "NONE=t1" in keys
+
+
+def test_score_policy_false_positives_with_universe():
+    from associationabacminer_ray.pipelines.evaluate import score_policy
+
+    opr = pd.DataFrame({"conv_id": ["c1", "c2"], "items": ["a,b", "c"]})
+    universe = pd.DataFrame({"items": ["a,b", "c", "a,b,d", "a,b,e"]})
+    rules = pd.DataFrame({"antecedent": ["a"], "consequent": ["b"]})
+    s = score_policy(opr, rules, universe_transactions=universe)
+    # the policy allows 3 universe transactions but only 1 was exercised
+    assert s["u_tp"] == 1 and s["u_fp"] == 2
+    assert s["precision"] == pytest.approx(1 / 3)
+    assert s["fpr"] > 0
