@@ -74,8 +74,34 @@ def hash_ints(values, seed: int = 0) -> np.ndarray:
     return h
 
 
+def null_marker_hash(seed: int = 0) -> np.uint64:
+    """The hash of a NULL value — identical across the int and string
+    paths so a value's hash never depends on its block's null pattern."""
+    return hash_strings(np.array([None], dtype=object), seed)[0]
+
+
 def hash_any(values, seed: int = 0) -> np.ndarray:
-    """Dispatch: integer dtypes → hash_ints, everything else → hash_strings."""
+    """Dispatch: integer dtypes → hash_ints, everything else →
+    hash_strings. BLOCK-INVARIANT under nulls: an Arrow integer column
+    containing nulls would otherwise convert to float64 (corrupting
+    hashes > 2^53 and flipping the dispatch); nulls are masked out,
+    non-null values hash on the integer path, and null slots get the
+    shared null-marker hash."""
+    try:
+        import pyarrow as pa
+
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if isinstance(values, pa.Array) and pa.types.is_integer(values.type):
+            if values.null_count:
+                mask = values.is_null().to_numpy(zero_copy_only=False)
+                filled = values.fill_null(0).to_numpy(zero_copy_only=False)
+                out = hash_ints(filled, seed)
+                out[mask] = null_marker_hash(seed)
+                return out
+            return hash_ints(values.to_numpy(zero_copy_only=False), seed)
+    except ImportError:  # pragma: no cover
+        pass
     arr = _to_object_ndarray(values)
     if isinstance(arr, np.ndarray) and arr.dtype.kind in "iu":
         return hash_ints(arr, seed)

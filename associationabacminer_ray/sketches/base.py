@@ -35,6 +35,15 @@ _REGISTRY: dict[bytes, type["Sketch"]] = {}
 class Sketch:
     MAGIC: ClassVar[bytes] = b"????"
     VERSION: ClassVar[int] = 1
+    # numpy-array attributes that in-place ops mutate; deserialized
+    # object-store buffers are read-only, so guard before mutating
+    WRITABLE_ARRAYS: ClassVar[tuple[str, ...]] = ()
+
+    def _writable(self) -> None:
+        for name in self.WRITABLE_ARRAYS:
+            arr = getattr(self, name)
+            if not arr.flags.writeable:
+                setattr(self, name, arr.copy())
 
     # --- subclass API -------------------------------------------------
     def merge(self, other: "Sketch") -> "Sketch":  # pragma: no cover

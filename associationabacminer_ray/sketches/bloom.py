@@ -23,9 +23,13 @@ U64 = np.uint64
 
 class BloomFilter(Sketch):
     MAGIC = b"BLM1"
+    VERSION = 2  # v2: seed packed as signed 64-bit (was unsigned 32)
+    WRITABLE_ARRAYS = ("words",)
 
     def __init__(self, num_bits: int = 1 << 20, num_hashes: int = 5, seed: int = 11,
                  words: np.ndarray | None = None, count: int = 0):
+        if num_bits <= 0 or num_hashes <= 0:
+            raise ValueError("num_bits and num_hashes must be positive")
         if num_bits % 64:
             num_bits = ((num_bits // 64) + 1) * 64
         self.num_bits = int(num_bits)
@@ -48,12 +52,6 @@ class BloomFilter(Sketch):
         for i in range(self.num_hashes):
             pos = mix_with_seed(h, self.seed * 2654435761 + i) % nb
             yield (pos >> U64(6)).astype(np.int64), (U64(1) << (pos & U64(63)))
-
-    def _writable(self) -> None:
-        # sketches deserialized from Ray's object store carry zero-copy
-        # read-only buffers; in-place ops need an owned copy
-        if not self.words.flags.writeable:
-            self.words = self.words.copy()
 
     def add_hashed(self, hashes: np.ndarray) -> "BloomFilter":
         self._writable()
@@ -84,12 +82,12 @@ class BloomFilter(Sketch):
         return self
 
     def _payload(self) -> bytes:
-        head = struct.pack("<QIIq", self.num_bits, self.num_hashes, self.seed, self.count)
+        head = struct.pack("<QIqq", self.num_bits, self.num_hashes, self.seed, self.count)
         return head + np.ascontiguousarray(self.words).tobytes()
 
     @classmethod
     def _from_payload(cls, payload: bytes) -> "BloomFilter":
-        num_bits, k, seed, count = struct.unpack_from("<QIIq", payload)
-        off = struct.calcsize("<QIIq")
+        num_bits, k, seed, count = struct.unpack_from("<QIqq", payload)
+        off = struct.calcsize("<QIqq")
         words = np.frombuffer(payload, dtype=np.uint64, offset=off, count=num_bits // 64).copy()
         return cls(num_bits=num_bits, num_hashes=k, seed=seed, words=words, count=count)

@@ -23,6 +23,7 @@ U64 = np.uint64
 
 class CountMinSketch(Sketch):
     MAGIC = b"CMS1"
+    WRITABLE_ARRAYS = ("table",)
 
     def __init__(self, width: int = 1 << 15, depth: int = 4, seed: int = 7,
                  table: np.ndarray | None = None):
@@ -57,12 +58,6 @@ class CountMinSketch(Sketch):
         w = U64(self.width)
         for i in range(self.depth):
             yield i, (mix_with_seed(h, self.seed * 1315423911 + i) % w).astype(np.int64)
-
-    def _writable(self) -> None:
-        # sketches deserialized from Ray's object store carry zero-copy
-        # read-only buffers; in-place ops need an owned copy
-        if not self.table.flags.writeable:
-            self.table = self.table.copy()
 
     def update_hashed(self, hashes: np.ndarray, counts: np.ndarray | None = None) -> "CountMinSketch":
         self._writable()

@@ -37,6 +37,7 @@ def _clz64(x: np.ndarray) -> np.ndarray:
 
 class HyperLogLog(Sketch):
     MAGIC = b"HLL1"
+    WRITABLE_ARRAYS = ("registers",)
 
     def __init__(self, p: int = 14, registers: np.ndarray | None = None):
         if not 4 <= p <= 18:
@@ -50,12 +51,6 @@ class HyperLogLog(Sketch):
     @property
     def relative_error(self) -> float:
         return 1.04 / np.sqrt(self.m)
-
-    def _writable(self) -> None:
-        # sketches deserialized from Ray's object store carry zero-copy
-        # read-only buffers; in-place ops need an owned copy
-        if not self.registers.flags.writeable:
-            self.registers = self.registers.copy()
 
     def update_hashed(self, hashes: np.ndarray) -> "HyperLogLog":
         h = np.asarray(hashes, dtype=np.uint64)

@@ -67,18 +67,17 @@ class KLL(Sketch):
         items = sorted(self.levels[l])
         keep_start = self.parity[l] & 1
         self.parity[l] ^= 1
-        promoted = items[keep_start::2]
-        # odd count: one item has no pair partner — retain it at this level
-        leftover = [] if len(items) % 2 == 0 else [items[-1] if keep_start else items[0]]
-        # when promoting the even-indexed half of an odd-length list the last
-        # item is unpaired; drop it from the promotion and keep it local
-        if len(items) % 2 == 1:
-            if keep_start == 0:
-                promoted = items[0::2][:-1]
-                leftover = [items[-1]]
-            else:
-                promoted = items[1::2]
-                leftover = [items[0]]
+        if len(items) % 2 == 0:
+            promoted = items[keep_start::2]
+            leftover: list[float] = []
+        elif keep_start == 0:
+            # even-parity pick on odd length: last item is unpaired — keep it
+            promoted = items[0::2][:-1]
+            leftover = [items[-1]]
+        else:
+            # odd-parity pick on odd length: first item is unpaired — keep it
+            promoted = items[1::2]
+            leftover = [items[0]]
         self.levels[l] = leftover
         if l + 1 == len(self.levels):
             self.levels.append([])

@@ -131,11 +131,17 @@ class TDigest(Sketch):
     # -- merge / serialize --------------------------------------------
     def merge(self, other: "TDigest") -> "TDigest":
         self._check_mergeable(other, "delta")
-        other._compress()
+        # absorb other's centroids AND raw buffers without mutating it
+        # (compressing the operand would silently degrade ITS later
+        # accuracy — unlike the other sketches, merge here is not free)
         if other.means.size:
             self._buf_vals.append(other.means.copy())
             self._buf_weights.append(other.weights.copy())
             self._buf_size += other.means.size
+        for v, w in zip(other._buf_vals, other._buf_weights):
+            self._buf_vals.append(v.copy())
+            self._buf_weights.append(w.copy())
+            self._buf_size += v.size
         self.vmin = min(self.vmin, other.vmin)
         self.vmax = max(self.vmax, other.vmax)
         self._compress()

@@ -46,6 +46,13 @@ class SpaceSaving(Sketch):
         batch: dict[str | int, list[int]] = {}
         add = 0
         for k, c in zip(keys, counts):
+            if isinstance(k, (np.str_, np.integer)):
+                k = k.item() if isinstance(k, np.integer) else str(k)
+            if not isinstance(k, (str, int)) or isinstance(k, bool):
+                raise TypeError(
+                    f"SpaceSaving keys must be str or int (got {type(k).__name__}"
+                    f" {k!r}); float keys would collide after int() truncation"
+                    " in serialization")
             c = int(c)
             add += c
             ent = batch.get(k)

@@ -49,6 +49,36 @@ def block_column(block: Block, col: str) -> np.ndarray:
     raise TypeError(f"unsupported block type {type(block)!r}")
 
 
+def _hash_column(block: Block, col: str) -> np.ndarray:
+    """uint64 hash column with nulls DROPPED before conversion.
+
+    An Arrow integer column containing a null converts to float64,
+    corrupting every hash > 2^53 in the block — so nulls must come out
+    at the Arrow level, not after to_numpy (ignore_nulls=True on the
+    AggregateFn does NOT strip them from blocks)."""
+    if isinstance(block, pa.Table):
+        arr = block.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()
+        return arr.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    vals = block[col]
+    vals = vals[vals.notna()] if hasattr(vals, "notna") else vals
+    return np.asarray(vals).astype(np.uint64, copy=False)
+
+
+def _check_integral_weights(w: np.ndarray, what: str) -> np.ndarray:
+    """Sketch counters are integers; silently truncating 0.7 → 0 would
+    zero the whole aggregation. Reject fractional weights loudly."""
+    if w.dtype.kind == "f":
+        if not np.all(np.mod(w, 1.0) == 0):
+            raise ValueError(
+                f"{what}: fractional weights would be truncated to int — "
+                "scale them to integers first")
+    return w.astype(np.int64, copy=False)
+
+
 class _SketchAgg(AggregateFnV2):
     """Shared scaffolding: zero = fresh sketch, combine = sketch.merge."""
 
@@ -84,8 +114,8 @@ class HllAgg(_SketchAgg):
         fin = None if emit_blob else (lambda s: int(round(s.estimate())))
         super().__init__(on, alias or f"hll({on})", lambda: HyperLogLog(p=p), fin)
 
-    def _update(self, sketch: HyperLogLog, values: np.ndarray) -> HyperLogLog:
-        return sketch.update_hashed(values.astype(np.uint64, copy=False))
+    def aggregate_block(self, block: Block) -> HyperLogLog:
+        return self._zero().update_hashed(_hash_column(block, self._target_col_name))
 
 
 class CmsAgg(_SketchAgg):
@@ -96,16 +126,25 @@ class CmsAgg(_SketchAgg):
     def __init__(self, on: str, width: int = 1 << 15, depth: int = 4, seed: int = 7,
                  weight_col: str | None = None, alias: str | None = None):
         self._weight_col = weight_col
-        super().__init__(on, alias or f"cms({on})",
+        self._key_col = on
+        # a weighted agg needs TWO columns; Ray prunes blocks down to `on`,
+        # so pass on=None to keep the whole row
+        super().__init__(None if weight_col else on, alias or f"cms({on})",
                          lambda: CountMinSketch(width=width, depth=depth, seed=seed),
                          None)
 
     def aggregate_block(self, block: Block) -> CountMinSketch:
         sk = self._zero()
-        h = block_column(block, self._target_col_name).astype(np.uint64, copy=False)
-        w = (block_column(block, self._weight_col).astype(np.int64, copy=False)
-             if self._weight_col else None)
-        return sk.update_hashed(h, w)
+        if self._weight_col:
+            # weighted path: rows must align, so keep nulls out at source
+            h = block_column(block, self._key_col)
+            if h.dtype.kind == "f":
+                raise ValueError("CmsAgg: null-bearing hash column with "
+                                 "weights — drop nulls upstream")
+            w = _check_integral_weights(
+                block_column(block, self._weight_col), "CmsAgg")
+            return sk.update_hashed(h.astype(np.uint64, copy=False), w)
+        return sk.update_hashed(_hash_column(block, self._target_col_name))
 
 
 class TopKAgg(_SketchAgg):
@@ -116,16 +155,21 @@ class TopKAgg(_SketchAgg):
     def __init__(self, on: str, capacity: int = 4096, weight_col: str | None = None,
                  alias: str | None = None):
         self._weight_col = weight_col
-        super().__init__(on, alias or f"topk({on})",
+        self._key_col = on
+        # weighted aggs need two columns; on=None disables block pruning
+        super().__init__(None if weight_col else on, alias or f"topk({on})",
                          lambda: SpaceSaving(capacity=capacity), None)
 
     def aggregate_block(self, block: Block) -> SpaceSaving:
         sk = self._zero()
-        keys = block_column(block, self._target_col_name)
+        keys = block_column(block, self._key_col)
+        mask = ~pd.isna(keys)  # np.unique raises on None-among-strings
         if self._weight_col:
-            return sk.update(keys.tolist(), block_column(block, self._weight_col))
+            w = _check_integral_weights(
+                block_column(block, self._weight_col)[mask], "TopKAgg")
+            return sk.update(keys[mask].tolist(), w)
         # pre-aggregate within the block: one dict op per DISTINCT key
-        uniq, counts = np.unique(keys, return_counts=True)
+        uniq, counts = np.unique(keys[mask], return_counts=True)
         return sk.update(uniq.tolist(), counts)
 
 
@@ -138,8 +182,8 @@ class BloomAgg(_SketchAgg):
                          lambda: BloomFilter(num_bits=num_bits, num_hashes=num_hashes, seed=seed),
                          None)
 
-    def _update(self, sketch: BloomFilter, values: np.ndarray) -> BloomFilter:
-        return sketch.add_hashed(values.astype(np.uint64, copy=False))
+    def aggregate_block(self, block: Block) -> BloomFilter:
+        return self._zero().add_hashed(_hash_column(block, self._target_col_name))
 
 
 class TDigestAgg(_SketchAgg):

@@ -66,3 +66,82 @@ def test_sketch_merge_agg_skips_nulls(ray_session):
     row = out.take_all()[0]
     back = Sketch.from_bytes(bytes(row["blob"]))
     assert back.to_bytes() == h.to_bytes()
+
+
+class TestNullRobustness:
+    def test_hll_agg_null_bearing_hash_block(self, ray_session):
+        """One null in a uint64 hash column must not corrupt the other
+        hashes (Arrow null -> float64 conversion hazard)."""
+        import ray.data as rd
+
+        big = np.array([2**63 + 12345, 2**64 - 99, 17], dtype=np.uint64)
+        clean = rd.from_arrow(pa.table({"h": pa.array(big, pa.uint64())}))
+        dirty = rd.from_arrow(pa.table(
+            {"h": pa.array(list(big) + [None], pa.uint64())}))
+        from associationabacminer_ray.udaf import HllAgg
+
+        a = Sketch.from_bytes(bytes(clean.aggregate(
+            HllAgg("h", emit_blob=True, alias="b"))["b"]))
+        b = Sketch.from_bytes(bytes(dirty.aggregate(
+            HllAgg("h", emit_blob=True, alias="b"))["b"]))
+        assert a.to_bytes() == b.to_bytes()  # null contributed nothing
+
+    def test_topk_agg_null_keys(self, ray_session):
+        import ray.data as rd
+
+        from associationabacminer_ray.udaf import TopKAgg
+
+        ds = rd.from_pandas(pd.DataFrame({"k": ["a", None, "a", "b", None]}))
+        out = ds.aggregate(TopKAgg("k", capacity=8, alias="blob"))
+        sk = Sketch.from_bytes(bytes(out["blob"]))
+        assert [(k, c) for k, c, _ in sk.top()] == [("a", 2), ("b", 1)]
+
+    def test_hash_any_block_invariant_under_nulls(self):
+        from associationabacminer_ray.functions.hashing import hash_any
+
+        with_null = hash_any(pa.array([5, None, 7], pa.int64()))
+        without = hash_any(pa.array([5, 7], pa.int64()))
+        assert with_null[0] == without[0] and with_null[2] == without[1]
+        # huge uint64 survives exactly
+        h = 2**63 + 12345
+        wn = hash_any(pa.array([h, None], pa.uint64()))
+        wo = hash_any(pa.array([h], pa.uint64()))
+        assert wn[0] == wo[0]
+
+    def test_fractional_weights_rejected(self, ray_session):
+        import ray.data as rd
+
+        from associationabacminer_ray.udaf import TopKAgg
+
+        ds = rd.from_pandas(pd.DataFrame({"k": ["a", "b"], "w": [0.5, 0.7]}))
+        with pytest.raises(Exception, match="fractional"):
+            ds.aggregate(TopKAgg("k", weight_col="w", alias="blob"))
+
+
+class TestSketchRobustness:
+    def test_bloom_seed_range_and_validation(self):
+        from associationabacminer_ray.sketches import BloomFilter
+
+        for seed in (-1, 2**40):
+            bf = BloomFilter(num_bits=256, num_hashes=2, seed=seed)
+            assert Sketch.from_bytes(bf.to_bytes()).seed == seed
+        with pytest.raises(ValueError):
+            BloomFilter(num_hashes=0)
+
+    def test_spacesaving_rejects_float_keys(self):
+        from associationabacminer_ray.sketches import SpaceSaving
+
+        with pytest.raises(TypeError, match="float keys"):
+            SpaceSaving(8).update([2.5, 2.0], [10, 5])
+
+    def test_tdigest_merge_does_not_mutate_operand(self):
+        from associationabacminer_ray.sketches import TDigest
+
+        rng = np.random.default_rng(3)
+        a = TDigest(delta=100).update(rng.normal(0, 1, 5000))
+        b = TDigest(delta=100).update(rng.normal(5, 1, 500))
+        q_before = b.quantile(0.5)  # quantile compresses b itself
+        state_before = (len(b._buf_vals), b.means.size, b.means.tobytes())
+        a.merge(b)
+        assert (len(b._buf_vals), b.means.size, b.means.tobytes()) == state_before
+        assert b.quantile(0.5) == q_before
