@@ -153,6 +153,9 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, n_clusters: int = 16,
               else emb.to_pandas())
     if len(sample) < n_clusters:
         sample = emb.to_pandas()
+    # degrade gracefully on tiny tables instead of crashing rng.choice
+    n_clusters = max(1, min(n_clusters, len(sample)))
+    nprobe = min(nprobe, n_clusters)
     centers = _kmeans_lite(_normalize(_stack(sample["embedding"])), n_clusters,
                            seed=seed)
     qdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas()

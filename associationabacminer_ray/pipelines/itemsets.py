@@ -432,6 +432,7 @@ def sketched_itemset_supports_checkpointed(
 
     config = {
         "pipeline": "sketched_itemset_supports", "max_k": max_k,
+        "conv_col": conv_col,
         "num_buckets": num_buckets, "max_tx": max_transaction_items,
         "cms_width": cms_width, "cms_depth": cms_depth,
         "topk_capacity": topk_capacity, "hll_p": hll_p,

@@ -64,8 +64,14 @@ def mine_window(transcripts_path: str, spec: WindowSpec, mode: str = "exact",
                 ds, max_k=max_k, num_buckets=num_buckets,
                 min_support=min_support).to_pandas()
         # single-value-column semantics (TableCreator.py:124-128): items in
-        # every transaction leave mining, then rejoin every selected rule
-        supports, constants = extract_constant_items(supports, n_tx)
+        # every transaction leave mining, then rejoin every selected rule.
+        # EXACT mode only: sketch-mode counts are overestimates, so the
+        # "support >= n_tx" constancy test would misclassify near-universal
+        # items as constants
+        if mode == "sketch":
+            constants = []
+        else:
+            supports, constants = extract_constant_items(supports, n_tx)
         rules = rules_from_supports(supports, n_transactions=n_tx,
                                     min_support=min_support)
         rules = reinject_constant_items(rules, constants)

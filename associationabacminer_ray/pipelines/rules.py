@@ -24,7 +24,7 @@ import itertools
 import numpy as np
 import pandas as pd
 
-from ..functions.hashing import hash_strings
+from ..functions.hashing import hash_any, hash_strings
 from ..functions.scoring import MINIMIZED_METRICS, score_columns
 from ..sketches import BloomFilter
 from ..stages.transactionize import ITEM_SEP
@@ -181,12 +181,16 @@ def rules_from_supports_ray(supports_ds, n_transactions: int,
                   if "turn_support" in sup_df.columns else None),
     }
     maps_ref = ray.put(maps)
+
     import ray.data as rd
 
     multi = sup_df[sup_df["k"] >= 2]
     if not len(multi):
-        return rules_from_supports(sup_df, n_transactions, min_support, beta,
-                                   max_consequent)
+        # keep the return type a Dataset on this data-dependent path too
+        return rd.from_pandas(rules_from_supports(
+            sup_df, n_transactions, min_support, beta, max_consequent,
+            coverage_denominator=coverage_denominator,
+            total_turns=total_turns))
     ds = rd.from_pandas(multi.reset_index(drop=True))
 
     def expand(batch: pd.DataFrame) -> pd.DataFrame:
@@ -242,14 +246,8 @@ def best_rule(rules: pd.DataFrame, metric: str = "cscore") -> pd.Series:
     return order.iloc[0].drop(labels=["_n"])
 
 
-def _matches_rule(items_joined: pd.Series, rule_items: list[str]) -> np.ndarray:
-    """Vectorized: does the transaction (',' joined sorted items) contain
-    every rule item?"""
-    padded = "," + items_joined + ","
-    mask = np.ones(len(items_joined), dtype=bool)
-    for it in rule_items:
-        mask &= padded.str.contains("," + it + ",", regex=False).to_numpy()
-    return mask
+# shared with the policy evaluator — one implementation (evaluate.py)
+from .evaluate import _rule_matches as _matches_rule  # noqa: E402
 
 
 def greedy_cover_ray(transactions_ds, n_transactions: int | None = None,
@@ -300,9 +298,12 @@ def greedy_cover_ray(transactions_ds, n_transactions: int | None = None,
     for rnd in range(max_rounds):
         cur = tx
         if have_covered:
+            # materialize the filtered corpus once per round: three
+            # downstream actions (count, supports, matched-hashes) would
+            # otherwise each re-run the Bloom scan over every block
             cur = cur.map_batches(
                 bloom_filter_stage(ray.put(covered), "conv_id"),
-                batch_format="pandas")
+                batch_format="pandas").materialize()
         uncovered = cur.count()
         if uncovered == 0 or 1 - uncovered / n_transactions >= coverage_target:
             break
@@ -320,8 +321,10 @@ def greedy_cover_ray(transactions_ds, n_transactions: int | None = None,
 
         def matched_hashes(batch: pd.DataFrame) -> pd.DataFrame:
             m = _matches_rule(batch["items"].reset_index(drop=True), rule_items)
+            # hash_any, matching bloom_filter_stage's probe side — using a
+            # different hash family here would make the filter never match
             return pd.DataFrame(
-                {"h": hash_strings(batch["conv_id"].reset_index(drop=True)[m])})
+                {"h": hash_any(batch["conv_id"].reset_index(drop=True)[m])})
 
         hashes = cur.map_batches(matched_hashes, batch_format="pandas")
         newly = 0

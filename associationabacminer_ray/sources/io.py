@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -155,7 +156,13 @@ def pivot_list_of_struct(batch: pd.DataFrame, col: str, key_field: str = "key",
     rows = []
     for entry in batch[col]:
         d = {}
-        for item in (entry or []):
+        # Arrow list<struct> cells arrive as numpy arrays in pandas
+        # batches; `entry or []` would raise on len >= 2 — test length
+        if entry is None or (np.isscalar(entry) and pd.isna(entry)):
+            items = []
+        else:
+            items = list(entry)
+        for item in items:
             d[item[key_field]] = item[value_field]
         keys.update(d)
         rows.append(d)

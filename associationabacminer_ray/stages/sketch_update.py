@@ -163,6 +163,9 @@ class CategoricalItemSketchUpdater:
         self._seq += 1
         r_codes, r_vocab = self._codes(batch.column("role"))
         t_codes, t_vocab = self._codes(batch.column("tool"))
+        # vocab-level normalization, matching make_items/read_shard_codes
+        r_vocab = np.where(r_vocab == "", "NONE", r_vocab)
+        t_vocab = np.where(t_vocab == "", "NONE", t_vocab)
         T = len(t_vocab)
         grid = r_codes.astype(np.int64) * T + t_codes
         counts = np.bincount(grid, minlength=len(r_vocab) * T)

@@ -68,9 +68,11 @@ def write_partition(ckpt_dir: str, pid: int, sketches: dict[str, Sketch],
     return path
 
 
-def completed_partitions(ckpt_dir: str, cfg_hash: str) -> dict[int, str]:
-    """partition_id -> file for finished partitions matching the config."""
-    out: dict[int, str] = {}
+def completed_partitions(ckpt_dir: str, cfg_hash: str,
+                         with_inputs: bool = False):
+    """partition_id -> file (or (file, input_files)) for finished
+    partitions matching the config."""
+    out: dict = {}
     if not os.path.isdir(ckpt_dir):
         return out
     for fname in sorted(os.listdir(ckpt_dir)):
@@ -78,11 +80,17 @@ def completed_partitions(ckpt_dir: str, cfg_hash: str) -> dict[int, str]:
             continue
         path = os.path.join(ckpt_dir, fname)
         try:
-            meta = pq.read_table(path, columns=["partition_id", "config_hash"])
+            meta = pq.read_table(
+                path, columns=["partition_id", "config_hash", "input_files"])
         except Exception:
             continue  # unreadable/partial → recompute
         if meta.num_rows and meta.column("config_hash")[0].as_py() == cfg_hash:
-            out[int(meta.column("partition_id")[0].as_py())] = path
+            pid = int(meta.column("partition_id")[0].as_py())
+            if with_inputs:
+                out[pid] = (path,
+                            json.loads(meta.column("input_files")[0].as_py()))
+            else:
+                out[pid] = path
     return out
 
 
@@ -99,7 +107,7 @@ def run_with_checkpoint(
     shards are skipped entirely — the resume contract of FIXTURES §F5.
     """
     cfg = config_hash(config)
-    done = completed_partitions(ckpt_dir, cfg)
+    done = completed_partitions(ckpt_dir, cfg, with_inputs=True)
     merged: dict[str, Sketch] = {}
 
     def absorb(blob_rows: pd.DataFrame) -> None:
@@ -112,8 +120,12 @@ def run_with_checkpoint(
 
     for pid, path in enumerate(input_files):
         if pid in done:
-            absorb(pq.read_table(done[pid]).to_pandas())
-            continue
+            ck_path, ck_inputs = done[pid]
+            # lineage check: a reordered/extended file list must NOT let a
+            # positional match absorb another shard's blobs
+            if ck_inputs == [str(path)]:
+                absorb(pq.read_table(ck_path).to_pandas())
+                continue
         sketches, row_count = compute_partition(pid, path)
         write_partition(ckpt_dir, pid, sketches, [path], row_count, cfg)
         absorb(pd.DataFrame({"name": list(sketches.keys()),

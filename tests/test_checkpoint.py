@@ -95,3 +95,28 @@ class TestRaySketchCheckpoint:
         assert resumed["hll"].to_bytes() == fresh["hll"].to_bytes()
         assert [k for k, _, _ in resumed["topk"].top(10)] == [
             k for k, _, _ in fresh["topk"].top(10)]
+
+
+def test_resume_lineage_guard_reordered_files(tmp_path):
+    """A reordered/extended input list must not let a positional pid match
+    absorb another shard's blobs (lineage validation)."""
+    files = ["A", "B"]
+    cfg = {"v": 1}
+    run_with_checkpoint(files, str(tmp_path), _lineage_compute, cfg)
+    calls = []
+
+    def tracking(pid, path):
+        calls.append(path)
+        return _lineage_compute(pid, path)
+
+    # new shard C prepended: pids shift, stored lineage mismatches
+    out = run_with_checkpoint(["C", "A", "B"], str(tmp_path), tracking, cfg)
+    assert calls == ["C", "A", "B"]  # everything recomputed, nothing absorbed wrongly
+    fresh = run_with_checkpoint(["C", "A", "B"], str(tmp_path / "f"),
+                                _lineage_compute, cfg)
+    assert out["hll"].to_bytes() == fresh["hll"].to_bytes()
+
+
+def _lineage_compute(pid, path):
+    h = hash_ints(np.arange(hash(path) % 50 + pid * 100, hash(path) % 50 + pid * 100 + 60))
+    return ({"hll": HyperLogLog(p=10).update_hashed(h)}, 60)
