@@ -24,8 +24,9 @@ from datetime import datetime, timedelta
 
 def _resolve_input(spec: str) -> list[str]:
     if os.path.isdir(spec):
-        return sorted(glob.glob(os.path.join(spec, "*.parquet")))
-    hits = sorted(glob.glob(spec))
+        hits = sorted(glob.glob(os.path.join(spec, "*.parquet")))
+    else:
+        hits = sorted(glob.glob(spec))
     if not hits:
         raise SystemExit(f"no parquet input matches {spec!r}")
     return hits
@@ -53,6 +54,8 @@ def cmd_supports(args) -> None:
 
     paths = _resolve_input(args.input)
     if args.mode == "partitioned":
+        print("note: --mode partitioned assumes no conversation spans two "
+              "input files (shard by conv_id, not by time)", file=sys.stderr)
         out = itemset_supports_partitioned(paths, mode="exact", max_k=args.max_k,
                                            min_support=args.min_support).to_pandas()
     elif args.mode == "sketch":
@@ -66,6 +69,7 @@ def cmd_supports(args) -> None:
         out = pd.DataFrame(
             [(k, k.count(ITEM_SEP) + 1, c, e) for k, c, e in res["topk"].top()],
             columns=["itemset", "k", "support_est", "err_bound"])
+        out = out[out["support_est"] >= args.min_support].reset_index(drop=True)
     else:
         out = exact_itemset_supports(
             rd.read_parquet(paths, columns=["conv_id", "role", "tool"]),
@@ -86,6 +90,9 @@ def _window_from_args(args):
 def cmd_mine(args) -> None:
     from .pipelines.mining import mine_window
 
+    if args.greedy and args.mode == "sketch":
+        raise SystemExit("--greedy runs on exact transactions; "
+                         "--mode sketch is not supported with it")
     spec = _window_from_args(args)
     res = mine_window(_resolve_input(args.input), spec, mode=args.mode,
                       greedy=args.greedy, max_k=args.max_k,
@@ -116,7 +123,8 @@ def cmd_sweep(args) -> None:
                          grid={"obs_days": [args.obs_days],
                                "opr_days": [args.opr_days],
                                "step_days": [args.step_days],
-                               "min_support": [args.min_support]})
+                               "min_support": [args.min_support],
+                               "max_k": [args.max_k]})
     os.makedirs(args.out, exist_ok=True)
     scores = run_jobs(_resolve_input(args.input), jobs, results_dir=args.out)
     agg = aggregate_scores(scores)

@@ -23,6 +23,8 @@ import subprocess
 import sys
 import time
 
+import pyarrow as pa
+
 BENCH_DIR = "/tmp/graft_bench/tr_2200000"
 BENCH_CONVS = 2_200_000
 BENCH_SHARDS = 64
@@ -69,11 +71,18 @@ def run_bench() -> dict:
         merge_sketch_partials,
     )
 
-    headline_only = bool(os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"))
+    headline_only = (os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "")
+                     .lower() not in ("", "0", "false"))
     paths = build_corpus(scale=headline_only)
-    # warm the page cache so we measure compute + shuffle, not first disk read
-    warm = rd.read_parquet(paths, columns=["conv_id", "role", "tool"])
-    n_turns = warm.count()
+    # warm the page cache so we measure compute + shuffle, not first disk
+    # read. A bare count() would be served from parquet METADATA without
+    # touching data — force a real read of the payload columns.
+    n_turns = (
+        rd.read_parquet(paths, columns=["conv_id", "role", "tool"])
+        .map_batches(lambda t: pa.table({"n": [t.num_rows]}),
+                     batch_format="pyarrow")
+        .sum("n")
+    )
 
     timings: dict[str, float] = {}
 
@@ -153,9 +162,13 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_HEADLINE_ONLY="1")
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        proc = subprocess.run([sys.executable, __file__], env=env,
+                              capture_output=True, text=True)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"scaling child (num_cpus={ncpu}) failed "
+                               f"with code {proc.returncode}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(","))
     r_lo, r_hi = run(lo), run(hi)
