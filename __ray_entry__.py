@@ -86,11 +86,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": T.q_langid,
         "knn_ivf": N.q_knn_ivf,
         "sample_events": A.q_sample_events,
+        "sample_events_bernoulli": A.q_sample_events_bernoulli,
         "ngram_dups": T.q_ngram_dups,
         "chunks": T.q_chunks,
         "pii_redacted": T.q_pii_redacted,
         "embedding_dups": N.q_embedding_dups,
         "crosscorpus_dedup": T.q_crosscorpus_dedup,
+        # round-2 additions (oracle-checked)
+        "crosscorpus_dedup_exact": T.q_crosscorpus_dedup_exact,
+        "embedding_topk_pairs": N.q_embedding_topk_pairs,
     }
 
 
@@ -112,6 +116,114 @@ _ITEMS_CTE = (
 )
 
 _CENTS = "CAST(FLOOR(value*100+0.5) AS BIGINT)"
+
+
+def _langid_sql() -> str:
+    """Reproduce stages.text.LangId exactly: distinct-stopword hit count
+    per language (token = maximal run of the tokenizer alphabet, so the
+    boundary class is the complement of that alphabet, not \\b), argmax
+    with the en→de→es→fr order winning ties, 0 hits → 'unknown'."""
+    from associationabacminer_ray.stages.text import _STOPWORDS
+
+    alpha = "a-zäöüéèêàáíóúñç"
+
+    def hits(lang: str) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN regexp_matches(lower(text), "
+            f"'(^|[^{alpha}]){w}($|[^{alpha}])') THEN 1 ELSE 0 END)"
+            for w in sorted(_STOPWORDS[lang])) + ")"
+
+    return f"""
+        WITH h AS (
+          SELECT doc_id, lang,
+                 {hits('en')} AS e, {hits('de')} AS d,
+                 {hits('es')} AS s, {hits('fr')} AS f
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(e, d, s, f) = 0 THEN 'unknown'
+                    WHEN e = GREATEST(e, d, s, f) THEN 'en'
+                    WHEN d = GREATEST(e, d, s, f) THEN 'de'
+                    WHEN s = GREATEST(e, d, s, f) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM h
+    """
+
+
+def _pii_sql() -> str:
+    """Reproduce stages.text.PIIRedactor: count + replace each pattern
+    IN SEQUENCE (later patterns see earlier redactions), then sum per
+    source. Patterns are shared ASCII RE2/Python-re syntax."""
+    pats = [
+        ("EMAIL", r"[0-9A-Za-z_.+-]+@[0-9A-Za-z_-]+\.[0-9A-Za-z_.-]+"),
+        ("IPV4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+        ("PHONE", r"\+?[0-9][0-9\s().-]{7,}[0-9]"),
+        ("DIGITS", r"\b[0-9]{9,}\b"),
+    ]
+    sql = "WITH s0 AS (SELECT source, text AS t FROM documents)"
+    for i, (tag, pat) in enumerate(pats, start=1):
+        sql += (f", s{i} AS (SELECT source, "
+                + "".join(f"c{j}, " for j in range(1, i))
+                + f"len(regexp_extract_all(t, '{pat}')) AS c{i}, "
+                f"regexp_replace(t, '{pat}', '[{tag}]', 'g') AS t "
+                f"FROM s{i - 1})")
+    total = " + ".join(f"c{i}" for i in range(1, len(pats) + 1))
+    sql += (f" SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            f"CAST(SUM({total}) AS BIGINT) AS n_redacted "
+            f"FROM s{len(pats)} GROUP BY source")
+    return sql
+
+
+# TokenStats regex semantics in shared ASCII RE2/Python syntax
+_N_TOKENS = ("CASE WHEN trim(text) = '' THEN 0 "
+             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+_QUALITY_SQL = f"""
+    WITH f AS (
+      SELECT doc_id,
+             GREATEST(length(text), 1) AS denom,
+             {_N_TOKENS} AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^0-9A-Za-z_\\s]'))
+                 AS n_words,
+             len(regexp_extract_all(text, '[^0-9A-Za-z_\\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(list_filter(regexp_extract_all(text, '[A-Za-z]+'),
+                 w -> lower(w) IN ('the','and','of','to','a','in','is',
+                                   'that','for','with'))) AS stop_hits
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             CAST(n_punct AS DOUBLE) / denom AS punct_ratio,
+             CAST(n_alpha AS DOUBLE) / denom AS alpha_ratio,
+             CAST(stop_hits AS DOUBLE) / GREATEST(n_words, 1) AS stop_ratio,
+             LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) AS length_score
+      FROM f
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(punct_ratio*10000 + 0.5) AS BIGINT) AS punct_bp,
+           CAST(FLOOR(alpha_ratio*10000 + 0.5) AS BIGINT) AS alpha_bp,
+           CAST(FLOOR(stop_ratio*10000 + 0.5) AS BIGINT) AS stopword_bp,
+           CAST(FLOOR((0.35*length_score + 0.35*alpha_ratio
+                       + 0.2*LEAST(GREATEST(stop_ratio*4, 0), 1)
+                       + 0.1*(1 - LEAST(GREATEST(punct_ratio*4, 0), 1)))
+                      *10000 + 0.5) AS BIGINT) AS quality_bp
+    FROM r
+"""
+
+# Chunker closed form (chunk_tokens=32, overlap=4, step=28): validates
+# the distributed chunk-row aggregation against arithmetic on n_tokens
+_CHUNKS_SQL = f"""
+    WITH t AS (SELECT doc_id, {_N_TOKENS} AS n FROM documents),
+    c AS (SELECT doc_id, n,
+                 CASE WHEN n <= 32 THEN 1
+                      ELSE 1 + CAST(CEIL((n - 32) / 28.0) AS BIGINT) END
+                     AS n_chunks
+          FROM t)
+    SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE n + 4*(n_chunks - 1) END
+                AS BIGINT) AS n_tokens_total,
+           CAST(n_chunks - 1 AS BIGINT) AS last_chunk_idx
+    FROM c
+"""
 
 # like _ITEMS_CTE but keeping every turn row (for turn-weighted supports)
 _ITEMS_CTE_FULL = (
@@ -300,5 +412,42 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON b.vec_id >= 5
             WHERE a.vec_id < 5
             QUALIFY rank <= 5
+        """,
+        "sample_events": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            WHERE (event_id * 2654435761) % 4294967296 < 429496729
+            GROUP BY event_type
+        """,
+        "chunks": _CHUNKS_SQL,
+        "pii_redacted": _pii_sql(),
+        "langid": _langid_sql(),
+        "quality_scores": _QUALITY_SQL,
+        # the deterministic planting rule IS the expected answer: every
+        # 10th vector gains a near-duplicate copy at id+1e6 whose cosine
+        # (≈0.9998) is far above both the 0.9 threshold and any natural
+        # pair on this corpus (max ≈0.55), so LSH recall must be exact
+        "embedding_dups": """
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+            FROM embeddings WHERE vec_id % 10 = 0
+        """,
+        "crosscorpus_dedup_exact": """
+            WITH ref AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0)
+            SELECT source,
+                   CAST(SUM(CASE WHEN d.text IN (SELECT text FROM ref)
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN d.text IN (SELECT text FROM ref)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+            FROM documents d GROUP BY source
+        """,
+        "embedding_topk_pairs": """
+            SELECT CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) DESC,
+                       a.vec_id, b.vec_id) AS BIGINT) AS rank,
+                   a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            QUALIFY rank <= 20
         """,
     }

@@ -265,11 +265,36 @@ def q_cooccurrence(sf_dir: str):
     return bucketed_group_agg(ds, ["role", "tool"], agg, num_buckets=16)
 
 
+SAMPLE_MULT = 2654435761  # Knuth multiplicative hash
+SAMPLE_MOD = 1 << 32
+SAMPLE_KEEP = 429496729  # floor(0.1 * 2^32)
+
+
 def q_sample_events(sf_dir: str) -> pd.DataFrame:
-    """O4: seeded Bernoulli sampling (instance_sample_rate analog) —
-    returns the sample's aggregate so the result is small and stable
-    in expectation (rows-only check: sampling is inherently seeded-
-    random across block layouts)."""
+    """O4: seeded sampling (instance_sample_rate analog,
+    ``SeparatedVarianceSelector.py:38``), deterministic multiplicative-
+    hash variant: keep iff (event_id·2654435761) mod 2³² < 0.1·2³².
+    Bernoulli-in-expectation like ``Dataset.random_sample`` but
+    reproducible across block layouts AND in SQL, so the sample's
+    aggregate is oracle-checkable (VERDICT r1 #5)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+
+    def samp(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["event_id"].to_numpy().astype(np.int64)
+                * SAMPLE_MULT) % SAMPLE_MOD < SAMPLE_KEEP
+        return b.loc[keep, ["event_type"]]
+
+    agg = (ds.map_batches(samp, batch_format="pandas")
+           .groupby("event_type").aggregate(Count(alias_name="n")).to_pandas())
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
+def q_sample_events_bernoulli(sf_dir: str) -> pd.DataFrame:
+    """O4 via Ray's native ``random_sample(seed)`` — the same op with
+    engine-seeded randomness (rows-only: the draw depends on block
+    layout, so no SQL oracle can reproduce it)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     sample = ds.random_sample(0.1, seed=42)
     agg = sample.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()

@@ -41,9 +41,14 @@ def mine_window(transcripts_path: str, spec: WindowSpec, mode: str = "exact",
                      columns=["conv_id", "role", "tool"])
     if mode == "sketch" and not greedy:
         n_tx = 0  # the sketch result carries its own transaction count
-    else:
+    elif greedy:
+        # greedy rounds need the materialized window transactions
         tx = transactions(ds, num_buckets=num_buckets).to_pandas()
         n_tx = len(tx)
+    else:
+        # exact mode needs only the COUNT — .count() streams the
+        # bucketed pipeline without a driver copy (VERDICT r1 #4)
+        n_tx = transactions(ds, num_buckets=num_buckets).count()
     if greedy:
         policy = greedy_cover(tx, n_transactions=n_tx, metric=metric,
                               max_rounds=max_rounds, min_support=min_support,

@@ -19,6 +19,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from ..runtime import auto_concurrency
+
 
 def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
@@ -97,7 +99,7 @@ def q_orders_customer_join(sf_dir: str):
     joined = (
         ds.map_batches(cents, batch_format="pyarrow")
         .map_batches(_SegmentLookup, batch_format="pandas",
-                     fn_constructor_args=(cust_ref,), concurrency=2)
+                     fn_constructor_args=(cust_ref,), concurrency=auto_concurrency())
     )
     agg = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents")
