@@ -37,9 +37,11 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import analytics as A
     from associationabacminer_ray.pipelines import ann as N
+    from associationabacminer_ray.pipelines import features as F
     from associationabacminer_ray.pipelines import relational as R
     from associationabacminer_ray.pipelines import sketch_queries as S
     from associationabacminer_ray.pipelines import text_pipelines as T
+    from associationabacminer_ray.pipelines import universe as U
 
     return {
         # mining / transcript pipelines (exact mode — oracle-checked)
@@ -95,6 +97,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-2 additions (oracle-checked)
         "crosscorpus_dedup_exact": T.q_crosscorpus_dedup_exact,
         "embedding_topk_pairs": N.q_embedding_topk_pairs,
+        # feature-selection experiment family (src/experiment/ port)
+        "field_stats": F.q_field_stats,
+        "feature_label_counts": F.q_feature_label_counts,
+        "info_gain": F.q_info_gain,
+        "dependency_pairs": F.q_dependency_pairs,
+        "pfa_features": F.q_pfa_features,
+        # A11/A12: generated allowed-universe + fixed-policy scoring
+        "allowed_universe": U.q_allowed_universe,
+        "policy_eval_fixed": A.q_policy_eval_fixed,
     }
 
 
@@ -208,6 +219,140 @@ _QUALITY_SQL = f"""
                       *10000 + 0.5) AS BIGINT) AS quality_bp
     FROM r
 """
+
+# ---- feature-selection oracles: shared normalized-field expressions
+# (mirrors pipelines.features._field_frame + the hash sampler)
+_SAMPLED = ("s AS (SELECT * FROM events "
+            "WHERE (event_id * 2654435761) % 4294967296 < 429496729)")
+_FEXPR = {
+    "role": "event_type",
+    "tool": "'k' || regexp_extract(props, '[0-9]+')",
+    "hour": "CAST(EXTRACT(hour FROM ts) AS VARCHAR)",
+    "weekday": "CAST(isodow(ts) - 1 AS VARCHAR)",  # Monday=0, like pandas
+    "props_k_bin": ("CASE WHEN COALESCE(TRY_CAST(regexp_extract(props, "
+                    "'[0-9]+') AS INTEGER), -1) >= 50 THEN 'big' "
+                    "ELSE 'NONE' END"),
+}
+
+_FIELD_STATS_SQL = f"""
+    WITH {_SAMPLED},
+    long AS (
+      SELECT 'role' AS field, {_FEXPR['role']} AS value FROM s
+      UNION ALL SELECT 'tool', {_FEXPR['tool']} FROM s
+      UNION ALL SELECT 'hour', {_FEXPR['hour']} FROM s
+      UNION ALL SELECT 'weekday', {_FEXPR['weekday']} FROM s
+      UNION ALL SELECT 'props_k_bin', {_FEXPR['props_k_bin']} FROM s
+    ),
+    t AS (SELECT COUNT(*) AS total FROM s),
+    agg AS (SELECT field, COUNT(DISTINCT value) AS u, COUNT(*) AS i
+            FROM long WHERE value <> 'NONE' GROUP BY field),
+    allf AS (SELECT unnest(['hour','props_k_bin','role','tool','weekday'])
+                 AS field)
+    SELECT allf.field,
+           CAST(COALESCE(u, 0) AS BIGINT) AS n_values,
+           CAST(COALESCE(i, 0) AS BIGINT) AS instances,
+           CAST((10000 * COALESCE(i, 0)) // total AS BIGINT) AS frequency_bp,
+           CAST((10000 * (COALESCE(i, 0) - COALESCE(u, 0))) // total
+                AS BIGINT) AS uf_bp,
+           CAST((10000 * COALESCE(u, 0)) // total AS BIGINT) AS iuf_bp
+    FROM allf CROSS JOIN t LEFT JOIN agg ON agg.field = allf.field
+"""
+
+_MI_COUNTS_CTE = f"""
+    {_SAMPLED},
+    f AS (
+      SELECT 'hour' AS feature, {_FEXPR['hour']} AS value,
+             event_type AS label FROM s
+      UNION ALL SELECT 'tool', {_FEXPR['tool']}, event_type FROM s
+      UNION ALL SELECT 'weekday', {_FEXPR['weekday']}, event_type FROM s
+    ),
+    c AS (SELECT feature, value, label, COUNT(*) AS n FROM f GROUP BY 1, 2, 3)
+"""
+
+_FEATURE_LABEL_COUNTS_SQL = f"""
+    WITH {_MI_COUNTS_CTE}
+    SELECT feature, value, label, CAST(n AS BIGINT) AS n FROM c
+"""
+
+_INFO_GAIN_SQL = f"""
+    WITH {_MI_COUNTS_CTE},
+    tot AS (SELECT feature, SUM(n) AS total FROM c GROUP BY feature),
+    mx AS (SELECT feature, value, SUM(n) AS nx FROM c GROUP BY 1, 2),
+    my AS (SELECT feature, label, SUM(n) AS ny FROM c GROUP BY 1, 2)
+    SELECT c.feature,
+           CAST(FLOOR(SUM(
+               (CAST(c.n AS DOUBLE) / tot.total)
+               * ln((tot.total * CAST(c.n AS DOUBLE))
+                    / (CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE)))
+           ) * 1000 + 0.5) AS BIGINT) AS mi_millinats
+    FROM c JOIN tot ON tot.feature = c.feature
+    JOIN mx ON mx.feature = c.feature AND mx.value = c.value
+    JOIN my ON my.feature = c.feature AND my.label = c.label
+    GROUP BY c.feature
+"""
+
+
+def _dependency_pairs_sql() -> str:
+    fields = ("tool", "hour", "weekday", "role")
+    branches = " UNION ALL ".join(
+        f"SELECT '{a} -> {b}' AS pair, {_FEXPR[a]} AS a, {_FEXPR[b]} AS b FROM s"
+        for a in fields for b in fields if a != b)
+    return f"""
+        WITH {_SAMPLED}, p AS ({branches}),
+        d AS (SELECT DISTINCT pair, a, b FROM p)
+        SELECT pair,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(CASE WHEN COUNT(DISTINCT a) = COUNT(*) THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_dependency,
+               CAST((10000 * COUNT(DISTINCT a)) // COUNT(*) AS BIGINT)
+                   AS strength_bp
+        FROM d GROUP BY pair
+    """
+
+
+# A11 closed form: with single-value constraints the union obeys
+# inclusion-exclusion — |stmt1 ∪ stmt2| = nt·nh·nw + nr·nh·nw − nh·nw —
+# which independently checks the generated-Dataset distinct-hash union
+_ALLOWED_UNIVERSE_SQL = f"""
+    WITH f AS (SELECT {_FEXPR['role']} AS role, {_FEXPR['tool']} AS tool,
+                      {_FEXPR['hour']} AS hour, {_FEXPR['weekday']} AS weekday
+               FROM events),
+    d AS (SELECT COUNT(DISTINCT role) AS nr, COUNT(DISTINCT tool) AS nt,
+                 COUNT(DISTINCT hour) AS nh, COUNT(DISTINCT weekday) AS nw
+          FROM f)
+    SELECT CAST(nt*nh*nw + nr*nh*nw - nh*nw AS BIGINT) AS u_pos,
+           CAST(nt*nh*nw AS BIGINT) AS stmt1_allowed,
+           CAST(nr*nh*nw AS BIGINT) AS stmt2_allowed,
+           CAST(nr*nt*nh*nw AS BIGINT) AS universe_total
+    FROM d
+"""
+
+_POLICY_EVAL_FIXED_SQL = """
+    WITH {items_cte},
+    p AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS sup
+          FROM t a JOIN t b ON a.conv_id = b.conv_id AND a.item < b.item
+          GROUP BY 1, 2),
+    r AS (SELECT ia, ib FROM p ORDER BY sup DESC, ia, ib LIMIT 2),
+    tx AS (SELECT conv_id, string_agg(item, ',' ORDER BY item) AS items
+           FROM t GROUP BY conv_id),
+    al AS (SELECT DISTINCT x.conv_id FROM r
+           JOIN t x ON x.item = r.ia
+           JOIN t y ON y.conv_id = x.conv_id AND y.item = r.ib),
+    c AS (SELECT COUNT(*) AS n_tx,
+                 SUM(CASE WHEN conv_id IN (SELECT conv_id FROM al)
+                     THEN 1 ELSE 0 END) AS c_tp,
+                 COUNT(DISTINCT items) AS u_tx,
+                 COUNT(DISTINCT CASE WHEN conv_id IN (SELECT conv_id FROM al)
+                       THEN items END) AS u_tp
+          FROM tx)
+    SELECT CAST(n_tx AS BIGINT) AS n_tx, CAST(c_tp AS BIGINT) AS c_tp,
+           CAST(n_tx - c_tp AS BIGINT) AS c_fn, CAST(u_tx AS BIGINT) AS u_tx,
+           CAST(u_tp AS BIGINT) AS u_tp, CAST(u_tx - u_tp AS BIGINT) AS u_fn,
+           CAST(2 AS BIGINT) AS n_rules
+    FROM c
+"""
+
 
 # Chunker closed form (chunk_tokens=32, overlap=4, step=28): validates
 # the distributed chunk-row aggregation against arithmetic on n_tokens
@@ -419,6 +564,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE (event_id * 2654435761) % 4294967296 < 429496729
             GROUP BY event_type
         """,
+        "field_stats": _FIELD_STATS_SQL,
+        "feature_label_counts": _FEATURE_LABEL_COUNTS_SQL,
+        "info_gain": _INFO_GAIN_SQL,
+        "dependency_pairs": _dependency_pairs_sql(),
+        "allowed_universe": _ALLOWED_UNIVERSE_SQL,
+        "policy_eval_fixed": _POLICY_EVAL_FIXED_SQL.format(items_cte=_ITEMS_CTE),
         "chunks": _CHUNKS_SQL,
         "pii_redacted": _pii_sql(),
         "langid": _langid_sql(),

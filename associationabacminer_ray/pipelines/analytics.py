@@ -331,6 +331,61 @@ def q_sessions(sf_dir: str):
     return bucketed_group_agg(ds, ["user_id"], agg, num_buckets=16)
 
 
+def q_policy_eval_fixed(sf_dir: str) -> pd.DataFrame:
+    """A12 confusion-matrix counts for a DETERMINISTIC fixed policy (so
+    the whole mine→score loop is DuckDB-oracle-checkable, unlike the
+    windowed greedy variant): rules = the top-2 item pairs by support
+    (count desc, then item names — the A5 tie-break), each "conv must
+    contain both items". Classification is distributed: the 2-rule
+    policy is broadcast into map_batches (semi-join J1), exact counts
+    and distinct-transaction counts come back as partial sums
+    (EnvPolicyEvaluator.py:202-252 semantics, window-scale exact path)."""
+    from ray.data.aggregate import Sum
+
+    from .evaluate import policy_allows
+
+    ds = _events_transcripts(sf_dir)
+    sup = exact_itemset_supports(ds, max_k=2, num_buckets=16,
+                                 max_transaction_items=None).to_pandas()
+    pairs = sup[sup["k"] == 2]
+    parts = pairs["itemset"].str.split("\\" + ITEM_SEP, regex=True)
+    cand = pd.DataFrame({"item_a": parts.str[0], "item_b": parts.str[1],
+                         "support": pairs["support"].to_numpy()})
+    top2 = cand.sort_values(["support", "item_a", "item_b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(2)
+    rules = pd.DataFrame({"antecedent": top2["item_a"].to_numpy(),
+                          "consequent": top2["item_b"].to_numpy()})
+
+    tx = transactions(ds, num_buckets=16)
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        allowed = policy_allows(b, rules)
+        return pd.DataFrame({"items": b["items"].to_numpy(),
+                             "allowed": allowed.astype(np.int64),
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    classified = tx.map_batches(classify, batch_format="pandas")
+    c = classified.aggregate(Sum("allowed", alias_name="c_tp"),
+                             Sum("one", alias_name="n_tx"))
+
+    def uniq_partial(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates("items")
+        return pd.DataFrame({"u_n": [np.int64(len(u))],
+                             "u_tp": [np.int64(u["allowed"].sum())]})
+
+    u = bucketed_group_agg(classified, ["items"], uniq_partial,
+                           num_buckets=16).to_pandas()
+    n_tx, c_tp = int(c["n_tx"]), int(c["c_tp"])
+    u_tx, u_tp = int(u["u_n"].sum()), int(u["u_tp"].sum())
+    return pd.DataFrame([{
+        "n_tx": np.int64(n_tx), "c_tp": np.int64(c_tp),
+        "c_fn": np.int64(n_tx - c_tp), "u_tx": np.int64(u_tx),
+        "u_tp": np.int64(u_tp), "u_fn": np.int64(u_tx - u_tp),
+        "n_rules": np.int64(len(rules)),
+    }])
+
+
 def q_top_events(sf_dir: str) -> pd.DataFrame:
     """A5/A6: top-5 event types by count (deterministic tie-break)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])

@@ -51,16 +51,24 @@ def policy_allows(transactions: pd.DataFrame, rules: pd.DataFrame) -> np.ndarray
 
 def score_policy(opr_transactions: pd.DataFrame, rules: pd.DataFrame,
                  universe_total: int | None = None,
-                 universe_transactions: pd.DataFrame | None = None) -> dict:
+                 universe_transactions: pd.DataFrame | None = None,
+                 generated_u_pos: int | None = None) -> dict:
     """Confusion-matrix scoring of a mined policy on the operation window.
 
     TP = exercised & allowed; FN = exercised & denied. False positives
-    need an allowed-universe: ``universe_transactions`` (e.g. the obs
-    window's distinct transactions ∪ opr — what the reference's
-    enumerated uPos universe stands for, :79-169) — uPos = #distinct
-    universe transactions the policy allows, uFP = uPos − uTP. Without
-    a universe, uPos degenerates to uTP (precision trivially 1 at pure
-    window scale — documented). ``universe_total`` is the
+    need an allowed-universe — two sources, mirroring the reference:
+
+    - ``generated_u_pos``: uPos from the ENUMERATED Cartesian allowed
+      space (``pipelines.universe.count_allowed_universe`` — the
+      EnvPolicyEvaluator count_positives analog, :79-169). This is the
+      reference's semantics: uFP counts allowed-but-never-exercised
+      states of the generated universe.
+    - ``universe_transactions``: the observed obs∪opr distinct
+      transactions as a small-scale stand-in (round-1 behavior, kept as
+      the oracle-friendly variant).
+
+    Without either, uPos degenerates to uTP (precision trivially 1 at
+    pure window scale — documented). ``universe_total`` is the
     total-possible-priv-states denominator for TN/accuracy.
     Degenerate-case overrides mirror :231-244.
     """
@@ -71,7 +79,10 @@ def score_policy(opr_transactions: pd.DataFrame, rules: pd.DataFrame,
     uniq = opr_transactions.assign(_allowed=allowed).drop_duplicates("items")
     u_tp = int(uniq["_allowed"].sum())
     u_fn = int(len(uniq) - u_tp)
-    if universe_transactions is not None:
+    if generated_u_pos is not None:
+        u_pos = int(generated_u_pos)
+        default_total = max(u_pos, len(uniq))
+    elif universe_transactions is not None:
         universe = universe_transactions.drop_duplicates("items")
         u_pos = int(policy_allows(universe, rules).sum())
         default_total = len(universe)
