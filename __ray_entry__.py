@@ -197,9 +197,16 @@ _QUALITY_SQL = f"""
                  AS n_words,
              len(regexp_extract_all(text, '[^0-9A-Za-z_\\s]')) AS n_punct,
              len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
-             len(list_filter(regexp_extract_all(text, '[A-Za-z]+'),
-                 w -> lower(w) IN ('the','and','of','to','a','in','is',
-                                   'that','for','with'))) AS stop_hits
+             len(regexp_extract_all(lower(text), '\\bthe\\b'))
+               + len(regexp_extract_all(lower(text), '\\band\\b'))
+               + len(regexp_extract_all(lower(text), '\\bof\\b'))
+               + len(regexp_extract_all(lower(text), '\\bto\\b'))
+               + len(regexp_extract_all(lower(text), '\\ba\\b'))
+               + len(regexp_extract_all(lower(text), '\\bin\\b'))
+               + len(regexp_extract_all(lower(text), '\\bis\\b'))
+               + len(regexp_extract_all(lower(text), '\\bthat\\b'))
+               + len(regexp_extract_all(lower(text), '\\bfor\\b'))
+               + len(regexp_extract_all(lower(text), '\\bwith\\b')) AS stop_hits
       FROM documents
     ), r AS (
       SELECT doc_id, n_tokens,

@@ -33,27 +33,56 @@ _STOPWORDS = {
 
 class TokenStats:
     """doc stats: n_chars, n_tokens (whitespace), n_words (BPE-ish regex),
-    punct_ratio, alpha_ratio, stopword_ratio, quality_score ∈ [0,1]."""
+    punct_ratio, alpha_ratio, stopword_ratio, quality_score ∈ [0,1].
+
+    All counting runs on pyarrow's RE2 kernels (ASCII character classes,
+    ``\\b``-delimited stopword occurrences) — the C++ fast path, and the
+    EXACT semantics the DuckDB oracle reproduces (RE2 on both sides,
+    so no Python-``\\w``-vs-RE2 divergence on non-ASCII input).
+    ``count_substring_regex`` cost scales with MATCH count, so dense
+    classes count their complement (alpha = n_chars − non-alpha)."""
+
+    WORD_PAT = r"[A-Za-z]+|[0-9]+|[^0-9A-Za-z_\s]"
+    PUNCT_PAT = r"[^0-9A-Za-z_\s]"
+    NON_ALPHA_PAT = r"[^A-Za-z]"
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space marks
-        self.word_re = re.compile(r"[A-Za-z]+|\d+|[^\w\s]")
-        self.punct_re = re.compile(r"[^\w\s]")
-        self.alpha_re = re.compile(r"[A-Za-z]")
         self.stop = _STOPWORDS["en"]
+        # zero-width \b boundaries: non-overlapping count == occurrence
+        # count even for adjacent hits ("a a a" → 3)
+        self.stop_pats = [rf"\b{w}\b" for w in sorted(self.stop)]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         text = batch[self.text_col].fillna("")
-        n_chars = text.str.len().astype(np.int64)
-        n_tokens = text.str.split().str.len().fillna(0).astype(np.int64)
-        words = text.str.findall(self.word_re)
-        n_words = words.str.len().astype(np.int64)
-        n_punct = text.str.count(self.punct_re).astype(np.int64)
-        n_alpha = text.str.count(self.alpha_re).astype(np.int64)
+        arr = pc.cast(pa.array(text), pa.string())
+        n_chars_a = pc.utf8_length(arr)
+        n_chars = pd.Series(n_chars_a.to_numpy(), index=text.index)
+        trimmed = pc.utf8_trim_whitespace(arr)
+        n_tokens = pd.Series(np.where(
+            pc.equal(trimmed, "").to_numpy(zero_copy_only=False), 0,
+            pc.list_value_length(
+                pc.split_pattern_regex(trimmed, r"\s+")).to_numpy()),
+            index=text.index).astype(np.int64)
+        n_words = pd.Series(
+            pc.count_substring_regex(arr, self.WORD_PAT).to_numpy(),
+            index=text.index).astype(np.int64)
+        n_punct = pd.Series(
+            pc.count_substring_regex(arr, self.PUNCT_PAT).to_numpy(),
+            index=text.index).astype(np.int64)
+        n_alpha = n_chars - pd.Series(
+            pc.count_substring_regex(arr, self.NON_ALPHA_PAT).to_numpy(),
+            index=text.index)
+        lower = pc.utf8_lower(arr)
+        stop_acc = None
+        for pat in self.stop_pats:
+            c = pc.count_substring_regex(lower, pat)
+            stop_acc = c if stop_acc is None else pc.add(stop_acc, c)
+        stop_hits = pd.Series(stop_acc.to_numpy(), index=text.index)
         denom = n_chars.clip(lower=1)
-        stop_hits = words.map(
-            lambda ws: sum(1 for w in ws if w.lower() in self.stop))
         stop_ratio = (stop_hits / n_words.clip(lower=1)).astype(np.float64)
         punct_ratio = (n_punct / denom).astype(np.float64)
         alpha_ratio = (n_alpha / denom).astype(np.float64)
@@ -63,7 +92,7 @@ class TokenStats:
                    + 0.2 * np.clip(stop_ratio * 4, 0, 1)
                    + 0.1 * (1 - np.clip(punct_ratio * 4, 0, 1)))
         out = batch.copy()
-        out["n_chars_computed"] = n_chars
+        out["n_chars_computed"] = n_chars.astype(np.int64)
         out["n_tokens"] = n_tokens
         out["n_words"] = n_words
         out["punct_ratio"] = punct_ratio

@@ -125,6 +125,68 @@ class TestPipelines:
         assert (0, 99_999) in pairs
         assert (out["jaccard"] >= 0.5).all()
 
+    def test_distributed_verify_matches_driver_gather(self, ray_session):
+        """Regression for the round-2 rework: verify_pairs_distributed
+        must produce exactly what the round-1 driver-side text gather
+        produced — same pairs, same Jaccard values."""
+        import ray.data as rd
+
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            minhash_candidate_pairs,
+        )
+        from associationabacminer_ray.stages.dedup import (
+            shingle_set_jaccard,
+            verify_pairs_distributed,
+        )
+
+        cand = minhash_candidate_pairs(SF)
+        got = (verify_pairs_distributed(
+            rd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"]),
+            cand, shingle_set_jaccard, "jaccard")
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        # driver-side recomputation (the round-1 implementation)
+        texts = pd.read_parquet(f"{SF}/documents.parquet").set_index(
+            "doc_id")["text"]
+        want = cand.assign(jaccard=[
+            shingle_set_jaccard(texts[a], texts[b])
+            for a, b in zip(cand["id_a"], cand["id_b"])
+        ]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_distributed_verify_planted_dups_10x(self, ray_session, tmp_path):
+        """10× corpus with 20 planted near-duplicates: every planted
+        pair must survive candidate generation + distributed verify."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            q_minhash_dups,
+        )
+
+        base = pd.read_parquet(f"{SF}/documents.parquet")
+        blocks = []
+        for rep in range(10):
+            b = base.copy()
+            b["doc_id"] = b["doc_id"] + rep * 10_000
+            # make repeated copies distinct texts (suffix per rep)
+            b["text"] = b["text"] + f" rep{rep} marker{rep}"
+            blocks.append(b)
+        corpus = pd.concat(blocks, ignore_index=True)
+        dups = corpus.iloc[:20].copy()
+        dups["doc_id"] = dups["doc_id"] + 500_000
+        dups["text"] = dups["text"].str.replace("the", "teh", n=1)
+        corpus = pd.concat([corpus, dups], ignore_index=True)
+        d = tmp_path / "docs10x"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
+                       str(d / "documents.parquet"))
+        out = q_minhash_dups(str(d), threshold=0.5)
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        for i in range(20):
+            src = int(corpus.iloc[i]["doc_id"])
+            assert (src, src + 500_000) in pairs, f"missed planted pair {src}"
+
     def test_knn_ivf_recall_vs_brute(self, ray_session):
         from associationabacminer_ray.pipelines.ann import knn_brute, knn_ivf
 
