@@ -185,9 +185,11 @@ def _pii_sql() -> str:
     return sql
 
 
-# TokenStats regex semantics in shared ASCII RE2/Python syntax
-_N_TOKENS = ("CASE WHEN trim(text) = '' THEN 0 "
-             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+# TokenStats regex semantics in shared ASCII RE2/Python syntax.
+# Token count = number of \S+ runs — identical to the engine's
+# count_substring_regex kernel, with no trim() edge cases (DuckDB trim
+# strips spaces only, not tabs/newlines)
+_N_TOKENS = "len(regexp_extract_all(text, '\\S+'))"
 _QUALITY_SQL = f"""
     WITH f AS (
       SELECT doc_id,
@@ -356,7 +358,7 @@ _POLICY_EVAL_FIXED_SQL = """
     SELECT CAST(n_tx AS BIGINT) AS n_tx, CAST(c_tp AS BIGINT) AS c_tp,
            CAST(n_tx - c_tp AS BIGINT) AS c_fn, CAST(u_tx AS BIGINT) AS u_tx,
            CAST(u_tp AS BIGINT) AS u_tp, CAST(u_tx - u_tp AS BIGINT) AS u_fn,
-           CAST(2 AS BIGINT) AS n_rules
+           CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_rules
     FROM c
 """
 
@@ -542,12 +544,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
-        "text_stats": """
+        "text_stats": f"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars_computed,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                        END AS BIGINT) AS n_tokens
+                   CAST({_N_TOKENS} AS BIGINT) AS n_tokens
             FROM documents
         """,
         "lang_dist": """
@@ -582,11 +582,11 @@ def oracle_sql() -> dict[str, str]:
         "langid": _langid_sql(),
         "quality_scores": _QUALITY_SQL,
         # the deterministic planting rule IS the expected answer: every
-        # 10th vector gains a near-duplicate copy at id+1e6 whose cosine
+        # 10th vector gains a near-duplicate copy at id+2^40 whose cosine
         # (≈0.9998) is far above both the 0.9 threshold and any natural
         # pair on this corpus (max ≈0.55), so LSH recall must be exact
         "embedding_dups": """
-            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+            SELECT vec_id AS id_a, vec_id + 1099511627776 AS id_b
             FROM embeddings WHERE vec_id % 10 = 0
         """,
         "crosscorpus_dedup_exact": """

@@ -270,6 +270,14 @@ SAMPLE_MOD = 1 << 32
 SAMPLE_KEEP = 429496729  # floor(0.1 * 2^32)
 
 
+def hash_sample_mask(event_ids: np.ndarray) -> np.ndarray:
+    """THE sampling predicate — one definition shared by every sampled
+    query (and restated verbatim in the SQL oracles): keep iff
+    (event_id·2654435761) mod 2³² < 0.1·2³²."""
+    return (np.asarray(event_ids).astype(np.int64)
+            * SAMPLE_MULT) % SAMPLE_MOD < SAMPLE_KEEP
+
+
 def q_sample_events(sf_dir: str) -> pd.DataFrame:
     """O4: seeded sampling (instance_sample_rate analog,
     ``SeparatedVarianceSelector.py:38``), deterministic multiplicative-
@@ -281,9 +289,8 @@ def q_sample_events(sf_dir: str) -> pd.DataFrame:
                          columns=["event_id", "event_type"])
 
     def samp(b: pd.DataFrame) -> pd.DataFrame:
-        keep = (b["event_id"].to_numpy().astype(np.int64)
-                * SAMPLE_MULT) % SAMPLE_MOD < SAMPLE_KEEP
-        return b.loc[keep, ["event_type"]]
+        return b.loc[hash_sample_mask(b["event_id"].to_numpy()),
+                     ["event_type"]]
 
     agg = (ds.map_batches(samp, batch_format="pandas")
            .groupby("event_type").aggregate(Count(alias_name="n")).to_pandas())

@@ -53,9 +53,16 @@ class _BruteForcePartial:
         top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         rows_q, rows_n, rows_s = [], [], []
         for qi in range(sims.shape[0]):
-            rows_q.append(np.full(k, self.qids[qi], dtype=np.int64))
-            rows_n.append(ids[top[qi]].astype(np.int64))
-            rows_s.append(sims[qi][top[qi]])
+            # include ALL ties at the k-th sim, then order by the merge's
+            # total order (sim desc, neighbor_id) so a boundary tie can't
+            # be dropped nondeterministically
+            kth = sims[qi][top[qi]].min()
+            sel = np.flatnonzero(sims[qi] >= kth)
+            order = np.lexsort((ids[sel], -sims[qi][sel]))[:k]
+            sel = sel[order]
+            rows_q.append(np.full(len(sel), self.qids[qi], dtype=np.int64))
+            rows_n.append(ids[sel].astype(np.int64))
+            rows_s.append(sims[qi][sel])
         return pd.DataFrame({"query_id": np.concatenate(rows_q),
                              "neighbor_id": np.concatenate(rows_n),
                              "sim": np.concatenate(rows_s)})
@@ -263,7 +270,10 @@ def embedding_near_dups_ds(emb, threshold: float = 0.9, n_bits: int = 8,
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
-PLANT_ID_OFFSET = 1_000_000
+# 2^40: far beyond any plausible vec_id count, so planted ids can never
+# collide with real ids even at 10^12-row scale (and still an exact
+# int64/SQL literal)
+PLANT_ID_OFFSET = 1 << 40
 PLANT_EVERY = 10
 PLANT_EPS = 0.02
 
@@ -347,11 +357,19 @@ class _PairTopKPartial:
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                                  "id_b": pd.Series(dtype=np.int64),
                                  "sim": pd.Series(dtype=np.float64)})
-        top = np.argpartition(-flat, k - 1)[:k]
-        ri, ci = np.unravel_index(top, sims.shape)
-        return pd.DataFrame({"id_a": bids[ri].astype(np.int64),
-                             "id_b": self.ids[ci].astype(np.int64),
-                             "sim": flat[top]})
+        # local top-k must use the SAME total order as the global merge
+        # ((sim desc, id_a, id_b)) or a tie at the local k-th boundary
+        # can drop the pair the oracle ranks first: keep everything down
+        # to (and including ALL ties at) the k-th similarity, then
+        # lexsort that slab deterministically
+        kth = flat[np.argpartition(-flat, k - 1)[:k]].min()
+        keep = np.flatnonzero(flat >= kth)
+        ri, ci = np.unravel_index(keep, sims.shape)
+        ida, idb, s = bids[ri], self.ids[ci], flat[keep]
+        order = np.lexsort((idb, ida, -s))[:k]
+        return pd.DataFrame({"id_a": ida[order].astype(np.int64),
+                             "id_b": idb[order].astype(np.int64),
+                             "sim": s[order]})
 
 
 def q_embedding_topk_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:

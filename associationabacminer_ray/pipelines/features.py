@@ -38,7 +38,7 @@ import pandas as pd
 
 import ray.data as rd
 
-from .analytics import SAMPLE_KEEP, SAMPLE_MOD, SAMPLE_MULT, bucketed_group_agg
+from .analytics import bucketed_group_agg, hash_sample_mask
 
 # ---------------------------------------------------------------- fields
 # The normalized per-event field map (ConfigurableEventNormalizer
@@ -53,9 +53,7 @@ def _tool_from_props(props: pd.Series) -> pd.Series:
 
 
 def _sampled(b: pd.DataFrame) -> pd.DataFrame:
-    keep = (b["event_id"].to_numpy().astype(np.int64)
-            * SAMPLE_MULT) % SAMPLE_MOD < SAMPLE_KEEP
-    return b[keep]
+    return b[hash_sample_mask(b["event_id"].to_numpy())]
 
 
 def _field_frame(b: pd.DataFrame) -> pd.DataFrame:
@@ -85,8 +83,7 @@ def q_field_stats(sf_dir: str) -> pd.DataFrame:
             vc = f[field].value_counts()
             frames.append(pd.DataFrame({
                 "field": field, "value": vc.index.to_numpy(),
-                "cnt": vc.to_numpy().astype(np.int64),
-                "total": np.int64(len(b))}))
+                "cnt": vc.to_numpy().astype(np.int64)}))
         return pd.concat(frames, ignore_index=True)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -99,11 +96,9 @@ def q_field_stats(sf_dir: str) -> pd.DataFrame:
     counts = bucketed_group_agg(
         ds.map_batches(partials, batch_format="pandas"),
         ["field", "value"], per_bucket, num_buckets=8).to_pandas()
-    total = int(rd.read_parquet(f"{sf_dir}/events.parquet",
-                                columns=["event_id"])
-                .map_batches(lambda b: pd.DataFrame(
-                    {"n": [np.int64(len(_sampled(b)))]}), batch_format="pandas")
-                .sum("n"))
+    # role is never 'NONE', so its instance total IS the sampled event
+    # count — no second scan of the events table needed
+    total = int(counts.loc[counts["field"] == "role", "cnt"].sum())
     rows = []
     for field in FIELDS:
         sub = counts[(counts["field"] == field) & (counts["value"] != "NONE")]
@@ -162,7 +157,12 @@ def q_info_gain(sf_dir: str) -> pd.DataFrame:
     """Mutual information I(feature; event_type) in milli-nats from the
     contingency table: Σ (n_xy/N)·ln(N·n_xy/(n_x·n_y)). The table is
     tiny post-aggregation, so the fold runs on the driver; the oracle
-    recomputes the identical closed form in SQL."""
+    recomputes the identical closed form in SQL. (Known bounded risk:
+    the SUM is order-sensitive at the last-ulp level and DuckDB's
+    summation order is its own, so a MI value landing within ~1e-12 of
+    a 0.0005-nat fold boundary could flip the last milli-nat; per-term
+    inputs are exact integer ratios on both sides, so the probability
+    is negligible on any fixed corpus.)"""
     c = feature_label_counts(sf_dir)
     rows = []
     for feat, sub in c.groupby("feature", sort=True):
@@ -236,9 +236,11 @@ def distributed_correlation(emb_ds) -> tuple[np.ndarray, np.ndarray, np.ndarray,
     parts = emb_ds.map_batches(_moments_partial,
                                batch_format="pandas").to_pandas()
     # Ray's streaming executor does not preserve block order; float
-    # summation is order-sensitive, so fix a deterministic merge order
-    # (sort by the partial's own bytes) to make corr run-to-run stable
-    parts = parts.sort_values("sx", kind="mergesort").reset_index(drop=True)
+    # summation is order-sensitive, so fix a deterministic merge order.
+    # Sort on ALL partial blobs — two blocks can share identical column
+    # sums (permuted rows) while differing in gram
+    parts = parts.sort_values(["sx", "sxx", "gram"],
+                              kind="mergesort").reset_index(drop=True)
     n = int(parts["n"].sum())
     sx = np.sum([np.frombuffer(v) for v in parts["sx"]], axis=0)
     sxx = np.sum([np.frombuffer(v) for v in parts["sxx"]], axis=0)

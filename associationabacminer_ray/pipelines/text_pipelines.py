@@ -261,7 +261,9 @@ def q_crosscorpus_dedup(sf_dir: str) -> pd.DataFrame:
     from ..sketches import BloomFilter
     from ..udaf import BloomAgg
 
-    ref_hashes = _ref_corpus_hashes(sf_dir)
+    # materialize once: count() + BloomAgg both read object-store blocks
+    # instead of scanning/hashing the reference parquet twice
+    ref_hashes = _ref_corpus_hashes(sf_dir).materialize()
     n_ref = ref_hashes.count()
     # identical filter geometry to a driver-side for_capacity build, so
     # kept/dropped counts are bit-identical to round 1

@@ -61,11 +61,10 @@ class TokenStats:
         arr = pc.cast(pa.array(text), pa.string())
         n_chars_a = pc.utf8_length(arr)
         n_chars = pd.Series(n_chars_a.to_numpy(), index=text.index)
-        trimmed = pc.utf8_trim_whitespace(arr)
-        n_tokens = pd.Series(np.where(
-            pc.equal(trimmed, "").to_numpy(zero_copy_only=False), 0,
-            pc.list_value_length(
-                pc.split_pattern_regex(trimmed, r"\s+")).to_numpy()),
+        # whitespace token count = number of \S+ runs: no trim/split
+        # edge cases, and the SQL oracle states the identical expression
+        n_tokens = pd.Series(
+            pc.count_substring_regex(arr, r"\S+").to_numpy(),
             index=text.index).astype(np.int64)
         n_words = pd.Series(
             pc.count_substring_regex(arr, self.WORD_PAT).to_numpy(),
@@ -177,12 +176,15 @@ class PIIRedactor:
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         # ipv4 before phone: a dotted quad would otherwise match the
-        # looser phone pattern first
+        # looser phone pattern first. Compiled with re.ASCII so \w/\d/\b
+        # are byte-class semantics — EXACTLY what the RE2-based DuckDB
+        # oracle computes (unicode \b would diverge next to accented
+        # letters, e.g. "123456789é")
         self.patterns = [
-            ("email", re.compile(r"[\w.+-]+@[\w-]+\.[\w.-]+")),
-            ("ipv4", re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")),
-            ("phone", re.compile(r"\+?\d[\d\s().-]{7,}\d")),
-            ("digits", re.compile(r"\b\d{9,}\b")),
+            ("email", re.compile(r"[\w.+-]+@[\w-]+\.[\w.-]+", re.ASCII)),
+            ("ipv4", re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b", re.ASCII)),
+            ("phone", re.compile(r"\+?\d[\d\s().-]{7,}\d", re.ASCII)),
+            ("digits", re.compile(r"\b\d{9,}\b", re.ASCII)),
         ]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -77,8 +77,8 @@ class TestEmbeddingDups:
         pairs = set(zip(out["id_a"], out["id_b"]))
         # the manually planted copy of vec 0 is found …
         assert (0, 99_999) in pairs
-        # … alongside the query's own deterministic plants (vec_id+1e6
+        # … alongside the query's own deterministic plants (vec_id+2^40
         # for every 10th vector), so the pair list is non-trivial
-        assert (0, 1_000_000) in pairs
+        assert (0, 1 << 40) in pairs
         n_auto = (base["vec_id"] % 10 == 0).sum()
         assert len(pairs) >= n_auto
