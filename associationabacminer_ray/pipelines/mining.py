@@ -21,7 +21,12 @@ import time
 import pandas as pd
 
 from ..functions.windows import WindowSpec, generate_windows, read_window
-from .itemsets import exact_itemset_supports, sketched_itemset_supports, transactions
+from .itemsets import (
+    distinct_conv_count,
+    exact_itemset_supports,
+    sketched_itemset_supports,
+    transactions,
+)
 from .rules import (
     extract_constant_items,
     greedy_cover,
@@ -46,9 +51,9 @@ def mine_window(transcripts_path: str, spec: WindowSpec, mode: str = "exact",
         tx = transactions(ds, num_buckets=num_buckets).to_pandas()
         n_tx = len(tx)
     else:
-        # exact mode needs only the COUNT — .count() streams the
-        # bucketed pipeline without a driver copy (VERDICT r1 #4)
-        n_tx = transactions(ds, num_buckets=num_buckets).count()
+        # exact mode needs only the COUNT — the hash-distinct pipeline
+        # skips the transaction build entirely (VERDICT r1 #4)
+        n_tx = distinct_conv_count(ds, num_buckets=num_buckets)
     if greedy:
         policy = greedy_cover(tx, n_transactions=n_tx, metric=metric,
                               max_rounds=max_rounds, min_support=min_support,
