@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_mining": S.q_windowed_mining,
         "windowed_sketch_sweep": S.q_windowed_sketch_sweep,
         "policy_scores": S.q_policy_scores,
+        "policy_scores_universe": S.q_policy_scores_universe,
         # near-dup / text heuristics (rows-only, verified in pytest)
         "minhash_dups": T.q_minhash_dups,
         "simhash_bands": T.q_simhash_bands,

@@ -58,8 +58,10 @@ def read_window(path: str, spec: WindowSpec, which: str = "obs",
     range-query analog, src/job/job_utls.py:5-14)."""
     import ray.data as rd
 
-    lo, hi = ((spec.obs_start, spec.obs_end) if which == "obs"
-              else (spec.opr_start, spec.opr_end))
+    lo, hi = {"obs": (spec.obs_start, spec.obs_end),
+              "opr": (spec.opr_start, spec.opr_end),
+              # the scoring-universe read (obs∪opr observed values)
+              "obs_opr": (spec.obs_start, spec.opr_end)}[which]
     field = pc.field(ts_col)
     expr = (field >= pa.scalar(np.datetime64(lo, "us"))) & (
         field < pa.scalar(np.datetime64(hi, "us")))

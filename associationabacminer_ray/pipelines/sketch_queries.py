@@ -131,6 +131,57 @@ def q_windowed_sketch_sweep(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_policy_scores_universe(sf_dir: str) -> pd.DataFrame:
+    """A11+A12 end-to-end at the reference's TRUE granularity: mine a
+    policy on the obs window, turn its rules into enumerable statements,
+    GENERATE the allowed (role_tool, hour, weekday) universe as a
+    Dataset (mixed-radix decode + hash union), and score the opr window
+    at turn-tuple level — uFP counts allowed-but-never-exercised states
+    (EnvPolicyEvaluator count_positives semantics, :79-169)."""
+    from datetime import datetime
+
+    from ..functions.windows import WindowSpec, read_window
+    from .evaluate import score_policy  # noqa: F401  (transaction twin)
+    from .itemsets import exact_itemset_supports
+    from .itemsets import transactions as tx_pipeline
+    from .rules import rules_from_supports
+    from .universe import score_policy_turns_generated
+
+    paths = _synth_window_corpus(sf_dir)
+    spec = WindowSpec(datetime(2024, 1, 1), datetime(2024, 1, 22),
+                      datetime(2024, 1, 22), datetime(2024, 1, 29))
+    obs = read_window(paths, spec, "obs", columns=["conv_id", "role", "tool"])
+    obs_tx = tx_pipeline(obs, num_buckets=8).to_pandas()
+    supports = exact_itemset_supports(obs, max_k=2, num_buckets=8,
+                                      min_support=2).to_pandas()
+    rules = rules_from_supports(supports, n_transactions=len(obs_tx),
+                                min_support=2).head(10)
+
+    # domains from the obs∪opr observed values (possible_params analog)
+    def field_values(b: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(b["ts"])
+        frames = [
+            pd.DataFrame({"field": "role_tool", "value": (
+                b["role"].astype(str) + "=" + b["tool"].astype(str)).unique()}),
+            pd.DataFrame({"field": "hour",
+                          "value": ts.dt.hour.astype(str).unique()}),
+            pd.DataFrame({"field": "weekday",
+                          "value": ts.dt.dayofweek.astype(str).unique()}),
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    both = read_window(paths, spec, "obs_opr",
+                       columns=["role", "tool", "ts"])
+    dom_df = (both.map_batches(field_values, batch_format="pandas")
+              .to_pandas().drop_duplicates())
+    domains = {f: sorted(sub["value"]) for f, sub in dom_df.groupby("field")}
+
+    opr = read_window(paths, spec, "opr", columns=["role", "tool", "ts"])
+    scores = score_policy_turns_generated(opr, rules, domains, mode="exact")
+    scores["window_id"] = spec.window_id
+    return pd.DataFrame([scores])
+
+
 def q_policy_scores(sf_dir: str) -> pd.DataFrame:
     """Mine on an obs window, score on the opr window (A12 confusion
     matrix with degenerate overrides) — the mine→score job loop."""

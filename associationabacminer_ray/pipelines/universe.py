@@ -132,6 +132,76 @@ def count_allowed_universe_pyset(statements, domains) -> int:
     return len(seen)
 
 
+def statements_from_rules(rules, domains: dict[str, list[str]],
+                          pair_field: str = "role_tool") -> list[dict]:
+    """Mined itemset rules → enumerable policy statements: a rule's
+    items are the allowed values of the joint (role,tool) field; every
+    other field ranges over its full observed domain (the
+    constraints_map construction, ``src/EnvAbacRuleMiner.py:207-232`` →
+    ``EnvPolicyEvaluator.count_positives``)."""
+    from ..stages.transactionize import ITEM_SEP
+
+    stmts = []
+    for _, r in rules.iterrows():
+        items = sorted(set(r["antecedent"].split(ITEM_SEP)
+                           + r["consequent"].split(ITEM_SEP)))
+        allowed = [v for v in items if v in set(domains[pair_field])]
+        stmts.append({pair_field: allowed})
+    return stmts
+
+
+def score_policy_turns_generated(opr_ds, rules, domains: dict[str, list[str]],
+                                 mode: str = "exact") -> dict:
+    """The reference's ACTUAL uPos semantics end-to-end (turn/event
+    level, ``EnvPolicyEvaluator.py:202-252``): a turn tuple
+    (role_tool, hour, weekday) is allowed iff some statement's
+    constraint covers it; uTP/uFN count DISTINCT exercised tuples,
+    uPos counts the DISTINCT generated allowed tuples, uFP = uPos−uTP
+    (allowed-but-never-exercised states). Exercised-tuple distincts run
+    through the same bucketed-unique pipeline as the generated side."""
+    stmts = statements_from_rules(rules, domains)
+    allowed_items = sorted({v for s in stmts for v in s["role_tool"]})
+
+    def tuple_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(b["ts"])
+        fields = {
+            "hour": ts.dt.hour.astype(str),
+            "role_tool": b["role"].astype(str) + "=" + b["tool"].astype(str),
+            "weekday": ts.dt.dayofweek.astype(str),
+        }
+        h = None
+        # sorted(field) order must match allowed_tuple_hashes' fold
+        for f in sorted(fields):
+            fh = hash_strings(f + "=" + fields[f])
+            h = fh if h is None else combine_hashes(h, fh)
+        allowed = fields["role_tool"].isin(allowed_items).to_numpy()
+        return pd.DataFrame({"h": h, "allowed": allowed.astype(np.int64)})
+
+    tagged = opr_ds.map_batches(tuple_hashes, batch_format="pandas")
+    n_turns = tagged.count()
+    c_tp = int(tagged.sum("allowed") or 0)
+    u_tp = distinct_count_exact(
+        tagged.map_batches(lambda b: b.loc[b["allowed"].astype(bool), ["h"]],
+                           batch_format="pandas"))
+    u_seen = distinct_count_exact(
+        tagged.map_batches(lambda b: b[["h"]], batch_format="pandas"))
+    u_fn = u_seen - u_tp
+    res = count_allowed_universe(stmts, domains, mode=mode)
+    u_pos = res["u_pos"]
+    total = res["universe_total"]
+    u_fp = max(0, u_pos - u_tp)
+    u_tn = max(0, total - (u_tp + u_fn + u_fp))
+    precision = 1.0 if (u_tp + u_fp) == 0 else u_tp / (u_tp + u_fp)
+    recall = 1.0 if (u_tp + u_fn) == 0 else u_tp / (u_tp + u_fn)
+    return {
+        "n_turns": int(n_turns), "c_tp": c_tp, "c_fn": int(n_turns - c_tp),
+        "u_tp": int(u_tp), "u_fn": int(u_fn), "u_fp": int(u_fp),
+        "u_tn": int(u_tn), "u_pos": int(u_pos), "universe_total": int(total),
+        "precision": precision, "recall": recall,
+        "n_rules": int(len(rules)),
+    }
+
+
 # ----------------------------------------------------------------- query
 def _event_domains(sf_dir: str) -> dict[str, list[str]]:
     """Per-field distinct observed values (possible_params analog) from

@@ -156,6 +156,49 @@ class TestGeneratedUniverse:
         assert gen["u_tn"] == 50 - (gen["u_tp"] + gen["u_fn"] + gen["u_fp"])
 
 
+class TestScorePolicyTurnsGenerated:
+    def test_counts_match_pandas_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from associationabacminer_ray.pipelines.universe import (
+            count_allowed_universe_pyset,
+            score_policy_turns_generated,
+            statements_from_rules,
+        )
+
+        df = pd.DataFrame({
+            "role": ["u", "u", "a", "a", "u", "a"],
+            "tool": ["k1", "k2", "k1", "k3", "k1", "k3"],
+            "ts": pd.to_datetime([
+                "2024-01-01 10:00", "2024-01-01 11:00", "2024-01-02 10:00",
+                "2024-01-02 12:00", "2024-01-08 10:00", "2024-01-03 12:00"]),
+        })
+        rules = pd.DataFrame({"antecedent": ["u=k1"], "consequent": ["a=k3"]})
+        rt = df["role"] + "=" + df["tool"]
+        domains = {
+            "role_tool": sorted(rt.unique()),
+            "hour": sorted(df["ts"].dt.hour.astype(str).unique()),
+            "weekday": sorted(df["ts"].dt.dayofweek.astype(str).unique()),
+        }
+        got = score_policy_turns_generated(rd.from_pandas(df), rules, domains)
+        # brute force with pandas/python sets
+        allowed_items = {"u=k1", "a=k3"}
+        tup = list(zip(rt, df["ts"].dt.hour.astype(str),
+                       df["ts"].dt.dayofweek.astype(str)))
+        allowed_mask = rt.isin(allowed_items)
+        assert got["n_turns"] == 6
+        assert got["c_tp"] == int(allowed_mask.sum())
+        assert got["c_fn"] == int((~allowed_mask).sum())
+        assert got["u_tp"] == len({t for t, a in zip(tup, allowed_mask) if a})
+        assert got["u_fn"] == len({t for t, a in zip(tup, allowed_mask) if not a})
+        stmts = statements_from_rules(rules, domains)
+        assert got["u_pos"] == count_allowed_universe_pyset(stmts, domains)
+        assert got["u_fp"] == got["u_pos"] - got["u_tp"]
+        assert got["universe_total"] == (len(domains["role_tool"])
+                                         * len(domains["hour"])
+                                         * len(domains["weekday"]))
+
+
 class TestFieldStats:
     def test_none_semantics(self, ray_session):
         from associationabacminer_ray.pipelines.features import q_field_stats
