@@ -250,12 +250,81 @@ def best_rule(rules: pd.DataFrame, metric: str = "cscore") -> pd.Series:
 from .evaluate import _rule_matches as _matches_rule  # noqa: E402
 
 
+def _tx_sketch_supports(tx_ds, max_k: int = 2, cms_width: int = 1 << 13,
+                        cms_depth: int = 4,
+                        topk_capacity: int = 4096) -> pd.DataFrame:
+    """Sketch-mode per-round support counting over a (conv_id, items)
+    transactions Dataset: each BATCH (rows are one-per-conversation, so
+    batches never double-count) expands itemsets into a CMS + top-k
+    partial; the only exchange is fixed-size blobs through
+    ``SketchMergeAgg``. Returns the heavy-hitter candidates as a
+    (itemset, k, support) frame, CMS-backfilling any 1-itemset subset
+    the top-k head is missing so rule scoring has its antecedent
+    supports. Counts are overestimates (monotone-safe for min_support
+    pruning and for the greedy's shrinking cover)."""
+    from collections import Counter
+
+    from ..functions.hashing import hash_string_scalar
+    from ..sketches import CountMinSketch, Sketch, SpaceSaving
+    from ..udaf import SketchMergeAgg
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        counter: Counter = Counter()
+        mult = batch["items"].value_counts()
+        for items_str, m in mult.items():
+            items = tuple(items_str.split(","))
+            for k in range(1, min(max_k, len(items)) + 1):
+                for combo in itertools.combinations(items, k):
+                    counter[ITEM_SEP.join(combo)] += int(m)
+        cms = CountMinSketch(width=cms_width, depth=cms_depth)
+        topk = SpaceSaving(capacity=topk_capacity)
+        if counter:
+            keys = list(counter.keys())
+            counts = np.fromiter(counter.values(), dtype=np.int64,
+                                 count=len(counter))
+            cms.update_hashed(hash_strings(pd.Series(keys, dtype=object)),
+                              counts)
+            topk.update(keys, counts)
+        return pd.DataFrame({"name": ["cms", "topk"],
+                             "blob": [cms.to_bytes(), topk.to_bytes()]})
+
+    merged = (tx_ds.map_batches(partials, batch_format="pandas")
+              .groupby("name")
+              .aggregate(SketchMergeAgg("blob", alias="blob")))
+    sk: dict = {}
+    for row in merged.take_all():
+        sk[row["name"]] = Sketch.from_bytes(bytes(row["blob"]))
+    if "topk" not in sk:
+        return pd.DataFrame({"itemset": pd.Series(dtype=object),
+                             "k": pd.Series(dtype="int32"),
+                             "support": pd.Series(dtype="int64")})
+    rows = [(key, count) for key, count, _ in sk["topk"].top()]
+    df = pd.DataFrame(rows, columns=["itemset", "support"])
+    df["k"] = (df["itemset"].str.count("\\" + ITEM_SEP) + 1).astype("int32")
+    have = set(df["itemset"])
+    backfill = []
+    for itemset in df.loc[df["k"] >= 2, "itemset"]:
+        for part in itemset.split(ITEM_SEP):
+            if part not in have:
+                have.add(part)
+                backfill.append(
+                    (part, sk["cms"].estimate_one(hash_string_scalar(part)), 1))
+    if backfill:
+        df = pd.concat([df, pd.DataFrame(backfill,
+                                         columns=["itemset", "support", "k"])],
+                       ignore_index=True)
+    df["support"] = df["support"].astype(np.int64)
+    df["k"] = df["k"].astype("int32")
+    return df[["itemset", "k", "support"]]
+
+
 def greedy_cover_ray(transactions_ds, n_transactions: int | None = None,
                      metric: str = "cscore", max_rounds: int = 20,
                      coverage_target: float = 0.95, min_support: int = 2,
                      max_k: int = 2, beta: float = 1.0,
                      bloom_bits: int = 1 << 24,
-                     merge_buckets: int = 32) -> pd.DataFrame:
+                     merge_buckets: int = 32,
+                     mode: str = "exact") -> pd.DataFrame:
     """Distributed greedy cover over a (conv_id, items) transactions
     Dataset (SURVEY.md §7.4 "greedy set-cover is inherently sequential").
 
@@ -307,10 +376,17 @@ def greedy_cover_ray(transactions_ds, n_transactions: int | None = None,
         uncovered = cur.count()
         if uncovered == 0 or 1 - uncovered / n_transactions >= coverage_target:
             break
-        partials = cur.map_batches(batch_partials, batch_format="pandas")
-        supports = sum_by_key_bucketed(partials, "itemset", "count", "support",
-                                       num_buckets=merge_buckets).to_pandas()
-        supports["k"] = (supports["itemset"].str.count("\\" + ITEM_SEP) + 1).astype("int32")
+        if mode == "sketch":
+            # 100 TB per-round path: fixed-size CMS/top-k blobs are the
+            # only exchange — no (itemset, count) row shuffle at all
+            supports = _tx_sketch_supports(cur, max_k=max_k)
+        else:
+            partials = cur.map_batches(batch_partials, batch_format="pandas")
+            supports = sum_by_key_bucketed(
+                partials, "itemset", "count", "support",
+                num_buckets=merge_buckets).to_pandas()
+            supports["k"] = (supports["itemset"].str.count("\\" + ITEM_SEP)
+                             + 1).astype("int32")
         rules = rules_from_supports(supports[supports["support"] >= min_support],
                                     uncovered, min_support, beta)
         if not len(rules):

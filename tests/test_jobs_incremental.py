@@ -42,6 +42,27 @@ class TestGreedyCoverRay:
         )
         assert (got["covered_this_round"] == want["covered_this_round"]).all()
 
+    def test_sketch_mode_matches_exact_at_small_scale(self, ray_session, corpus):
+        """mode='sketch' swaps the per-round (itemset,count) shuffle for
+        fixed CMS/top-k blobs; at this scale the space-saving head is
+        exact, so round-by-round selections must match the exact mode."""
+        import ray.data as rd
+
+        from associationabacminer_ray.pipelines.itemsets import transactions
+
+        tx_ds = transactions(rd.read_parquet(corpus), num_buckets=8)
+        exact = greedy_cover_ray(tx_ds, metric="cscore", max_rounds=3,
+                                 coverage_target=0.99, min_support=2)
+        sketch = greedy_cover_ray(tx_ds, metric="cscore", max_rounds=3,
+                                  coverage_target=0.99, min_support=2,
+                                  mode="sketch")
+        pd.testing.assert_frame_equal(
+            sketch[["round", "antecedent", "consequent", "support_ab",
+                    "covered_this_round"]],
+            exact[["round", "antecedent", "consequent", "support_ab",
+                   "covered_this_round"]],
+        )
+
 
 class TestJobs:
     def test_generate_jobs_grid(self):
