@@ -233,7 +233,7 @@ _QUALITY_SQL = f"""
 # ---- feature-selection oracles: shared normalized-field expressions
 # (mirrors pipelines.features._field_frame + the hash sampler)
 _SAMPLED = ("s AS (SELECT * FROM events "
-            "WHERE (event_id * 2654435761) % 4294967296 < 429496729)")
+            "WHERE (CAST(event_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 < 429496729)")
 _FEXPR = {
     "role": "event_type",
     "tool": "'k' || regexp_extract(props, '[0-9]+')",
@@ -569,7 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_events": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM events
-            WHERE (event_id * 2654435761) % 4294967296 < 429496729
+            WHERE (CAST(event_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 < 429496729
             GROUP BY event_type
         """,
         "field_stats": _FIELD_STATS_SQL,

@@ -58,13 +58,24 @@ def read_window(path: str, spec: WindowSpec, which: str = "obs",
     range-query analog, src/job/job_utls.py:5-14)."""
     import ray.data as rd
 
-    lo, hi = {"obs": (spec.obs_start, spec.obs_end),
-              "opr": (spec.opr_start, spec.opr_end),
-              # the scoring-universe read (obs∪opr observed values)
-              "obs_opr": (spec.obs_start, spec.opr_end)}[which]
     field = pc.field(ts_col)
-    expr = (field >= pa.scalar(np.datetime64(lo, "us"))) & (
-        field < pa.scalar(np.datetime64(hi, "us")))
+
+    def rng(lo, hi):
+        return (field >= pa.scalar(np.datetime64(lo, "us"))) & (
+            field < pa.scalar(np.datetime64(hi, "us")))
+
+    if which == "obs":
+        expr = rng(spec.obs_start, spec.obs_end)
+    elif which == "opr":
+        expr = rng(spec.opr_start, spec.opr_end)
+    elif which == "obs_opr":
+        # the scoring-universe read: UNION of the two ranges — a spec
+        # with a gap between obs_end and opr_start must not leak gap
+        # rows into the observed domains
+        expr = rng(spec.obs_start, spec.obs_end) | rng(spec.opr_start,
+                                                       spec.opr_end)
+    else:
+        raise ValueError(f"unknown window part {which!r}")
     return rd.read_parquet(path, columns=columns, filter=expr)
 
 

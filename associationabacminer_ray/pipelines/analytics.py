@@ -273,9 +273,12 @@ SAMPLE_KEEP = 429496729  # floor(0.1 * 2^32)
 def hash_sample_mask(event_ids: np.ndarray) -> np.ndarray:
     """THE sampling predicate — one definition shared by every sampled
     query (and restated verbatim in the SQL oracles): keep iff
-    (event_id·2654435761) mod 2³² < 0.1·2³²."""
-    return (np.asarray(event_ids).astype(np.int64)
-            * SAMPLE_MULT) % SAMPLE_MOD < SAMPLE_KEEP
+    ((event_id mod 2³²)·2654435761) mod 2³² < 0.1·2³². The inner mod
+    keeps the product within uint64 (< 1.15e19) so numpy stays exact
+    and the SQL side can use HUGEINT without BIGINT overflow at
+    10¹²-row id ranges; for ids < 2³² it equals the plain Knuth hash."""
+    ids = np.asarray(event_ids).astype(np.uint64) % np.uint64(SAMPLE_MOD)
+    return (ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD) < SAMPLE_KEEP
 
 
 def q_sample_events(sf_dir: str) -> pd.DataFrame:
@@ -372,7 +375,9 @@ def q_policy_eval_fixed(sf_dir: str) -> pd.DataFrame:
                              "allowed": allowed.astype(np.int64),
                              "one": np.ones(len(b), dtype=np.int64)})
 
-    classified = tx.map_batches(classify, batch_format="pandas")
+    # materialized once: the Sum aggregate and the bucketed unique pass
+    # would otherwise each re-run the transactions build + classify
+    classified = tx.map_batches(classify, batch_format="pandas").materialize()
     c = classified.aggregate(Sum("allowed", alias_name="c_tp"),
                              Sum("one", alias_name="n_tx"))
 

@@ -335,9 +335,13 @@ def q_embedding_dups(sf_dir: str, threshold: float = 0.9,
 
 class _PairTopKPartial:
     """Brute-force global top-k PAIRS: the full normalized matrix is
-    broadcast once (small side at this dim; the 100 TB path swaps in the
-    IVF bucketing below); each batch computes its rows × all-rows sims,
-    masks to id_a < id_b, and emits its batch-local top-k triples."""
+    broadcast once — the DOCUMENTED assumption of this baseline is that
+    n×d floats fit one broadcast blob (an all-pairs exact ranking needs
+    every vector visible to every batch). When the corpus outgrows
+    broadcast, restrict candidates with the bucketed LSH shape
+    (``embedding_near_dups``) or IVF probing (``knn_ivf``) instead of
+    this query. Each batch computes its rows × all-rows sims, masks to
+    id_a < id_b, and emits its batch-local top-k triples."""
 
     def __init__(self, mat_ref, k: int):
         st = ray.get(mat_ref)
@@ -374,9 +378,12 @@ class _PairTopKPartial:
 
 def q_embedding_topk_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Global top-k most-similar pairs by exact cosine (the ranking twin
-    of near-dup detection; integer output ⇒ oracle-checkable)."""
+    of near-dup detection; integer output ⇒ oracle-checkable). Builds
+    the broadcast side from the pruned (vec_id, embedding) columns only
+    — see _PairTopKPartial for the fits-in-broadcast assumption and the
+    bucketed alternatives beyond it."""
     emb = _embeddings(sf_dir)
-    all_df = emb.to_pandas()
+    all_df = emb.select_columns(["vec_id", "embedding"]).to_pandas()
     mat_ref = ray.put({"ids": all_df["vec_id"].to_numpy(),
                        "mat": _normalize(_stack(all_df["embedding"]))})
     partials = emb.map_batches(

@@ -52,17 +52,19 @@ def policy_allows(transactions: pd.DataFrame, rules: pd.DataFrame) -> np.ndarray
 def score_policy(opr_transactions: pd.DataFrame, rules: pd.DataFrame,
                  universe_total: int | None = None,
                  universe_transactions: pd.DataFrame | None = None,
-                 generated_u_pos: int | None = None) -> dict:
-    """Confusion-matrix scoring of a mined policy on the operation window.
+                 u_pos_override: int | None = None) -> dict:
+    """Confusion-matrix scoring of a mined policy on the operation window
+    at TRANSACTION granularity (uTP/uFN count distinct item-set strings).
 
-    TP = exercised & allowed; FN = exercised & denied. False positives
-    need an allowed-universe — two sources, mirroring the reference:
+    False positives need an allowed-universe — two sources:
 
-    - ``generated_u_pos``: uPos from the ENUMERATED Cartesian allowed
-      space (``pipelines.universe.count_allowed_universe`` — the
-      EnvPolicyEvaluator count_positives analog, :79-169). This is the
-      reference's semantics: uFP counts allowed-but-never-exercised
-      states of the generated universe.
+    - ``u_pos_override``: a caller-supplied allowed-universe DISTINCT
+      TRANSACTION count. UNIT CONTRACT: it must count the same thing
+      uTP counts (distinct transactions), or uFP = uPos − uTP mixes
+      granularities. For the reference's true EVENT-TUPLE enumeration
+      semantics (EnvPolicyEvaluator count_positives, :79-169) use
+      ``pipelines.universe.score_policy_turns_generated``, which keeps
+      every count at turn-tuple level.
     - ``universe_transactions``: the observed obs∪opr distinct
       transactions as a small-scale stand-in (round-1 behavior, kept as
       the oracle-friendly variant).
@@ -79,8 +81,8 @@ def score_policy(opr_transactions: pd.DataFrame, rules: pd.DataFrame,
     uniq = opr_transactions.assign(_allowed=allowed).drop_duplicates("items")
     u_tp = int(uniq["_allowed"].sum())
     u_fn = int(len(uniq) - u_tp)
-    if generated_u_pos is not None:
-        u_pos = int(generated_u_pos)
+    if u_pos_override is not None:
+        u_pos = int(u_pos_override)
         default_total = max(u_pos, len(uniq))
     elif universe_transactions is not None:
         universe = universe_transactions.drop_duplicates("items")

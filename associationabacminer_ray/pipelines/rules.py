@@ -250,6 +250,24 @@ def best_rule(rules: pd.DataFrame, metric: str = "cscore") -> pd.Series:
 from .evaluate import _rule_matches as _matches_rule  # noqa: E402
 
 
+def _expand_tx_items(items_series: pd.Series, max_k: int):
+    """Per-batch itemset expansion over transaction item strings — THE
+    shared combiner for the greedy per-round counters (exact and sketch
+    modes must expand identically): value_counts folds duplicate
+    transactions first, then 1..max_k combinations weighted by
+    multiplicity."""
+    from collections import Counter
+
+    counter: Counter = Counter()
+    mult = items_series.value_counts()
+    for items_str, m in mult.items():
+        items = tuple(items_str.split(","))
+        for k in range(1, min(max_k, len(items)) + 1):
+            for combo in itertools.combinations(items, k):
+                counter[ITEM_SEP.join(combo)] += int(m)
+    return counter
+
+
 def _tx_sketch_supports(tx_ds, max_k: int = 2, cms_width: int = 1 << 13,
                         cms_depth: int = 4,
                         topk_capacity: int = 4096) -> pd.DataFrame:
@@ -269,13 +287,7 @@ def _tx_sketch_supports(tx_ds, max_k: int = 2, cms_width: int = 1 << 13,
     from ..udaf import SketchMergeAgg
 
     def partials(batch: pd.DataFrame) -> pd.DataFrame:
-        counter: Counter = Counter()
-        mult = batch["items"].value_counts()
-        for items_str, m in mult.items():
-            items = tuple(items_str.split(","))
-            for k in range(1, min(max_k, len(items)) + 1):
-                for combo in itertools.combinations(items, k):
-                    counter[ITEM_SEP.join(combo)] += int(m)
+        counter = _expand_tx_items(batch["items"], max_k)
         cms = CountMinSketch(width=cms_width, depth=cms_depth)
         topk = SpaceSaving(capacity=topk_capacity)
         if counter:
@@ -301,14 +313,22 @@ def _tx_sketch_supports(tx_ds, max_k: int = 2, cms_width: int = 1 << 13,
     rows = [(key, count) for key, count, _ in sk["topk"].top()]
     df = pd.DataFrame(rows, columns=["itemset", "support"])
     df["k"] = (df["itemset"].str.count("\\" + ITEM_SEP) + 1).astype("int32")
+    # CMS-backfill EVERY proper subset the top-k head is missing (not
+    # just singles): rules_from_supports drops a rule whose antecedent
+    # or consequent support is absent, which for max_k ≥ 3 would
+    # silently lose rules whose 2-item subset fell off the head
     have = set(df["itemset"])
     backfill = []
     for itemset in df.loc[df["k"] >= 2, "itemset"]:
-        for part in itemset.split(ITEM_SEP):
-            if part not in have:
-                have.add(part)
-                backfill.append(
-                    (part, sk["cms"].estimate_one(hash_string_scalar(part)), 1))
+        parts = itemset.split(ITEM_SEP)
+        for r in range(1, len(parts)):
+            for combo in itertools.combinations(parts, r):
+                key = ITEM_SEP.join(combo)
+                if key not in have:
+                    have.add(key)
+                    backfill.append(
+                        (key, sk["cms"].estimate_one(hash_string_scalar(key)),
+                         len(combo)))
     if backfill:
         df = pd.concat([df, pd.DataFrame(backfill,
                                          columns=["itemset", "support", "k"])],
@@ -353,13 +373,7 @@ def greedy_cover_ray(transactions_ds, n_transactions: int | None = None,
     selected: list[dict] = []
 
     def batch_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        counter: Counter = Counter()
-        mult = batch["items"].value_counts()
-        for items_str, m in mult.items():
-            items = tuple(items_str.split(","))
-            for k in range(1, min(max_k, len(items)) + 1):
-                for combo in itertools.combinations(items, k):
-                    counter[ITEM_SEP.join(combo)] += int(m)
+        counter = _expand_tx_items(batch["items"], max_k)
         return pd.DataFrame({"itemset": list(counter.keys()),
                              "count": np.fromiter(counter.values(), dtype=np.int64,
                                                   count=len(counter))})

@@ -28,6 +28,9 @@ import pandas as pd
 import ray.data as rd
 
 from ..functions.hashing import combine_hashes, hash_strings
+# the shared bucketed distinct kernel lives with the aggregation
+# primitives (sum_by_key_bucketed etc.)
+from .itemsets import distinct_count_exact
 
 
 def statement_product_size(statement: dict[str, list[str]],
@@ -69,21 +72,6 @@ def allowed_tuple_hashes(statement: dict[str, list[str]],
     return rd.range(total).map_batches(decode, batch_format="pandas")
 
 
-def distinct_count_exact(hash_ds, num_buckets: int = 32) -> int:
-    """Exact distinct over a uint64 hash Dataset: per-batch unique →
-    bucketed per-bucket unique count → sum (only unique hashes shuffle)."""
-    def bucket_unique(b: pd.DataFrame) -> pd.DataFrame:
-        u = np.unique(b["h"].to_numpy().astype(np.uint64))
-        return pd.DataFrame({"h": u,
-                             "_b": (u % np.uint64(num_buckets)).astype(np.int32)})
-
-    def count_unique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n": [np.int64(g["h"].nunique())]})
-
-    out = (hash_ds.map_batches(bucket_unique, batch_format="pandas")
-           .groupby("_b").map_groups(count_unique, batch_format="pandas")
-           .to_pandas())
-    return int(out["n"].sum()) if len(out) else 0
 
 
 def distinct_count_hll(hash_ds, p: int = 14) -> int:
@@ -177,7 +165,10 @@ def score_policy_turns_generated(opr_ds, rules, domains: dict[str, list[str]],
         allowed = fields["role_tool"].isin(allowed_items).to_numpy()
         return pd.DataFrame({"h": h, "allowed": allowed.astype(np.int64)})
 
-    tagged = opr_ds.map_batches(tuple_hashes, batch_format="pandas")
+    # materialized once: four downstream actions (count, sum, two
+    # distinct passes) would otherwise each re-run the opr read + hash
+    tagged = opr_ds.map_batches(tuple_hashes,
+                                batch_format="pandas").materialize()
     n_turns = tagged.count()
     c_tp = int(tagged.sum("allowed") or 0)
     u_tp = distinct_count_exact(

@@ -142,12 +142,16 @@ class Chunker:
         self.id_col = id_col
         self.chunk_tokens = chunk_tokens
         self.overlap = overlap
+        # ASCII \S+ runs — the SAME token definition TokenStats and the
+        # SQL chunk oracle use (str.split would also split on unicode
+        # whitespace like \xa0 and silently diverge from the closed form)
+        self.token_re = re.compile(r"\S+", re.ASCII)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         step = self.chunk_tokens - self.overlap
         ids, idxs, texts, lens = [], [], [], []
         for doc_id, text in zip(batch[self.id_col], batch[self.text_col]):
-            toks = (text or "").split()
+            toks = self.token_re.findall(text or "")
             if not toks:
                 ids.append(doc_id); idxs.append(0); texts.append(""); lens.append(0)
                 continue

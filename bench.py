@@ -118,6 +118,21 @@ def run_bench() -> dict:
                                      min_support=2).count()
         timings["itemset_supports_exact"] = time.perf_counter() - t0
 
+    # ---- full windowed mine (read→supports→rules) on the bench corpus ----
+    if not headline_only:
+        from datetime import datetime
+
+        from associationabacminer_ray.functions.windows import WindowSpec
+        from associationabacminer_ray.pipelines.mining import mine_window
+
+        spec = WindowSpec(datetime(2024, 1, 1), datetime(2024, 1, 15),
+                          datetime(2024, 1, 15), datetime(2024, 1, 18))
+        t0 = time.perf_counter()
+        mw = mine_window(paths, spec, mode="exact", max_k=2, min_support=2,
+                         num_buckets=64)
+        timings["windowed_mine_exact"] = time.perf_counter() - t0
+        assert mw["n_rules"] > 0
+
     # ---- text-pipeline throughput over the corpus text column -------------
     if not headline_only:
         from associationabacminer_ray.stages.text import TokenStats

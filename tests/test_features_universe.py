@@ -147,7 +147,7 @@ class TestGeneratedUniverse:
         })
         rules = pd.DataFrame({"antecedent": ["a=1"], "consequent": ["b=2"]})
         base = score_policy(tx, rules)
-        gen = score_policy(tx, rules, generated_u_pos=10, universe_total=50)
+        gen = score_policy(tx, rules, u_pos_override=10, universe_total=50)
         # degenerate path: uPos == uTP → precision 1
         assert base["precision"] == 1.0
         # generated path: uFP = 10 − uTP > 0 → precision < 1
