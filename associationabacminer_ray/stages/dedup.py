@@ -85,22 +85,27 @@ def word_ngram_jaccard(a: str, b: str, n: int = 2) -> float:
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 1.0
 
 
-def verify_pairs_distributed(docs_ds, cand: pd.DataFrame, pair_metric,
+def verify_pairs_distributed(docs_ds, cand, pair_metric,
                              out_col: str, *, id_col: str = "doc_id",
                              text_col: str = "text",
-                             num_buckets: int = 32):
+                             num_buckets: int = 32,
+                             bloom_bits: int = 1 << 22):
     """Distributed verification of candidate near-dup pairs — the scale
-    path VERDICT.md r1 asked for: the documents table is NEVER gathered
-    to the driver.
+    path VERDICT.md r1 asked for: neither the documents table NOR the
+    candidate pair list is ever gathered to the driver (``cand`` may be
+    a Dataset; a DataFrame is accepted for convenience).
 
-    Shape: broadcast the candidate id array (bounded by LSH collisions,
-    ≪ corpus) → ``map_batches`` keeps (id, text) rows for candidate ids
-    only → first bucketed shuffle on ``hash(id) % B`` co-locates each
-    candidate text with its (pair_id, side) membership rows → second
-    shuffle on ``pair_id % B`` brings both sides of a pair together →
-    per-pair ``pair_metric(text_a, text_b)`` inside ``map_groups``.
-    Only candidate texts move (twice); partitioning assumption: one
-    (pair) bucket's texts fit a worker's heap.
+    Shape: candidate pairs explode to (id_a, id_b, side, doc_id)
+    membership rows (a Dataset op); a Bloom filter of candidate doc ids
+    is built from per-block partials (``BloomAgg``) and broadcast — its
+    false positives only over-gather texts, which the attach merge then
+    drops; ``map_batches`` keeps (id, text) rows for candidate ids
+    only; the first bucketed shuffle on ``hash(id) % B`` co-locates
+    each candidate text with its membership rows; the second shuffle on
+    a (id_a, id_b) pair bucket brings both sides together; per-pair
+    ``pair_metric(text_a, text_b)`` runs inside ``map_groups``. Only
+    candidate texts move (twice); partitioning assumption: one pair
+    bucket's texts fit a worker's heap.
 
     Returns a Dataset of (id_a, id_b, ``out_col``) — pairs whose docs
     are missing from ``docs_ds`` are dropped.
@@ -108,28 +113,48 @@ def verify_pairs_distributed(docs_ds, cand: pd.DataFrame, pair_metric,
     import ray
     import ray.data as rd
 
-    n_pairs = len(cand)
+    from ..sketches import BloomFilter
+    from ..udaf import BloomAgg
+
     empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                           "id_b": pd.Series(dtype=np.int64),
                           out_col: pd.Series(dtype=np.float64)})
-    if not n_pairs:
+    if isinstance(cand, pd.DataFrame):
+        if not len(cand):
+            return rd.from_pandas(empty)
+        cand = rd.from_pandas(
+            cand[["id_a", "id_b"]].reset_index(drop=True))
+
+    def explode_members(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        ida = b["id_a"].to_numpy().astype(np.int64)
+        idb = b["id_b"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "id_a": np.repeat(ida, 2),
+            "id_b": np.repeat(idb, 2),
+            "side": np.tile(np.array([0, 1], dtype=np.int64), n),
+            id_col: np.column_stack([ida, idb]).ravel(),
+            text_col: np.full(2 * n, "", dtype=object),
+        })
+
+    member = cand.map_batches(explode_members, batch_format="pandas")
+
+    blob = member.map_batches(
+        lambda b: pd.DataFrame({"h": hash_any(b[id_col].reset_index(drop=True))}),
+        batch_format="pandas").aggregate(
+            BloomAgg("h", num_bits=bloom_bits, alias="bloom"))
+    if not blob or blob.get("bloom") is None:
         return rd.from_pandas(empty)
-    ids_interleaved = np.column_stack(
-        [cand["id_a"].to_numpy(), cand["id_b"].to_numpy()]
-    ).ravel().astype(np.int64)
-    member = pd.DataFrame({
-        "pair_id": np.repeat(np.arange(n_pairs, dtype=np.int64), 2),
-        "side": np.tile(np.array([0, 1], dtype=np.int64), n_pairs),
-        id_col: ids_interleaved,
-        text_col: np.full(2 * n_pairs, "", dtype=object),
-    })
-    cand_ids_ref = ray.put(np.unique(ids_interleaved))
+    bloom_ref = ray.put(BloomFilter.from_bytes(blob["bloom"]))
 
     def gather_candidate_texts(b: pd.DataFrame) -> pd.DataFrame:
-        mask = np.isin(b[id_col].to_numpy(), ray.get(cand_ids_ref))
+        mask = np.asarray(ray.get(bloom_ref).contains_hashed(
+            hash_any(b[id_col].reset_index(drop=True))))
+        n = int(mask.sum())
         return pd.DataFrame({
-            "pair_id": np.full(int(mask.sum()), -1, dtype=np.int64),
-            "side": np.full(int(mask.sum()), -1, dtype=np.int64),
+            "id_a": np.full(n, -1, dtype=np.int64),
+            "id_b": np.full(n, -1, dtype=np.int64),
+            "side": np.full(n, -1, dtype=np.int64),
             id_col: b[id_col].to_numpy()[mask].astype(np.int64),
             text_col: b[text_col].to_numpy()[mask],
         })
@@ -140,30 +165,33 @@ def verify_pairs_distributed(docs_ds, cand: pd.DataFrame, pair_metric,
 
     texts = docs_ds.map_batches(gather_candidate_texts, batch_format="pandas")
     unioned = (texts.map_batches(add_doc_bucket, batch_format="pandas")
-               .union(rd.from_pandas(member)
-                      .map_batches(add_doc_bucket, batch_format="pandas")))
+               .union(member.map_batches(add_doc_bucket,
+                                         batch_format="pandas")))
 
     def attach_texts(g: pd.DataFrame) -> pd.DataFrame:
         t = g[g["side"] < 0]
         m = g[g["side"] >= 0]
         merged = m.drop(columns=[text_col]).merge(
             t[[id_col, text_col]].drop_duplicates(id_col), on=id_col, how="inner")
-        out = merged[["pair_id", "side", id_col, text_col]]
-        return out.assign(_pb=(out["pair_id"] % num_buckets).astype(np.int32))
+        out = merged[["id_a", "id_b", "side", id_col, text_col]]
+        pb = (out["id_a"].to_numpy().astype(np.uint64) * np.uint64(1000003)
+              ^ out["id_b"].to_numpy().astype(np.uint64))
+        return out.assign(_pb=(pb % np.uint64(num_buckets)).astype(np.int32))
 
     sided = unioned.groupby("_db").map_groups(attach_texts, batch_format="pandas")
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["pair_id", "side"], kind="mergesort")
-        complete = g.groupby("pair_id")["side"].transform("size") == 2
+        g = g.drop_duplicates(["id_a", "id_b", "side"])
+        g = g.sort_values(["id_a", "id_b", "side"], kind="mergesort")
+        complete = g.groupby(["id_a", "id_b"])["side"].transform("size") == 2
         g = g[complete]
         if not len(g):
             return empty
         a, b = g.iloc[0::2], g.iloc[1::2]
         vals = np.array([pair_metric(ta, tb) for ta, tb in
                          zip(a[text_col], b[text_col])], dtype=np.float64)
-        return pd.DataFrame({"id_a": a[id_col].to_numpy(),
-                             "id_b": b[id_col].to_numpy(), out_col: vals})
+        return pd.DataFrame({"id_a": a["id_a"].to_numpy(),
+                             "id_b": b["id_b"].to_numpy(), out_col: vals})
 
     return sided.groupby("_pb").map_groups(verify_bucket, batch_format="pandas")
 
