@@ -140,10 +140,10 @@ def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 
     the count-threshold top-k (src/EnvAbacRuleMiner.py:234-247): keep
     only the top-N itemsets by support (Ray-native sort + limit)."""
     if min_support_frac is not None:
-        n_tx = (ds.map_batches(lambda b: b[[conv_col]].drop_duplicates(),
-                               batch_format="pandas")
-                .unique(conv_col))
-        min_support = max(min_support, int(np.ceil(min_support_frac * len(n_tx))))
+        # hash-distinct kernel: no list of conv ids ever reaches the driver
+        n_tx = distinct_conv_count(ds, conv_col=conv_col,
+                                   num_buckets=num_buckets)
+        min_support = max(min_support, int(np.ceil(min_support_frac * n_tx)))
     pairs = item_pairs(ds, conv_col=conv_col, num_buckets=num_buckets)
     partials = pairs.groupby("bucket").map_groups(
         lambda g: itemset_partials_in_bucket(
