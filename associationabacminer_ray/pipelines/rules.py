@@ -280,7 +280,6 @@ def _tx_sketch_supports(tx_ds, max_k: int = 2, cms_width: int = 1 << 13,
     the top-k head is missing so rule scoring has its antecedent
     supports. Counts are overestimates (monotone-safe for min_support
     pruning and for the greedy's shrinking cover)."""
-    from collections import Counter
 
     from ..functions.hashing import hash_string_scalar
     from ..sketches import CountMinSketch, Sketch, SpaceSaving
@@ -360,7 +359,6 @@ def greedy_cover_ray(transactions_ds, n_transactions: int | None = None,
     """
     import ray
 
-    from collections import Counter
 
     from ..state.broadcast import bloom_filter_stage
     from .itemsets import sum_by_key_bucketed

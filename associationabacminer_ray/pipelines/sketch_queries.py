@@ -131,21 +131,17 @@ def q_windowed_sketch_sweep(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def q_policy_scores_universe(sf_dir: str) -> pd.DataFrame:
-    """A11+A12 end-to-end at the reference's TRUE granularity: mine a
-    policy on the obs window, turn its rules into enumerable statements,
-    GENERATE the allowed (role_tool, hour, weekday) universe as a
-    Dataset (mixed-radix decode + hash union), and score the opr window
-    at turn-tuple level — uFP counts allowed-but-never-exercised states
-    (EnvPolicyEvaluator count_positives semantics, :79-169)."""
+
+def _mine_obs_policy(sf_dir: str, n_rules: int):
+    """Shared mine recipe for the policy-scoring queries: fixed window
+    spec over the synthetic corpus, obs transactions + supports, top-N
+    scored rules. Returns (paths, spec, obs_tx, rules)."""
     from datetime import datetime
 
     from ..functions.windows import WindowSpec, read_window
-    from .evaluate import score_policy  # noqa: F401  (transaction twin)
     from .itemsets import exact_itemset_supports
     from .itemsets import transactions as tx_pipeline
     from .rules import rules_from_supports
-    from .universe import score_policy_turns_generated
 
     paths = _synth_window_corpus(sf_dir)
     spec = WindowSpec(datetime(2024, 1, 1), datetime(2024, 1, 22),
@@ -155,7 +151,21 @@ def q_policy_scores_universe(sf_dir: str) -> pd.DataFrame:
     supports = exact_itemset_supports(obs, max_k=2, num_buckets=8,
                                       min_support=2).to_pandas()
     rules = rules_from_supports(supports, n_transactions=len(obs_tx),
-                                min_support=2).head(10)
+                                min_support=2).head(n_rules)
+    return paths, spec, obs_tx, rules
+
+
+def q_policy_scores_universe(sf_dir: str) -> pd.DataFrame:
+    """A11+A12 end-to-end at the reference's TRUE granularity: mine a
+    policy on the obs window, turn its rules into enumerable statements,
+    GENERATE the allowed (role_tool, hour, weekday) universe as a
+    Dataset (mixed-radix decode + hash union), and score the opr window
+    at turn-tuple level — uFP counts allowed-but-never-exercised states
+    (EnvPolicyEvaluator count_positives semantics, :79-169)."""
+    from ..functions.windows import read_window
+    from .universe import score_policy_turns_generated
+
+    paths, spec, _, rules = _mine_obs_policy(sf_dir, n_rules=10)
 
     # domains from the obs∪opr observed values (possible_params analog)
     def field_values(b: pd.DataFrame) -> pd.DataFrame:
@@ -184,26 +194,14 @@ def q_policy_scores_universe(sf_dir: str) -> pd.DataFrame:
 
 def q_policy_scores(sf_dir: str) -> pd.DataFrame:
     """Mine on an obs window, score on the opr window (A12 confusion
-    matrix with degenerate overrides) — the mine→score job loop."""
-    from datetime import datetime
-
-    import ray.data as rd
-
-    from ..functions.windows import WindowSpec, read_window
+    matrix with degenerate overrides) — the mine→score job loop at
+    TRANSACTION granularity (the turn-tuple generated-universe twin is
+    q_policy_scores_universe)."""
+    from ..functions.windows import read_window
     from .evaluate import score_policy
-    from .itemsets import exact_itemset_supports
     from .itemsets import transactions as tx_pipeline
-    from .rules import rules_from_supports
 
-    paths = _synth_window_corpus(sf_dir)
-    spec = WindowSpec(datetime(2024, 1, 1), datetime(2024, 1, 22),
-                      datetime(2024, 1, 22), datetime(2024, 1, 29))
-    obs = read_window(paths, spec, "obs", columns=["conv_id", "role", "tool"])
-    obs_tx = tx_pipeline(obs, num_buckets=8).to_pandas()
-    supports = exact_itemset_supports(obs, max_k=2, num_buckets=8,
-                                      min_support=2).to_pandas()
-    rules = rules_from_supports(supports, n_transactions=len(obs_tx),
-                                min_support=2).head(20)
+    paths, spec, obs_tx, rules = _mine_obs_policy(sf_dir, n_rules=20)
     opr = read_window(paths, spec, "opr", columns=["conv_id", "role", "tool"])
     opr_tx = tx_pipeline(opr, num_buckets=8).to_pandas()
     universe = pd.concat([obs_tx[["items"]], opr_tx[["items"]]],

@@ -137,7 +137,11 @@ def verify_pairs_distributed(docs_ds, cand, pair_metric,
             text_col: np.full(2 * n, "", dtype=object),
         })
 
-    member = cand.map_batches(explode_members, batch_format="pandas")
+    # materialized once: the Bloom aggregate AND the verify union both
+    # consume member — without this the whole upstream candidate
+    # pipeline (LSH signatures + banding) would execute twice
+    member = cand.map_batches(explode_members,
+                              batch_format="pandas").materialize()
 
     blob = member.map_batches(
         lambda b: pd.DataFrame({"h": hash_any(b[id_col].reset_index(drop=True))}),

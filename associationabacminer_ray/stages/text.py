@@ -142,10 +142,11 @@ class Chunker:
         self.id_col = id_col
         self.chunk_tokens = chunk_tokens
         self.overlap = overlap
-        # ASCII \S+ runs — the SAME token definition TokenStats and the
-        # SQL chunk oracle use (str.split would also split on unicode
-        # whitespace like \xa0 and silently diverge from the closed form)
-        self.token_re = re.compile(r"\S+", re.ASCII)
+        # explicit RE2 \S class ([^\t\n\f\r ]) — the SAME token
+        # definition TokenStats and the SQL chunk oracle use. Python's
+        # own \S (even with re.ASCII) also excludes \v, which RE2's
+        # does not, so the class is spelled out rather than aliased
+        self.token_re = re.compile(r"[^\t\n\f\r ]+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         step = self.chunk_tokens - self.overlap
