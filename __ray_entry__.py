@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup / text heuristics (rows-only, verified in pytest)
         "minhash_dups": T.q_minhash_dups,
         "simhash_bands": T.q_simhash_bands,
+        "simhash_dups": T.q_simhash_dups,
         "quality_scores": T.q_quality_scores,
         "langid": T.q_langid,
         "knn_ivf": N.q_knn_ivf,

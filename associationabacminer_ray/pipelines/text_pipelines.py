@@ -307,6 +307,67 @@ def q_crosscorpus_dedup_exact(sf_dir: str) -> pd.DataFrame:
         sf_dir, lambda h: np.isin(h, ray.get(set_ref)))
 
 
+def q_simhash_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup PAIRS (completing the family: exact★, MinHash★,
+    n-gram, embedding★, cross-corpus★ all have end-to-end dup queries):
+    docs sharing any 16-bit band land in the same bucket (Hamming ≤ 3
+    guarantees ≥ 1 shared band of 4); within-bucket exact Hamming
+    verification is vectorized; only (doc_id, simhash, band) rows ever
+    shuffle — never texts."""
+    from ..stages.dedup import hamming64
+    from .analytics import bucketed_group_agg
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(SimHash, batch_format="pandas",
+                          concurrency=auto_concurrency())
+
+    def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame({
+            "band": np.tile(np.arange(4, dtype=np.int32), n),
+            "band_hash": np.column_stack(
+                [b[f"sim_band{i}"].to_numpy() for i in range(4)]).ravel(),
+            "doc_id": np.repeat(b["doc_id"].to_numpy().astype(np.int64), 4),
+            "simhash": np.repeat(b["simhash"].to_numpy().astype(np.uint64), 4),
+        })
+
+    exploded = sigs.map_batches(explode_bands, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        dup = g[g.duplicated(["band", "band_hash"], keep=False)]
+        for _, grp in dup.groupby(["band", "band_hash"], sort=False):
+            grp = grp.drop_duplicates("doc_id")
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy()
+            sig = grp["simhash"].to_numpy().astype(np.uint64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hd = hamming64(sig[iu], sig[ju])
+            hit = hd <= max_hamming
+            a, b = ids[iu[hit]], ids[ju[hit]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_h.append(hd[hit])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a).astype(np.int64),
+                             "id_b": np.concatenate(out_b).astype(np.int64),
+                             "hamming": np.concatenate(out_h).astype(np.int64)})
+
+    out = bucketed_group_agg(exploded, ["band", "band_hash"], verify,
+                             num_buckets=16).to_pandas()
+    if out.empty or "id_a" not in out.columns:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "hamming": pd.Series(dtype=np.int64)})
+    return (out.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
 def q_simhash_bands(sf_dir: str) -> pd.DataFrame:
     """SimHash signatures + band buckets (near-dup = shared band, then
     Hamming verify)."""

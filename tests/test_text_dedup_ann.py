@@ -187,6 +187,36 @@ class TestPipelines:
             src = int(corpus.iloc[i]["doc_id"])
             assert (src, src + 500_000) in pairs, f"missed planted pair {src}"
 
+    def test_simhash_dups_finds_planted_pair(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            q_simhash_dups,
+        )
+        from associationabacminer_ray.stages.dedup import simhash_signatures
+
+        base = pd.read_parquet(f"{SF}/documents.parquet")
+        dup = base.iloc[[3]].copy()
+        dup["doc_id"] = 77_777
+        # swap one word — SimHash of near-identical token bags stays
+        # within a few bits
+        dup["text"] = dup["text"].str.replace("the", "thex", n=1)
+        planted = pd.concat([base, dup], ignore_index=True)
+        d = tmp_path / "docs_sh"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(planted, preserve_index=False),
+                       str(d / "documents.parquet"))
+        sig = simhash_signatures(pd.Series([base.iloc[3]["text"],
+                                            dup.iloc[0]["text"]]))
+        from associationabacminer_ray.stages.dedup import hamming64
+        hd = int(hamming64(sig[:1], sig[1:])[0])
+        out = q_simhash_dups(str(d), max_hamming=max(3, hd))
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (3, 77_777) in pairs
+        assert (out["hamming"] <= max(3, hd)).all()
+        assert (out["id_a"] < out["id_b"]).all()
+
     def test_knn_ivf_recall_vs_brute(self, ray_session):
         from associationabacminer_ray.pipelines.ann import knn_brute, knn_ivf
 
