@@ -1,10 +1,13 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-The decode libraries (PIL/torchaudio/ffmpeg) are NOT in this container,
-so the decode kernels are STUBS — but the Ray-side plumbing is real and
-tested: schema, actor-pool signature, small-batch sizing for fat binary
-rows, and deterministic fake features so downstream stages (dedup by
-embedding, ANN) can be exercised end-to-end.
+Round 2 upgrade: decode is REAL for self-describing uncompressed
+formats that need only numpy/stdlib — binary PPM/PGM images and PCM WAV
+audio (``Decode``), plus real nearest-neighbor resize and real
+deterministic feature extraction (channel statistics + downsampled grid
+for images; RMS/ZCR/FFT band energies for audio). Compressed codecs
+(PNG/JPEG/MP3/H.264) still raise ``NotImplementedError`` — those
+libraries are absent from this container — and ``DecodeStub``/
+``FeatureExtractStub`` remain for shape-only pipeline tests.
 
 Schema convention for a multimodal table:
 
@@ -18,12 +21,230 @@ concurrency fits each worker's heap (memory-aware rule in the brief).
 
 from __future__ import annotations
 
+import io
 import json
+import wave
 
 import numpy as np
 import pandas as pd
 
 from ..functions.hashing import hash_strings
+
+# ------------------------------------------------------------- codecs
+_COMPRESSED_MAGICS = {
+    b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"GIF8": "gif",
+    b"ID3": "mp3", b"\xff\xfb": "mp3", b"OggS": "ogg",
+    b"\x00\x00\x00\x18ftyp": "mp4", b"\x00\x00\x00\x20ftyp": "mp4",
+}
+
+
+def _sniff(b: bytes) -> str:
+    if b.startswith(b"P6"):
+        return "ppm"
+    if b.startswith(b"P5"):
+        return "pgm"
+    if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+        return "wav"
+    for magic, name in _COMPRESSED_MAGICS.items():
+        if b.startswith(magic):
+            return name
+    return "unknown"
+
+
+def _read_pnm_header(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, data_offset) for P5/P6 — whitespace- and
+    comment-tolerant single-pass header scan."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    return fields[0], fields[1], fields[2], pos + 1  # single ws after maxval
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8 / PGM (P5) → (h, w) uint8."""
+    channels = 3 if b.startswith(b"P6") else 1
+    w, h, maxval, off = _read_pnm_header(b)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    n = w * h * channels
+    arr = np.frombuffer(b, dtype=np.uint8, count=n, offset=off)
+    return arr.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w) uint8 → binary P6/P5 bytes."""
+    channels = 3 if arr.ndim == 3 else 1
+    magic = b"P6" if channels == 3 else b"P5"
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + \
+        np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (int16 samples (n,) or (n, channels), sample_rate)."""
+    with wave.open(io.BytesIO(b), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        raw = f.readframes(f.getnframes())
+        samples = np.frombuffer(raw, dtype=np.int16)
+        if f.getnchannels() > 1:
+            samples = samples.reshape(-1, f.getnchannels())
+        return samples, f.getframerate()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1 if samples.ndim == 1 else samples.shape[1])
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(np.ascontiguousarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index sampling (vectorized)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ri[:, None], ci[None, :]]
+
+
+class Decode:
+    """Actor-pool decode stage — REAL for PPM/PGM/WAV payloads. Emits
+    object columns ``pixels`` (uint8 arrays) / ``samples`` (int16) plus
+    ``decoded_shape`` and ``sample_rate``; a compressed payload raises
+    NotImplementedError naming the codec (the honest boundary: those
+    libraries are not in this container)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        pixels, samples, shapes, rates = [], [], [], []
+        for payload in batch["payload"]:
+            b = bytes(payload or b"")
+            kind = _sniff(b)
+            if kind in ("ppm", "pgm"):
+                img = decode_ppm(b)
+                pixels.append(img)
+                samples.append(None)
+                shapes.append(json.dumps(list(img.shape)))
+                rates.append(0)
+            elif kind == "wav":
+                s, rate = decode_wav(b)
+                pixels.append(None)
+                samples.append(s)
+                shapes.append(json.dumps(list(s.shape)))
+                rates.append(rate)
+            else:
+                raise NotImplementedError(
+                    f"codec {kind!r}: compressed decode libraries are not "
+                    "available in this environment (PPM/PGM/WAV are)")
+        out = batch.copy()
+        out["pixels"] = pixels
+        out["samples"] = samples
+        out["decoded_shape"] = shapes
+        out["sample_rate"] = np.array(rates, dtype=np.int32)
+        return out
+
+
+class ImageResize:
+    """Nearest-neighbor resize of the decoded ``pixels`` column."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["pixels"] = [
+            resize_nearest(p, self.out_h, self.out_w) if p is not None else None
+            for p in batch["pixels"]]
+        return out
+
+
+class ImageFeatures:
+    """REAL deterministic image features: per-channel mean/std plus a
+    flattened g×g nearest-neighbor luminance grid — float32, unit-normed
+    (ready for the ANN / embedding-dedup pipelines)."""
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats = []
+        for p in batch["pixels"]:
+            if p is None:
+                feats.append(None)
+                continue
+            img = p.astype(np.float32)
+            if img.ndim == 2:
+                img = img[:, :, None].repeat(3, axis=2)
+            mean = img.mean(axis=(0, 1)) / 255.0
+            std = img.std(axis=(0, 1)) / 255.0
+            lum = img.mean(axis=2)
+            grid = resize_nearest(lum, self.grid, self.grid).ravel() / 255.0
+            v = np.concatenate([mean, std, grid]).astype(np.float32)
+            feats.append(v / max(float(np.linalg.norm(v)), 1e-12))
+        out = batch.copy()
+        out["feature"] = feats
+        return out
+
+
+class AudioFeatures:
+    """REAL deterministic audio features: RMS, zero-crossing rate, and
+    log energies of ``n_bands`` FFT bands — float32, unit-normed."""
+
+    def __init__(self, n_bands: int = 8):
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats = []
+        for s in batch["samples"]:
+            if s is None:
+                feats.append(None)
+                continue
+            x = s.astype(np.float64).ravel() / 32768.0
+            if not len(x):
+                feats.append(np.zeros(2 + self.n_bands, dtype=np.float32))
+                continue
+            rms = float(np.sqrt(np.mean(x * x)))
+            zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+            spec = np.abs(np.fft.rfft(x)) ** 2
+            bands = np.array_split(spec, self.n_bands)
+            energy = np.log1p(np.array([b.sum() for b in bands]))
+            v = np.concatenate([[rms, zcr], energy]).astype(np.float32)
+            feats.append(v / max(float(np.linalg.norm(v)), 1e-12))
+        out = batch.copy()
+        out["feature"] = feats
+        return out
+
+
+def make_real_multimodal_table(n: int = 32, modality: str = "image",
+                               seed: int = 9) -> pd.DataFrame:
+    """Fixture with REAL encoded payloads (P6 images / 16-bit PCM WAV)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if modality == "image":
+            h, w = int(rng.integers(6, 24)), int(rng.integers(6, 24))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_ppm(img)
+            meta = {"width": w, "height": h, "format": "ppm"}
+        else:
+            n_samp = int(rng.integers(256, 1024))
+            tone = (np.sin(np.arange(n_samp) * 2 * np.pi
+                           * float(rng.uniform(0.01, 0.2))) * 12000)
+            payload = encode_wav(tone.astype(np.int16))
+            meta = {"sample_rate": 16000, "n_samples": n_samp, "format": "wav"}
+        rows.append((f"item-{i:05d}", modality, payload, json.dumps(meta)))
+    return pd.DataFrame(rows, columns=["item_id", "modality", "payload", "meta"])
 
 
 class DecodeStub:

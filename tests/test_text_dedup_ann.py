@@ -263,6 +263,90 @@ class TestMultimodal:
         assert np.array_equal(f0, f1)  # deterministic fake model
         assert f0.shape == (32, 16)
 
+    def test_real_ppm_roundtrip_and_pipeline(self, ray_session):
+        import ray.data as rd
+
+        from associationabacminer_ray.stages.multimodal import (
+            Decode,
+            ImageFeatures,
+            ImageResize,
+            decode_ppm,
+            encode_ppm,
+            make_real_multimodal_table,
+        )
+
+        # encode → decode is lossless
+        img = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
+        np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+        # comment-tolerant header
+        hdr = b"P6\n# a comment\n5 6\n255\n" + img.tobytes()
+        np.testing.assert_array_equal(decode_ppm(hdr), img)
+
+        tbl = make_real_multimodal_table(n=24, modality="image")
+        ds = rd.from_pandas(tbl)
+        out = (ds.map_batches(Decode, batch_size=8, concurrency=2,
+                              batch_format="pandas")
+               .map_batches(ImageResize, batch_size=8, concurrency=2,
+                            batch_format="pandas",
+                            fn_constructor_kwargs={"out_h": 8, "out_w": 8})
+               .map_batches(ImageFeatures, batch_size=8, concurrency=2,
+                            batch_format="pandas")).to_pandas()
+        assert len(out) == 24
+        assert all(p.shape == (8, 8, 3) for p in out["pixels"])
+        feats = np.stack(out["feature"].to_numpy())
+        assert feats.shape == (24, 3 + 3 + 16)
+        np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0,
+                                   atol=1e-5)
+        # deterministic across runs
+        out2 = (rd.from_pandas(tbl)
+                .map_batches(Decode, batch_size=8, concurrency=2,
+                             batch_format="pandas")
+                .map_batches(ImageFeatures, batch_size=8, concurrency=2,
+                             batch_format="pandas")).to_pandas()
+        f2 = np.stack(out2.sort_values("item_id")["feature"].to_numpy())
+        f1 = np.stack((ds.map_batches(Decode, batch_size=8, concurrency=2,
+                                      batch_format="pandas")
+                       .map_batches(ImageFeatures, batch_size=8, concurrency=2,
+                                    batch_format="pandas"))
+                      .to_pandas().sort_values("item_id")["feature"].to_numpy())
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_real_wav_decode_and_features(self, ray_session):
+        import ray.data as rd
+
+        from associationabacminer_ray.stages.multimodal import (
+            AudioFeatures,
+            Decode,
+            decode_wav,
+            encode_wav,
+            make_real_multimodal_table,
+        )
+
+        tone = (np.sin(np.arange(512) * 0.1) * 10000).astype(np.int16)
+        samples, rate = decode_wav(encode_wav(tone, 16000))
+        np.testing.assert_array_equal(samples, tone)
+        assert rate == 16000
+
+        tbl = make_real_multimodal_table(n=12, modality="audio")
+        out = (rd.from_pandas(tbl)
+               .map_batches(Decode, batch_size=4, concurrency=2,
+                            batch_format="pandas")
+               .map_batches(AudioFeatures, batch_size=4, concurrency=2,
+                            batch_format="pandas")).to_pandas()
+        assert (out["sample_rate"] == 16000).all()
+        feats = np.stack(out["feature"].to_numpy())
+        assert feats.shape == (12, 10)
+        assert np.isfinite(feats).all()
+
+    def test_compressed_codec_still_raises(self):
+        import pandas as pd
+
+        from associationabacminer_ray.stages.multimodal import Decode
+
+        png = pd.DataFrame({"payload": [b"\x89PNG\r\n\x1a\nxxxx"]})
+        with pytest.raises(NotImplementedError, match="png"):
+            Decode()(png)
+
     def test_frame_sample_plan(self):
         tbl = make_fake_multimodal_table(4, modality="video")
         plans = frame_sample_plan(tbl["meta"], every_n=10)
