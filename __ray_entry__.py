@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dups": T.q_minhash_dups,
         "simhash_bands": T.q_simhash_bands,
         "simhash_dups": T.q_simhash_dups,
+        "multimodal_features": T.q_multimodal_features,
         "quality_scores": T.q_quality_scores,
         "langid": T.q_langid,
         "knn_ivf": N.q_knn_ivf,

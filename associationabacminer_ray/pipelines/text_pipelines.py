@@ -307,6 +307,49 @@ def q_crosscorpus_dedup_exact(sf_dir: str) -> pd.DataFrame:
         sf_dir, lambda h: np.isin(h, ray.get(set_ref)))
 
 
+def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal pipeline end-to-end on a deterministic REAL-payload
+    corpus (binary PPM images + PCM WAV audio, sized by sf level):
+    decode → resize/features as actor-pool stages → per-modality
+    summary. Exercises the real uncompressed-codec path in the driver
+    gate (rows-only: float features, synthesized corpus)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (
+        AudioFeatures,
+        Decode,
+        ImageFeatures,
+        ImageResize,
+        make_real_multimodal_table,
+    )
+
+    n = 128 if "0.01" in sf_dir else (512 if "0.1" in sf_dir else 32)
+    rows = []
+    for modality, feat_stage in (("image", ImageFeatures),
+                                 ("audio", AudioFeatures)):
+        tbl = make_real_multimodal_table(n=n, modality=modality)
+        ds = rd.from_pandas(tbl).map_batches(
+            Decode, batch_size=32, concurrency=auto_concurrency(),
+            batch_format="pandas")
+        if modality == "image":
+            ds = ds.map_batches(ImageResize, batch_size=32,
+                                concurrency=auto_concurrency(),
+                                batch_format="pandas",
+                                fn_constructor_kwargs={"out_h": 8, "out_w": 8})
+        out = ds.map_batches(feat_stage, batch_size=32,
+                             concurrency=auto_concurrency(),
+                             batch_format="pandas").to_pandas()
+        feats = np.stack(out["feature"].to_numpy())
+        rows.append({
+            "modality": modality,
+            "n_items": np.int64(len(out)),
+            "feature_dim": np.int64(feats.shape[1]),
+            "mean_norm_bp": np.int64(np.floor(
+                float(np.linalg.norm(feats, axis=1).mean()) * 10000 + 0.5)),
+        })
+    return pd.DataFrame(rows)
+
+
 def q_simhash_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup PAIRS (completing the family: exact★, MinHash★,
     n-gram, embedding★, cross-corpus★ all have end-to-end dup queries):
