@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crosscorpus_dedup_exact": T.q_crosscorpus_dedup_exact,
         "embedding_topk_pairs": N.q_embedding_topk_pairs,
         # feature-selection experiment family (src/experiment/ port)
+        "stratified_sample": A.q_stratified_sample,
         "field_stats": F.q_field_stats,
         "feature_label_counts": F.q_feature_label_counts,
         "info_gain": F.q_info_gain,
@@ -573,6 +574,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE (CAST(event_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 < 429496729
             GROUP BY event_type
+        """,
+        "stratified_sample": """
+            SELECT event_type, event_id FROM (
+                SELECT event_type, event_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY (CAST(event_id % 4294967296 AS HUGEINT)
+                                     * 2654435761) % 4294967296, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 5
         """,
         "field_stats": _FIELD_STATS_SQL,
         "feature_label_counts": _FEATURE_LABEL_COUNTS_SQL,

@@ -312,6 +312,34 @@ def q_sample_events_bernoulli(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("event_type").reset_index(drop=True)
 
 
+def q_stratified_sample(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Deterministic stratified exemplar sampling: per event_type, the k
+    events with the smallest multiplicative id-hash (an order-free
+    'random k per stratum' every engine re-derives identically — the
+    grouped twin of q_sample_events). Distributed as per-batch per-group
+    partial top-k → tiny bucketed merge; only candidate rows shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["event_id"].to_numpy().astype(np.uint64)
+        h = (ids % np.uint64(SAMPLE_MOD)) * np.uint64(SAMPLE_MULT) \
+            % np.uint64(SAMPLE_MOD)
+        d = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                          "event_id": ids.astype(np.int64), "h": h})
+        d = d.sort_values(["event_type", "h", "event_id"], kind="mergesort")
+        return d.groupby("event_type", sort=False).head(k)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "h", "event_id"], kind="mergesort")
+        out = g.groupby("event_type", sort=False).head(k)
+        return out[["event_type", "event_id"]]
+
+    return bucketed_group_agg(
+        ds.map_batches(partial_topk, batch_format="pandas"),
+        ["event_type"], merge, num_buckets=8)
+
+
 def q_sessions(sf_dir: str):
     """Gap-based sessionization (streaming-shaped per the Ray guide:
     partition by key, sort by ts within the group, window with pandas):
