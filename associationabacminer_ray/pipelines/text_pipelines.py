@@ -313,8 +313,7 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     decode → resize/features as actor-pool stages → per-modality
     summary. Exercises the real uncompressed-codec path in the driver
     gate (rows-only: float features, synthesized corpus)."""
-    import ray.data as rd
-
+    from ..runtime import sf_tag
     from ..stages.multimodal import (
         AudioFeatures,
         Decode,
@@ -323,7 +322,7 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
         make_real_multimodal_table,
     )
 
-    n = 128 if "0.01" in sf_dir else (512 if "0.1" in sf_dir else 32)
+    n = {"sf0.01": 128, "sf0.1": 512}.get(sf_tag(sf_dir), 32)
     rows = []
     for modality, feat_stage in (("image", ImageFeatures),
                                  ("audio", AudioFeatures)):
@@ -344,8 +343,11 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
             "modality": modality,
             "n_items": np.int64(len(out)),
             "feature_dim": np.int64(feats.shape[1]),
-            "mean_norm_bp": np.int64(np.floor(
-                float(np.linalg.norm(feats, axis=1).mean()) * 10000 + 0.5)),
+            # content-SENSITIVE summary: a decode/feature regression that
+            # still unit-norms would leave a norm-based metric at exactly
+            # 10000, so fold the mean absolute component value instead
+            "mean_abs_feature_bp": np.int64(np.floor(
+                float(np.abs(feats).mean()) * 10000 + 0.5)),
         })
     return pd.DataFrame(rows)
 
@@ -354,10 +356,16 @@ def q_simhash_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup PAIRS (completing the family: exact★, MinHash★,
     n-gram, embedding★, cross-corpus★ all have end-to-end dup queries):
     docs sharing any 16-bit band land in the same bucket (Hamming ≤ 3
-    guarantees ≥ 1 shared band of 4); within-bucket exact Hamming
-    verification is vectorized; only (doc_id, simhash, band) rows ever
-    shuffle — never texts."""
+    guarantees ≥ 1 shared band of 4 by pigeonhole); within-bucket exact
+    Hamming verification is vectorized; only (doc_id, simhash, band)
+    rows ever shuffle — never texts."""
     from ..stages.dedup import hamming64
+
+    if max_hamming > 3:
+        raise ValueError(
+            "the 4×16-bit band scheme only guarantees candidate recall "
+            "for Hamming ≤ 3; a larger threshold would silently miss "
+            "pairs whose differing bits span all four bands")
     from .analytics import bucketed_group_agg
 
     ds = _docs(sf_dir, ["doc_id", "text"])

@@ -26,6 +26,13 @@ def cluster_cpus(default: int = 4) -> int:
     return os.cpu_count() or default
 
 
+def sf_tag(sf_dir: str) -> str:
+    """The scale-factor tag ('sf0.01', …) from a corpus dir path —
+    parsed from the basename, not a substring match ('0.1' appearing
+    elsewhere in the path must not change fixture sizing)."""
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
 def auto_concurrency(cap: int | None = None) -> tuple[int, int]:
     """Autoscaling actor-pool size for ``map_batches(Cls, concurrency=…)``:
     ``(1, min(cluster CPUs, cap))``. Ray grows the pool only while the

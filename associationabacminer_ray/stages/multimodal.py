@@ -82,6 +82,10 @@ def decode_ppm(b: bytes) -> np.ndarray:
 
 def encode_ppm(arr: np.ndarray) -> bytes:
     """(h, w, 3) or (h, w) uint8 → binary P6/P5 bytes."""
+    if arr.ndim == 3 and arr.shape[2] != 3:
+        raise ValueError(
+            f"P6 encodes exactly 3 channels, got shape {arr.shape} — "
+            "a mismatched header/payload would round-trip to garbage")
     channels = 3 if arr.ndim == 3 else 1
     magic = b"P6" if channels == 3 else b"P5"
     h, w = arr.shape[:2]
@@ -183,6 +187,10 @@ class ImageFeatures:
             if p is None:
                 feats.append(None)
                 continue
+            if p.size == 0:  # degenerate 0×w / h×0 image: defined zeros
+                feats.append(np.zeros(6 + self.grid * self.grid,
+                                      dtype=np.float32))
+                continue
             img = p.astype(np.float32)
             if img.ndim == 2:
                 img = img[:, :, None].repeat(3, axis=2)
@@ -215,7 +223,10 @@ class AudioFeatures:
                 feats.append(np.zeros(2 + self.n_bands, dtype=np.float32))
                 continue
             rms = float(np.sqrt(np.mean(x * x)))
-            zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+            # a 1-sample clip has no transitions: mean of an empty diff
+            # would be NaN and poison the whole unit-normed vector
+            zcr = (float(np.mean(np.abs(np.diff(
+                np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0)
             spec = np.abs(np.fft.rfft(x)) ** 2
             bands = np.array_split(spec, self.n_bands)
             energy = np.log1p(np.array([b.sum() for b in bands]))

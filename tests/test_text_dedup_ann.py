@@ -211,11 +211,17 @@ class TestPipelines:
                                             dup.iloc[0]["text"]]))
         from associationabacminer_ray.stages.dedup import hamming64
         hd = int(hamming64(sig[:1], sig[1:])[0])
-        out = q_simhash_dups(str(d), max_hamming=max(3, hd))
+        # the 4-band scheme only guarantees recall for Hamming ≤ 3; if a
+        # corpus/tokenizer change pushes the planted pair beyond that,
+        # fail HERE with a clear message instead of silently missing it
+        assert hd <= 3, f"planted pair drifted to Hamming {hd}"
+        out = q_simhash_dups(str(d), max_hamming=3)
         pairs = set(zip(out["id_a"], out["id_b"]))
         assert (3, 77_777) in pairs
-        assert (out["hamming"] <= max(3, hd)).all()
+        assert (out["hamming"] <= 3).all()
         assert (out["id_a"] < out["id_b"]).all()
+        with pytest.raises(ValueError, match="Hamming"):
+            q_simhash_dups(str(d), max_hamming=6)
 
     def test_knn_ivf_recall_vs_brute(self, ray_session):
         from associationabacminer_ray.pipelines.ann import knn_brute, knn_ivf
