@@ -77,9 +77,10 @@ def q_greedy_policy(sf_dir: str) -> pd.DataFrame:
 def _synth_window_corpus(sf_dir: str) -> list[str]:
     """Deterministic transcript corpus for window queries (size keyed to
     the sf level so sf0.01 exercises more data than sf0.001)."""
+    from ..runtime import sf_tag
     from ..sources.transcripts import write_synth_transcripts
 
-    n = 4000 if "0.01" in sf_dir else (20000 if "0.1" in sf_dir else 1000)
+    n = {"sf0.01": 4000, "sf0.1": 20000}.get(sf_tag(sf_dir), 1000)
     return write_synth_transcripts(f"/tmp/graft_windows/convs_{n}", n_convs=n,
                                    shards=4)
 
@@ -111,8 +112,10 @@ def q_windowed_sketch_sweep(sf_dir: str) -> pd.DataFrame:
 
     from ..state.incremental import DailySketchStore
 
+    from ..runtime import sf_tag
+
     paths = _synth_window_corpus(sf_dir)
-    n = 4000 if "0.01" in sf_dir else (20000 if "0.1" in sf_dir else 1000)
+    n = {"sf0.01": 4000, "sf0.1": 20000}.get(sf_tag(sf_dir), 1000)
     store = DailySketchStore(f"/tmp/graft_windows/daily_{n}")
     start = datetime(2024, 1, 2)
     store.ensure_days(paths, start, start + timedelta(days=10))
