@@ -170,7 +170,23 @@ def run_bench() -> dict:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         "num_cpus": num_cpus,
+        # machine-state context: this VM's effective memory bandwidth
+        # swings ~2x with external load (observed 7-15 GB/s single
+        # thread), moving EVERY absolute timing with it — compare
+        # ratios within a record, and use this probe across records
+        "bw_probe_gbs": _bandwidth_probe(),
     }
+
+
+def _bandwidth_probe() -> float:
+    """Single-thread streaming-sum bandwidth (GB/s) — a fixed-cost
+    (~0.3 s) measure of the VM's current memory-subsystem state."""
+    import numpy as np
+
+    a = np.ones(250_000_000 // 8)
+    t0 = time.perf_counter()
+    a.sum()
+    return round(a.nbytes / (time.perf_counter() - t0) / 1e9, 1)
 
 
 def run_scaling() -> dict:
