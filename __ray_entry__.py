@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_bands": T.q_simhash_bands,
         "simhash_dups": T.q_simhash_dups,
         "multimodal_features": T.q_multimodal_features,
+        "containment_dups": T.q_containment_dups,
         "quality_scores": T.q_quality_scores,
         "langid": T.q_langid,
         "knn_ivf": N.q_knn_ivf,

@@ -307,6 +307,68 @@ def q_crosscorpus_dedup_exact(sf_dir: str) -> pd.DataFrame:
         sf_dir, lambda h: np.isin(h, ray.get(set_ref)))
 
 
+def q_containment_dups(sf_dir: str, window: int = 16, stride: int = 1,
+                       min_shared: int = 3) -> pd.DataFrame:
+    """Containment / copied-passage dedup (the repeated-substring pass
+    run ALONGSIDE whole-doc near-dup in training pipelines): doc pairs
+    sharing ≥ ``min_shared`` exact ``window``-token runs, with the
+    containment fraction relative to the smaller doc. Only (doc_id,
+    64-bit window hash) rows shuffle — never texts; the per-hash groups
+    are tiny (shared passages), so the pair expansion is bounded."""
+    from ..stages.dedup import RollingWindowHashes
+    from .analytics import bucketed_group_agg
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    exploded = ds.map_batches(
+        RollingWindowHashes, batch_format="pandas",
+        concurrency=auto_concurrency(),
+        fn_constructor_kwargs={"window": window, "stride": stride})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated("win_hash", keep=False)]
+        out = []
+        for _, grp in dup.groupby("win_hash", sort=False):
+            d = grp.drop_duplicates("doc_id")
+            if len(d) < 2:
+                continue
+            ids = d["doc_id"].to_numpy()
+            nw = d["n_windows"].to_numpy()
+            order = np.argsort(ids)
+            ids, nw = ids[order], nw[order]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out.append(pd.DataFrame({
+                "id_a": ids[iu], "id_b": ids[ju],
+                "nw_min": np.minimum(nw[iu], nw[ju]),
+                "shared": np.ones(len(iu), dtype=np.int64)}))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "nw_min": pd.Series(dtype=np.int64),
+                                 "shared": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    cand = bucketed_group_agg(exploded, ["win_hash"], pairs_in_bucket,
+                              num_buckets=16)
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["id_a", "id_b"], sort=False).agg(
+            shared=("shared", "sum"), nw_min=("nw_min", "first")).reset_index()
+        out = out[out["shared"] >= min_shared]
+        out["containment_bp"] = (10000 * out["shared"]) // out["nw_min"]
+        for c in ("id_a", "id_b", "shared", "containment_bp"):
+            out[c] = out[c].astype(np.int64)
+        return out[["id_a", "id_b", "shared", "containment_bp"]]
+
+    out = bucketed_group_agg(cand, ["id_a", "id_b"], merge_pairs,
+                             num_buckets=8).to_pandas()
+    if out.empty or "id_a" not in out.columns:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "shared": pd.Series(dtype=np.int64),
+                             "containment_bp": pd.Series(dtype=np.int64)})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal pipeline end-to-end on a deterministic REAL-payload
     corpus (binary PPM images + PCM WAV audio, sized by sf level):

@@ -229,6 +229,63 @@ class MinHashLSH:
         )
 
 
+class RollingWindowHashes:
+    """map_batches stage for CONTAINMENT / copied-passage detection (the
+    repeated-substring dedup modern training pipelines run alongside
+    whole-doc near-dup): each doc emits one 64-bit hash per W-token
+    window at the given stride — (doc_id, win_hash, n_windows) rows.
+    Docs sharing a window hash share an exact W-token passage (up to
+    hash collisions). Vectorized: per-token hashes once, then a
+    position-mixed XOR fold over numpy's sliding_window_view.
+
+    Scale note: stride=1 maximizes recall (any shared W-token run is
+    caught); stride up to W/2 still catches shared runs of ≥ 1.5·W
+    tokens while cutting emitted rows proportionally."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 window: int = 16, stride: int = 1, seed: int = 17):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.window = window
+        self.stride = stride
+        self.seed = seed
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ids_out, hashes_out, counts_out = [], [], []
+        texts = batch[self.text_col].fillna("")
+        all_tokens: list[str] = []
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split()
+            all_tokens.extend(toks)
+            offsets[i + 1] = offsets[i] + len(toks)
+        th = mix_with_seed(hash_strings(np.asarray(all_tokens, dtype=object)),
+                           self.seed) if all_tokens else np.empty(0, np.uint64)
+        pos_mix = np.array([mix_with_seed(np.array([7], dtype=np.uint64),
+                                          self.seed * 31 + j)[0]
+                            for j in range(self.window)], dtype=np.uint64)
+        for i, doc_id in enumerate(batch[self.id_col]):
+            h = th[offsets[i]:offsets[i + 1]]
+            if len(h) < self.window:
+                continue
+            win = sliding_window_view(h, self.window)[::self.stride]
+            # position-sensitive fold: token j mixes with its offset so
+            # permuted windows don't collide
+            folded = np.bitwise_xor.reduce(win * pos_mix[None, :], axis=1)
+            ids_out.append(np.full(len(folded), doc_id, dtype=np.int64))
+            hashes_out.append(folded)
+            counts_out.append(np.full(len(folded), len(folded), dtype=np.int64))
+        if not ids_out:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "win_hash": pd.Series(dtype=np.uint64),
+                                 "n_windows": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"doc_id": np.concatenate(ids_out),
+                             "win_hash": np.concatenate(hashes_out),
+                             "n_windows": np.concatenate(counts_out)})
+
+
 def simhash_signatures(texts: pd.Series, seed: int = 3) -> np.ndarray:
     """64-bit SimHash per doc from whitespace-token hashes: for each bit,
     sign of Σ(±1) across token hashes — vectorized with unpackbits +

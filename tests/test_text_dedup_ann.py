@@ -223,6 +223,45 @@ class TestPipelines:
         with pytest.raises(ValueError, match="Hamming"):
             q_simhash_dups(str(d), max_hamming=6)
 
+    def test_containment_dups_finds_copied_passage(self, ray_session,
+                                                   tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            q_containment_dups,
+        )
+
+        base = pd.read_parquet(f"{SF}/documents.parquet")
+        # doc 88888 = fresh words + a 40-token passage copied from doc 7
+        chunk = " ".join(base.iloc[7]["text"].split()[:40])
+        filler = " ".join(f"novel{i} fresh{i} word{i}" for i in range(30))
+        stolen = pd.DataFrame({
+            "doc_id": [88_888],
+            "text": [filler + " " + chunk + " " + filler.replace("l", "x")],
+            "lang": ["en"], "source": ["srcX"],
+            "n_chars": [0],
+        })
+        corpus = pd.concat([base, stolen], ignore_index=True)
+        d = tmp_path / "docs_cont"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
+                       str(d / "documents.parquet"))
+        out = q_containment_dups(str(d), window=16, min_shared=3)
+        pairs = {(a, b): (s, c) for a, b, s, c in
+                 zip(out["id_a"], out["id_b"], out["shared"],
+                     out["containment_bp"])}
+        assert (7, 88_888) in pairs
+        shared, containment = pairs[(7, 88_888)]
+        # a 40-token copied run yields 40-16+1 = 25 shared windows
+        assert shared == 25
+        assert containment > 0
+        # whole-doc near-dup would MISS this pair (low Jaccard) — that's
+        # exactly why the containment pass exists
+        from associationabacminer_ray.stages.dedup import shingle_set_jaccard
+        assert shingle_set_jaccard(base.iloc[7]["text"],
+                                   stolen.iloc[0]["text"]) < 0.5
+
     def test_knn_ivf_recall_vs_brute(self, ray_session):
         from associationabacminer_ray.pipelines.ann import knn_brute, knn_ivf
 
