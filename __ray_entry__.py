@@ -576,6 +576,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE (CAST(event_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 < 429496729
             GROUP BY event_type
         """,
+        # exact window-string recomputation of the rolling-hash pipeline
+        # (64-bit window-hash collisions are the only divergence, ~n²/2⁶⁴)
+        "containment_dups": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, len(tokens) - 15 AS n_windows,
+                     unnest(generate_series(1, len(tokens) - 15)) AS i,
+                     tokens
+              FROM tok WHERE len(tokens) >= 16
+            ),
+            d AS (
+              SELECT DISTINCT doc_id, n_windows,
+                     array_to_string(tokens[i:i+15], ' ') AS win
+              FROM w
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     LEAST(a.n_windows, b.n_windows) AS nw_min,
+                     COUNT(*) AS shared
+              FROM d a JOIN d b ON a.win = b.win AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3
+            )
+            SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+                   CAST((10000 * shared) // nw_min AS BIGINT)
+                       AS containment_bp
+            FROM p WHERE shared >= 3
+        """,
         "stratified_sample": """
             SELECT event_type, event_id FROM (
                 SELECT event_type, event_id,
