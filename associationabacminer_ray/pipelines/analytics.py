@@ -38,11 +38,20 @@ def bucketed_group_agg(ds, key_cols: list[str], agg_fn, num_buckets: int = 32):
     from ..functions.hashing import hash_strings
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        key = b[key_cols[0]].astype(str)
-        for c in key_cols[1:]:
-            key = key + "\x1f" + b[c].astype(str)
-        return b.assign(
-            _gb=(hash_strings(key) % np.uint64(num_buckets)).astype(np.int32))
+        first = b[key_cols[0]]
+        if len(key_cols) == 1 and first.dtype.kind in "iu":
+            # numeric fast path: re-mix the integer key directly — no
+            # per-row decimal-string allocation on what is often the
+            # hottest shuffle (e.g. the per-token win_hash explosion)
+            from ..functions.hashing import hash_any
+
+            h = hash_any(first.reset_index(drop=True))
+        else:
+            key = first.astype(str)
+            for c in key_cols[1:]:
+                key = key + "\x1f" + b[c].astype(str)
+            h = hash_strings(key)
+        return b.assign(_gb=(h % np.uint64(num_buckets)).astype(np.int32))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return agg_fn(g.drop(columns=["_gb"]))

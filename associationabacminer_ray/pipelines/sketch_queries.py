@@ -74,13 +74,20 @@ def q_greedy_policy(sf_dir: str) -> pd.DataFrame:
                         coverage_target=0.9, min_support=2)
 
 
+def _window_corpus_n(sf_dir: str) -> int:
+    """ONE sizing map for every window-query fixture (duplicating it
+    risks a corpus/daily-store size mismatch)."""
+    from ..runtime import sf_tag
+
+    return {"sf0.01": 4000, "sf0.1": 20000}.get(sf_tag(sf_dir), 1000)
+
+
 def _synth_window_corpus(sf_dir: str) -> list[str]:
     """Deterministic transcript corpus for window queries (size keyed to
     the sf level so sf0.01 exercises more data than sf0.001)."""
-    from ..runtime import sf_tag
     from ..sources.transcripts import write_synth_transcripts
 
-    n = {"sf0.01": 4000, "sf0.1": 20000}.get(sf_tag(sf_dir), 1000)
+    n = _window_corpus_n(sf_dir)
     return write_synth_transcripts(f"/tmp/graft_windows/convs_{n}", n_convs=n,
                                    shards=4)
 
@@ -112,10 +119,8 @@ def q_windowed_sketch_sweep(sf_dir: str) -> pd.DataFrame:
 
     from ..state.incremental import DailySketchStore
 
-    from ..runtime import sf_tag
-
     paths = _synth_window_corpus(sf_dir)
-    n = {"sf0.01": 4000, "sf0.1": 20000}.get(sf_tag(sf_dir), 1000)
+    n = _window_corpus_n(sf_dir)
     store = DailySketchStore(f"/tmp/graft_windows/daily_{n}")
     start = datetime(2024, 1, 2)
     store.ensure_days(paths, start, start + timedelta(days=10))

@@ -236,11 +236,16 @@ class RollingWindowHashes:
     window at the given stride — (doc_id, win_hash, n_windows) rows.
     Docs sharing a window hash share an exact W-token passage (up to
     hash collisions). Vectorized: per-token hashes once, then a
-    position-mixed XOR fold over numpy's sliding_window_view.
+    position-mixed XOR fold over numpy's sliding_window_view. Tokens
+    are RE2-\S+ runs — the same definition as TokenStats/Chunker and
+    the SQL oracle.
 
-    Scale note: stride=1 maximizes recall (any shared W-token run is
-    caught); stride up to W/2 still catches shared runs of ≥ 1.5·W
-    tokens while cutting emitted rows proportionally."""
+    Scale note: stride=1 (the default) is the only setting with a
+    recall GUARANTEE — striding BOTH docs only matches windows whose
+    passage offsets are congruent mod stride, so stride=s finds a
+    shared run with probability ~1/s however long it is. To cut emitted
+    rows at scale, stride one side only, or switch to winnowing
+    (min-hash-per-window selection), which keeps the guarantee."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  window: int = 16, stride: int = 1, seed: int = 17):
@@ -254,11 +259,14 @@ class RollingWindowHashes:
         from numpy.lib.stride_tricks import sliding_window_view
 
         ids_out, hashes_out, counts_out = [], [], []
+        import re
+
+        token_re = re.compile(r"[^\t\n\f\r ]+")  # RE2 \S, spelled out
         texts = batch[self.text_col].fillna("")
         all_tokens: list[str] = []
         offsets = np.zeros(len(texts) + 1, dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = t.split()
+            toks = token_re.findall(t)
             all_tokens.extend(toks)
             offsets[i + 1] = offsets[i] + len(toks)
         th = mix_with_seed(hash_strings(np.asarray(all_tokens, dtype=object)),
@@ -276,11 +284,14 @@ class RollingWindowHashes:
             folded = np.bitwise_xor.reduce(win * pos_mix[None, :], axis=1)
             ids_out.append(np.full(len(folded), doc_id, dtype=np.int64))
             hashes_out.append(folded)
-            counts_out.append(np.full(len(folded), len(folded), dtype=np.int64))
+            # int32 halves the per-token metadata in the shuffle; the
+            # per-doc count rides along rather than a third join stage
+            counts_out.append(np.full(len(folded), len(folded),
+                                      dtype=np.int32))
         if not ids_out:
             return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                                  "win_hash": pd.Series(dtype=np.uint64),
-                                 "n_windows": pd.Series(dtype=np.int64)})
+                                 "n_windows": pd.Series(dtype=np.int32)})
         return pd.DataFrame({"doc_id": np.concatenate(ids_out),
                              "win_hash": np.concatenate(hashes_out),
                              "n_windows": np.concatenate(counts_out)})
