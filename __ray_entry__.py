@@ -265,10 +265,14 @@ _FIELD_STATS_SQL = f"""
     SELECT allf.field,
            CAST(COALESCE(u, 0) AS BIGINT) AS n_values,
            CAST(COALESCE(i, 0) AS BIGINT) AS instances,
-           CAST((10000 * COALESCE(i, 0)) // total AS BIGINT) AS frequency_bp,
-           CAST((10000 * (COALESCE(i, 0) - COALESCE(u, 0))) // total
-                AS BIGINT) AS uf_bp,
-           CAST((10000 * COALESCE(u, 0)) // total AS BIGINT) AS iuf_bp
+           -- GREATEST(total,1): an empty sample must yield 0-valued
+           -- rows (like the engine), not a division error
+           CAST((10000 * COALESCE(i, 0)) // GREATEST(total, 1)
+                AS BIGINT) AS frequency_bp,
+           CAST((10000 * (COALESCE(i, 0) - COALESCE(u, 0)))
+                // GREATEST(total, 1) AS BIGINT) AS uf_bp,
+           CAST((10000 * COALESCE(u, 0)) // GREATEST(total, 1)
+                AS BIGINT) AS iuf_bp
     FROM allf CROSS JOIN t LEFT JOIN agg ON agg.field = allf.field
 """
 

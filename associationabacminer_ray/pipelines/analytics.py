@@ -279,15 +279,20 @@ SAMPLE_MOD = 1 << 32
 SAMPLE_KEEP = 429496729  # floor(0.1 * 2^32)
 
 
-def hash_sample_mask(event_ids: np.ndarray) -> np.ndarray:
-    """THE sampling predicate — one definition shared by every sampled
-    query (and restated verbatim in the SQL oracles): keep iff
-    ((event_id mod 2³²)·2654435761) mod 2³² < 0.1·2³². The inner mod
-    keeps the product within uint64 (< 1.15e19) so numpy stays exact
-    and the SQL side can use HUGEINT without BIGINT overflow at
-    10¹²-row id ranges; for ids < 2³² it equals the plain Knuth hash."""
+def sample_hash_values(event_ids: np.ndarray) -> np.ndarray:
+    """THE sampling hash — one definition shared by every sampled query
+    (and restated verbatim in the SQL oracles):
+    ((event_id mod 2³²)·2654435761) mod 2³². The inner mod keeps the
+    product within uint64 (< 1.15e19) so numpy stays exact and the SQL
+    side can use HUGEINT without BIGINT overflow at 10¹²-row id ranges;
+    for ids < 2³² it equals the plain Knuth hash."""
     ids = np.asarray(event_ids).astype(np.uint64) % np.uint64(SAMPLE_MOD)
-    return (ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD) < SAMPLE_KEEP
+    return (ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD)
+
+
+def hash_sample_mask(event_ids: np.ndarray) -> np.ndarray:
+    """Keep iff the sampling hash < 0.1·2³² (Bernoulli-in-expectation)."""
+    return sample_hash_values(event_ids) < SAMPLE_KEEP
 
 
 def q_sample_events(sf_dir: str) -> pd.DataFrame:
@@ -314,7 +319,7 @@ def q_sample_events_bernoulli(sf_dir: str) -> pd.DataFrame:
     """O4 via Ray's native ``random_sample(seed)`` — the same op with
     engine-seeded randomness (rows-only: the draw depends on block
     layout, so no SQL oracle can reproduce it)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
     sample = ds.random_sample(0.1, seed=42)
     agg = sample.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
     agg["n"] = agg["n"].astype(np.int64)
@@ -332,8 +337,7 @@ def q_stratified_sample(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
     def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["event_id"].to_numpy().astype(np.uint64)
-        h = (ids % np.uint64(SAMPLE_MOD)) * np.uint64(SAMPLE_MULT) \
-            % np.uint64(SAMPLE_MOD)
+        h = sample_hash_values(ids)
         d = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
                           "event_id": ids.astype(np.int64), "h": h})
         d = d.sort_values(["event_type", "h", "event_id"], kind="mergesort")

@@ -318,12 +318,15 @@ class _PlantNearDups:
 
 
 def q_embedding_dups(sf_dir: str, threshold: float = 0.9,
-                     n_tables: int = 4) -> pd.DataFrame:
+                     n_tables: int = 8) -> pd.DataFrame:
     """Multi-table hyperplane-LSH near-dup pairs over the corpus plus
     deterministically planted near-duplicates (so the query demonstrates
     non-trivial recall on unstructured bench data — VERDICT r1 #8).
     Output is the integer pair list only; the planted pairs are the
-    exact expected answer, so this is DuckDB-oracle-checkable."""
+    exact expected answer, so this is DuckDB-oracle-checkable. 8 tables
+    (not the near-dup default of 4) push per-pair miss probability to
+    ~4e-11 at the planted cosine, so exact recall holds by construction
+    across corpus regenerations, not by luck."""
     emb = _embeddings(sf_dir)
     planted = emb.map_batches(_PlantNearDups, batch_format="pyarrow",
                               batch_size=4096, concurrency=auto_concurrency())

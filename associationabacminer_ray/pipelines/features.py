@@ -49,7 +49,8 @@ FIELDS = ("role", "tool", "hour", "weekday", "props_k_bin")
 
 
 def _tool_from_props(props: pd.Series) -> pd.Series:
-    return "k" + props.str.extract(r"(\d+)", expand=False).fillna("")
+    # [0-9], not \d: python \d matches unicode digits RE2's does not
+    return "k" + props.str.extract(r"([0-9]+)", expand=False).fillna("")
 
 
 def _sampled(b: pd.DataFrame) -> pd.DataFrame:
@@ -59,7 +60,11 @@ def _sampled(b: pd.DataFrame) -> pd.DataFrame:
 def _field_frame(b: pd.DataFrame) -> pd.DataFrame:
     """One sampled event → one value per field ('NONE' when absent)."""
     ts = pd.to_datetime(b["ts"])
-    k = b["props"].str.extract(r"(\d+)", expand=False).fillna("-1").astype(int)
+    # mirror the oracle's TRY_CAST(... AS INTEGER): non-numeric OR
+    # out-of-int32-range digit runs become NONE instead of crashing
+    raw = pd.to_numeric(b["props"].str.extract(r"([0-9]+)", expand=False),
+                        errors="coerce")
+    k = raw.where((raw >= -(2**31)) & (raw <= 2**31 - 1)).fillna(-1)
     return pd.DataFrame({
         "role": b["event_type"].to_numpy(),
         "tool": _tool_from_props(b["props"]).to_numpy(),

@@ -89,7 +89,7 @@ def verify_pairs_distributed(docs_ds, cand, pair_metric,
                              out_col: str, *, id_col: str = "doc_id",
                              text_col: str = "text",
                              num_buckets: int = 32,
-                             bloom_bits: int = 1 << 22):
+                             bloom_fpr: float = 1e-3):
     """Distributed verification of candidate near-dup pairs — the scale
     path VERDICT.md r1 asked for: neither the documents table NOR the
     candidate pair list is ever gathered to the driver (``cand`` may be
@@ -137,16 +137,22 @@ def verify_pairs_distributed(docs_ds, cand, pair_metric,
             text_col: np.full(2 * n, "", dtype=object),
         })
 
-    # materialized once: the Bloom aggregate AND the verify union both
-    # consume member — without this the whole upstream candidate
-    # pipeline (LSH signatures + banding) would execute twice
+    # materialized once: the count, the Bloom aggregate AND the verify
+    # union all consume member — without this the whole upstream
+    # candidate pipeline (LSH signatures + banding) would execute twice
     member = cand.map_batches(explode_members,
                               batch_format="pandas").materialize()
 
+    # size the filter to the ACTUAL candidate-id count: a fixed-bit
+    # filter saturates at scale and would degrade the candidate-only
+    # gather into shipping every text
+    n_member = member.count()
+    shape = BloomFilter.for_capacity(max(n_member, 1), fpr=bloom_fpr)
     blob = member.map_batches(
         lambda b: pd.DataFrame({"h": hash_any(b[id_col].reset_index(drop=True))}),
         batch_format="pandas").aggregate(
-            BloomAgg("h", num_bits=bloom_bits, alias="bloom"))
+            BloomAgg("h", num_bits=shape.num_bits,
+                     num_hashes=shape.num_hashes, alias="bloom"))
     if not blob or blob.get("bloom") is None:
         return rd.from_pandas(empty)
     bloom_ref = ray.put(BloomFilter.from_bytes(blob["bloom"]))
@@ -254,6 +260,11 @@ class RollingWindowHashes:
         self.window = window
         self.stride = stride
         self.seed = seed
+        # constant per-position mix table: computed once per actor, not
+        # per batch
+        self.pos_mix = np.array(
+            [mix_with_seed(np.array([7], dtype=np.uint64), seed * 31 + j)[0]
+             for j in range(window)], dtype=np.uint64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from numpy.lib.stride_tricks import sliding_window_view
@@ -271,9 +282,7 @@ class RollingWindowHashes:
             offsets[i + 1] = offsets[i] + len(toks)
         th = mix_with_seed(hash_strings(np.asarray(all_tokens, dtype=object)),
                            self.seed) if all_tokens else np.empty(0, np.uint64)
-        pos_mix = np.array([mix_with_seed(np.array([7], dtype=np.uint64),
-                                          self.seed * 31 + j)[0]
-                            for j in range(self.window)], dtype=np.uint64)
+        pos_mix = self.pos_mix
         for i, doc_id in enumerate(batch[self.id_col]):
             h = th[offsets[i]:offsets[i + 1]]
             if len(h) < self.window:

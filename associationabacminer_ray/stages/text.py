@@ -188,7 +188,10 @@ class PIIRedactor:
         self.patterns = [
             ("email", re.compile(r"[\w.+-]+@[\w-]+\.[\w.-]+", re.ASCII)),
             ("ipv4", re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b", re.ASCII)),
-            ("phone", re.compile(r"\+?\d[\d\s().-]{7,}\d", re.ASCII)),
+            # explicit RE2 \s class ([\t\n\f\r ]): Python's ASCII \s
+            # also matches \v, which RE2 (the oracle) does not
+            ("phone", re.compile(r"\+?\d[\d\t\n\f\r ().-]{7,}\d",
+                                 re.ASCII)),
             ("digits", re.compile(r"\b\d{9,}\b", re.ASCII)),
         ]
 
