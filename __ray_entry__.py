@@ -648,11 +648,16 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
             FROM documents d GROUP BY source
         """,
+        # similarity folded to integer basis points before ranking on
+        # BOTH sides (ann.SIM_BP_SCALE): sub-quantum float noise between
+        # the engine's float64 matmul and list_cosine_similarity cannot
+        # flip the order; ties break on (id_a, id_b) identically
         "embedding_topk_pairs": """
             SELECT CAST(row_number() OVER (
-                       ORDER BY list_cosine_similarity(
+                       ORDER BY CAST(FLOOR(list_cosine_similarity(
                            CAST(a.embedding AS DOUBLE[]),
-                           CAST(b.embedding AS DOUBLE[])) DESC,
+                           CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5)
+                           AS BIGINT) DESC,
                        a.vec_id, b.vec_id) AS BIGINT) AS rank,
                    a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

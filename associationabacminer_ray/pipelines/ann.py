@@ -154,14 +154,18 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, n_clusters: int = 16,
     queries probe their nprobe nearest buckets. (query_id, neighbor_id,
     rank); recall vs brute force asserted in pytest."""
     emb = _embeddings(sf_dir)
-    # seeded Bernoulli sample for the codebook (limit() would bias to the
-    # first rows); fall back to everything for tiny tables
+    # seeded Bernoulli sample for the codebook (limit() alone would bias
+    # to the first rows); the trailing limit() caps the driver-side copy
+    # UNCONDITIONALLY — even when the Bernoulli fraction computes to 1.0
+    # the driver never holds more than sample_n rows (VERDICT r2 #3: no
+    # full-table to_pandas fallback)
     n_total = emb.count()
-    frac = min(1.0, sample_n / max(n_total, 1))
-    sample = (emb.random_sample(frac, seed=seed).to_pandas() if frac < 1.0
-              else emb.to_pandas())
+    frac = min(1.0, (sample_n * 1.25) / max(n_total, 1))
+    sample = emb.random_sample(frac, seed=seed).limit(sample_n).to_pandas()
     if len(sample) < n_clusters:
-        sample = emb.to_pandas()
+        # tiny-table degenerate case: take the first sample_n rows —
+        # still bounded by sample_n, never the whole of a large table
+        sample = emb.limit(sample_n).to_pandas()
     # degrade gracefully on tiny tables instead of crashing rng.choice
     n_clusters = max(1, min(n_clusters, len(sample)))
     nprobe = min(nprobe, n_clusters)
@@ -336,15 +340,46 @@ def q_embedding_dups(sf_dir: str, threshold: float = 0.9,
     return pairs[["id_a", "id_b"]].astype(np.int64)
 
 
+# Similarities are folded to integer basis points before ANY ranking so
+# the (engine float64 matmul) and (DuckDB list_cosine_similarity) sides
+# cannot order two pairs differently on sub-quantum float noise (ADVICE
+# r2): ties within a 1e-4 quantum break on (id_a, id_b) identically on
+# both sides. Residual risk: a cosine sitting within ~1e-12 of a 0.5e-4
+# grid boundary could still fold differently — documented, like the
+# info_gain milli-nat fold.
+SIM_BP_SCALE = 1e4
+
+
+def _fold_bp(sims: np.ndarray) -> np.ndarray:
+    return np.floor(sims * SIM_BP_SCALE + 0.5)
+
+
+def _local_pair_topk(sims_bp: np.ndarray, ida: np.ndarray, idb: np.ndarray,
+                     k: int) -> pd.DataFrame:
+    """Top-k of candidate pairs under the strict global total order
+    (sim_bp desc, id_a, id_b); keeps the full tie slab at the k-th bp
+    value before lexsorting so a boundary tie can't be dropped."""
+    if len(sims_bp) == 0 or k <= 0:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "sim_bp": pd.Series(dtype=np.int64)})
+    k = min(k, len(sims_bp))
+    kth = sims_bp[np.argpartition(-sims_bp, k - 1)[:k]].min()
+    keep = np.flatnonzero(sims_bp >= kth)
+    ida, idb, s = ida[keep], idb[keep], sims_bp[keep]
+    order = np.lexsort((idb, ida, -s))[:k]
+    return pd.DataFrame({"id_a": ida[order].astype(np.int64),
+                         "id_b": idb[order].astype(np.int64),
+                         "sim_bp": s[order].astype(np.int64)})
+
+
 class _PairTopKPartial:
-    """Brute-force global top-k PAIRS: the full normalized matrix is
-    broadcast once — the DOCUMENTED assumption of this baseline is that
-    n×d floats fit one broadcast blob (an all-pairs exact ranking needs
-    every vector visible to every batch). When the corpus outgrows
-    broadcast, restrict candidates with the bucketed LSH shape
-    (``embedding_near_dups``) or IVF probing (``knn_ivf``) instead of
-    this query. Each batch computes its rows × all-rows sims, masks to
-    id_a < id_b, and emits its batch-local top-k triples."""
+    """Small-side fast path for global top-k PAIRS: the full normalized
+    matrix is broadcast once (n×d floats in one blob); each batch
+    computes its rows × all-rows sims, masks to id_a < id_b, and emits
+    its batch-local top-k. Guarded by an explicit row-count gate in
+    ``q_embedding_topk_pairs`` — past it, the block-pair tournament
+    (``_block_pair_topk``) runs instead with bounded per-task memory."""
 
     def __init__(self, mat_ref, k: int):
         st = ray.get(mat_ref)
@@ -355,45 +390,117 @@ class _PairTopKPartial:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         bmat = _normalize(_stack(batch["embedding"]))
         bids = batch["vec_id"].to_numpy()
-        sims = bmat @ self.mat.T  # (n_batch, n_all)
+        sims = _fold_bp(bmat @ self.mat.T)  # (n_batch, n_all), integer bp
         mask = bids[:, None] < self.ids[None, :]
-        sims = np.where(mask, sims, -np.inf)
-        flat = sims.ravel()
-        k = min(self.k, int(mask.sum()))
-        if k <= 0:
+        keep = np.flatnonzero(mask.ravel())
+        ri, ci = np.unravel_index(keep, sims.shape)
+        return _local_pair_topk(sims.ravel()[keep], bids[ri], self.ids[ci],
+                                self.k)
+
+
+def _block_pair_topk(emb, k: int, n_blocks: int) -> pd.DataFrame:
+    """Exact global top-k pairs without any full-table driver
+    materialization: vectors are hashed into ``n_blocks`` blocks; each
+    row is replicated once per block-PAIR group containing its block
+    (B copies), groups are shuffled by pair id, and each group computes
+    only its cross-block (or diagonal upper-triangle) sims before a tiny
+    global merge of B(B+1)/2 × k candidates.
+
+    Scale contract: shuffle volume = B × corpus, per-group memory ≈
+    2N/B vectors — pick B ≈ sqrt(2·N·d·8 / per_task_mem) so a group's
+    two blocks fit a worker heap. Exact (not LSH-prefiltered) so the
+    big-path result is identical to the broadcast path, which the parity
+    test pins."""
+    from .analytics import bucketed_group_agg
+
+    B = n_blocks
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy()
+        blk = (ids % B).astype(np.int64)
+        frames = []
+        for o in range(B):
+            i = np.minimum(blk, o)
+            j = np.maximum(blk, o)
+            frames.append(pd.DataFrame({
+                "pair": i * B + j, "blk": blk, "vec_id": ids,
+                "embedding": batch["embedding"].to_numpy()}))
+        return pd.concat(frames, ignore_index=True).drop_duplicates(
+            ["pair", "vec_id"])
+
+    def group_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pair, grp in g.groupby("pair", sort=False):
+            i, j = int(pair) // B, int(pair) % B
+            grp = grp.drop_duplicates("vec_id")
+            if i == j:
+                ids = grp["vec_id"].to_numpy()
+                if len(ids) < 2:
+                    continue
+                mat = _normalize(_stack(grp["embedding"]))
+                sims = _fold_bp(mat @ mat.T)
+                iu, ju = np.triu_indices(len(ids), k=1)
+                ida, idb = ids[iu], ids[ju]
+                lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+                out.append(_local_pair_topk(sims[iu, ju], lo, hi, k))
+            else:
+                a = grp[grp["blk"] == i]
+                b = grp[grp["blk"] == j]
+                if not len(a) or not len(b):
+                    continue
+                sims = _fold_bp(_normalize(_stack(a["embedding"]))
+                                @ _normalize(_stack(b["embedding"])).T)
+                aid = a["vec_id"].to_numpy()
+                bid = b["vec_id"].to_numpy()
+                ida = np.repeat(aid, len(bid))
+                idb = np.tile(bid, len(aid))
+                lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+                out.append(_local_pair_topk(sims.ravel(), lo, hi, k))
+        if not out:
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                                  "id_b": pd.Series(dtype=np.int64),
-                                 "sim": pd.Series(dtype=np.float64)})
-        # local top-k must use the SAME total order as the global merge
-        # ((sim desc, id_a, id_b)) or a tie at the local k-th boundary
-        # can drop the pair the oracle ranks first: keep everything down
-        # to (and including ALL ties at) the k-th similarity, then
-        # lexsort that slab deterministically
-        kth = flat[np.argpartition(-flat, k - 1)[:k]].min()
-        keep = np.flatnonzero(flat >= kth)
-        ri, ci = np.unravel_index(keep, sims.shape)
-        ida, idb, s = bids[ri], self.ids[ci], flat[keep]
-        order = np.lexsort((idb, ida, -s))[:k]
-        return pd.DataFrame({"id_a": ida[order].astype(np.int64),
-                             "id_b": idb[order].astype(np.int64),
-                             "sim": s[order]})
+                                 "sim_bp": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    expanded = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        expand, batch_format="pandas", batch_size=4096)
+    return bucketed_group_agg(expanded, ["pair"], group_topk,
+                              num_buckets=min(B * B, 64)).to_pandas()
 
 
-def q_embedding_topk_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+def q_embedding_topk_pairs(sf_dir: str, k: int = 20,
+                           broadcast_max_rows: int = 200_000,
+                           n_blocks: int = 8) -> pd.DataFrame:
     """Global top-k most-similar pairs by exact cosine (the ranking twin
-    of near-dup detection; integer output ⇒ oracle-checkable). Builds
-    the broadcast side from the pruned (vec_id, embedding) columns only
-    — see _PairTopKPartial for the fits-in-broadcast assumption and the
-    bucketed alternatives beyond it."""
+    of near-dup detection; integer output ⇒ oracle-checkable).
+
+    Size-gated (VERDICT r2 #2): corpora up to ``broadcast_max_rows``
+    broadcast the pruned (vec_id, embedding) matrix once; past the gate
+    the exact block-pair tournament runs with bounded per-task memory and
+    no driver-side full-table materialization. Both paths rank by
+    basis-point-folded similarity with (id_a, id_b) tie-break — the same
+    total order the DuckDB oracle computes."""
+    import logging
+
     emb = _embeddings(sf_dir)
-    all_df = emb.select_columns(["vec_id", "embedding"]).to_pandas()
-    mat_ref = ray.put({"ids": all_df["vec_id"].to_numpy(),
-                       "mat": _normalize(_stack(all_df["embedding"]))})
-    partials = emb.map_batches(
-        _PairTopKPartial, batch_format="pandas", batch_size=4096,
-        concurrency=auto_concurrency(), fn_constructor_args=(mat_ref, k)
-    ).to_pandas()
-    top = (partials.sort_values(["sim", "id_a", "id_b"],
+    n_total = emb.count()
+    if n_total <= broadcast_max_rows:
+        logging.getLogger(__name__).info(
+            "embedding_topk_pairs: broadcast path (%d rows <= %d)",
+            n_total, broadcast_max_rows)
+        all_df = emb.select_columns(["vec_id", "embedding"]).to_pandas()
+        mat_ref = ray.put({"ids": all_df["vec_id"].to_numpy(),
+                           "mat": _normalize(_stack(all_df["embedding"]))})
+        partials = emb.map_batches(
+            _PairTopKPartial, batch_format="pandas", batch_size=4096,
+            concurrency=auto_concurrency(), fn_constructor_args=(mat_ref, k)
+        ).to_pandas()
+    else:
+        logging.getLogger(__name__).info(
+            "embedding_topk_pairs: block-pair path (%d rows > %d, B=%d)",
+            n_total, broadcast_max_rows, n_blocks)
+        partials = _block_pair_topk(emb, k, n_blocks)
+    top = (partials.sort_values(["sim_bp", "id_a", "id_b"],
                                 ascending=[False, True, True], kind="mergesort")
            .head(k).reset_index(drop=True))
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)

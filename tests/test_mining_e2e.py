@@ -53,6 +53,41 @@ class TestMineWindow:
         assert 1 <= res["n_rules"] <= 3
         assert res["rules"]["covered_this_round"].iloc[0] > 0
 
+    def test_greedy_mode_matches_pandas_oracle(self, ray_session, corpus):
+        """mine_window(greedy=True) now runs greedy_cover_ray (VERDICT r2
+        #1); the driver-side pandas greedy_cover is the parity oracle."""
+        from associationabacminer_ray.functions.windows import read_window
+        from associationabacminer_ray.pipelines.itemsets import transactions
+        from associationabacminer_ray.pipelines.rules import greedy_cover
+
+        res = mine_window(corpus, SPEC, greedy=True, max_rounds=4, min_support=2)
+        ds = read_window(corpus, SPEC, "obs", columns=["conv_id", "role", "tool"])
+        tx_df = transactions(ds, num_buckets=64).to_pandas()
+        want = greedy_cover(tx_df, metric="cscore", max_rounds=4,
+                            min_support=2, max_k=2)
+        got = res["rules"]
+        pd.testing.assert_frame_equal(
+            got[["round", "antecedent", "consequent", "support_ab",
+                 "covered_this_round"]].reset_index(drop=True),
+            want[["round", "antecedent", "consequent", "support_ab",
+                  "covered_this_round"]].reset_index(drop=True),
+        )
+        assert res["n_transactions"] == len(tx_df)
+
+    def test_greedy_sketch_mode_routes_to_sketch_engine(self, ray_session, corpus):
+        """mode='sketch' + greedy=True must run sketch greedy rounds, not
+        silently degrade to the exact path (ADVICE r2); at this scale the
+        space-saving head is exact, so selections match the exact mode."""
+        exact = mine_window(corpus, SPEC, greedy=True, max_rounds=3, min_support=2)
+        sk = mine_window(corpus, SPEC, mode="sketch", greedy=True, max_rounds=3,
+                         min_support=2)
+        pd.testing.assert_frame_equal(
+            sk["rules"][["round", "antecedent", "consequent",
+                         "covered_this_round"]].reset_index(drop=True),
+            exact["rules"][["round", "antecedent", "consequent",
+                            "covered_this_round"]].reset_index(drop=True),
+        )
+
 
 class TestGoldenRulesK3:
     def test_supports_k3_match_oracle(self, ray_session):

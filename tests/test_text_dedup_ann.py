@@ -262,6 +262,17 @@ class TestPipelines:
         assert shingle_set_jaccard(base.iloc[7]["text"],
                                    stolen.iloc[0]["text"]) < 0.5
 
+    def test_topk_pairs_block_path_matches_broadcast(self, ray_session):
+        """The size-gated block-pair tournament (VERDICT r2 #2) is exact:
+        forcing the big path (broadcast_max_rows=0) must reproduce the
+        broadcast path's ranked pairs bit-for-bit."""
+        from associationabacminer_ray.pipelines.ann import q_embedding_topk_pairs
+
+        broadcast = q_embedding_topk_pairs(SF, k=20)
+        blocked = q_embedding_topk_pairs(SF, k=20, broadcast_max_rows=0,
+                                         n_blocks=4)
+        pd.testing.assert_frame_equal(blocked, broadcast)
+
     def test_knn_ivf_recall_vs_brute(self, ray_session):
         from associationabacminer_ray.pipelines.ann import knn_brute, knn_ivf
 
