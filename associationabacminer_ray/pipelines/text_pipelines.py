@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
@@ -61,17 +62,18 @@ def q_dedup_docs(sf_dir: str):
 def q_doc_fingerprint(sf_dir: str):
     """doc_id + md5 hex fingerprint (exactly reproducible in SQL)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(Fingerprint, batch_format="pandas", concurrency=auto_concurrency())
-    return out.map_batches(lambda b: b[["doc_id", "fp"]], batch_format="pandas")
+    out = ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=auto_concurrency())
+    return out.map_batches(lambda t: t.select(["doc_id", "fp"]),
+                           batch_format="pyarrow")
 
 
 def q_text_stats(sf_dir: str):
     """doc_id, computed char count, whitespace token count."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(TokenStats, batch_format="pandas", concurrency=auto_concurrency())
+    out = ds.map_batches(TokenStats, batch_format="pyarrow", concurrency=auto_concurrency())
     return out.map_batches(
-        lambda b: b[["doc_id", "n_chars_computed", "n_tokens"]],
-        batch_format="pandas")
+        lambda t: t.select(["doc_id", "n_chars_computed", "n_tokens"]),
+        batch_format="pyarrow")
 
 
 def q_lang_dist(sf_dir: str):
@@ -91,23 +93,24 @@ def q_quality_scores(sf_dir: str):
     identical IEEE double op sequence the SQL oracle uses, so the gate
     hash is float-safe (graft gate convention)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(TokenStats, batch_format="pandas",
+    out = ds.map_batches(TokenStats, batch_format="pyarrow",
                          concurrency=auto_concurrency())
 
-    def fold(b: pd.DataFrame) -> pd.DataFrame:
-        def bp(col: pd.Series) -> np.ndarray:
-            return np.floor(col.to_numpy() * 10000 + 0.5).astype(np.int64)
+    def fold(t: pa.Table) -> pa.Table:
+        def bp(name: str) -> np.ndarray:
+            col = t[name].to_numpy(zero_copy_only=False)
+            return np.floor(col * 10000 + 0.5).astype(np.int64)
 
-        return pd.DataFrame({
-            "doc_id": b["doc_id"].astype(np.int64),
-            "n_tokens": b["n_tokens"].astype(np.int64),
-            "punct_bp": bp(b["punct_ratio"]),
-            "alpha_bp": bp(b["alpha_ratio"]),
-            "stopword_bp": bp(b["stopword_ratio"]),
-            "quality_bp": bp(b["quality_score"]),
+        return pa.table({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "n_tokens": t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "punct_bp": bp("punct_ratio"),
+            "alpha_bp": bp("alpha_ratio"),
+            "stopword_bp": bp("stopword_ratio"),
+            "quality_bp": bp("quality_score"),
         })
 
-    return out.map_batches(fold, batch_format="pandas")
+    return out.map_batches(fold, batch_format="pyarrow")
 
 
 def q_langid(sf_dir: str):
@@ -115,9 +118,9 @@ def q_langid(sf_dir: str):
     deterministic argmax with en→de→es→fr tie-break, reproduced in the
     SQL oracle as boundary-safe regex hit counting."""
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
-    out = ds.map_batches(LangId, batch_format="pandas", concurrency=auto_concurrency())
-    return out.map_batches(lambda b: b[["doc_id", "lang", "lang_pred"]],
-                           batch_format="pandas")
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=auto_concurrency())
+    return out.map_batches(lambda t: t.select(["doc_id", "lang", "lang_pred"]),
+                           batch_format="pyarrow")
 
 
 def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
@@ -308,13 +311,21 @@ def q_crosscorpus_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 
 def q_containment_dups(sf_dir: str, window: int = 16, stride: int = 1,
-                       min_shared: int = 3) -> pd.DataFrame:
+                       min_shared: int = 3, winnow: int = 0) -> pd.DataFrame:
     """Containment / copied-passage dedup (the repeated-substring pass
     run ALONGSIDE whole-doc near-dup in training pipelines): doc pairs
     sharing ≥ ``min_shared`` exact ``window``-token runs, with the
     containment fraction relative to the smaller doc. Only (doc_id,
     64-bit window hash) rows shuffle — never texts; the per-hash groups
-    are tiny (shared passages), so the pair expansion is bounded."""
+    are tiny (shared passages), so the pair expansion is bounded.
+
+    ``winnow=0`` (gate/oracle mode) emits every window hash — shuffle
+    ≈ one row per corpus token. At 100 TB pass ``winnow=w`` (e.g. 12):
+    fingerprints drop to ~2/(w+1) of the rows while any copied run of
+    ≥ window + w − 1 tokens is still caught deterministically (see
+    RollingWindowHashes). In winnowed mode ``shared``/``containment_bp``
+    count FINGERPRINTS, not raw windows, so ``min_shared`` should be
+    scaled by ~2/(w+1) too."""
     from ..stages.dedup import RollingWindowHashes
     from .analytics import bucketed_group_agg
 
@@ -322,7 +333,8 @@ def q_containment_dups(sf_dir: str, window: int = 16, stride: int = 1,
     exploded = ds.map_batches(
         RollingWindowHashes, batch_format="pandas",
         concurrency=auto_concurrency(),
-        fn_constructor_kwargs={"window": window, "stride": stride})
+        fn_constructor_kwargs={"window": window, "stride": stride,
+                               "winnow": winnow})
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         dup = g[g.duplicated("win_hash", keep=False)]

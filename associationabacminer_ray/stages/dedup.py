@@ -235,6 +235,20 @@ class MinHashLSH:
         )
 
 
+def _winnow_select(folded: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing fingerprint selection: for every length-``w`` run of
+    window hashes keep the RIGHTMOST minimum (the robust-winnowing tie
+    rule), dedup positions. Pure function of the hash sequence, so both
+    sides of a shared passage select identical fingerprints."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(folded, w)
+    # rightmost min = w-1-argmin over the reversed window
+    idx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+    pos = np.unique(np.arange(len(win)) + idx)
+    return folded[pos]
+
+
 class RollingWindowHashes:
     """map_batches stage for CONTAINMENT / copied-passage detection (the
     repeated-substring dedup modern training pipelines run alongside
@@ -246,20 +260,31 @@ class RollingWindowHashes:
     are RE2-\S+ runs — the same definition as TokenStats/Chunker and
     the SQL oracle.
 
-    Scale note: stride=1 (the default) is the only setting with a
-    recall GUARANTEE — striding BOTH docs only matches windows whose
-    passage offsets are congruent mod stride, so stride=s finds a
-    shared run with probability ~1/s however long it is. To cut emitted
-    rows at scale, stride one side only, or switch to winnowing
-    (min-hash-per-window selection), which keeps the guarantee."""
+    Scale note: stride=1 (the default) is the only *stride* setting
+    with a recall GUARANTEE — striding BOTH docs only matches windows
+    whose passage offsets are congruent mod stride, so stride=s finds a
+    shared run with probability ~1/s however long it is. The scale path
+    is ``winnow=w`` (Schleimer et al., SIGMOD'03): keep, from every run
+    of ``w`` consecutive window hashes, only the rightmost minimum —
+    selection depends only on the hash values themselves, so two docs
+    sharing a passage select the SAME fingerprints inside it. Emitted
+    rows drop to ~2/(w+1) of stride-1 while any shared run of
+    ≥ window + w − 1 tokens is still caught deterministically (it
+    contains a full winnowing window of shared hashes). winnow and
+    stride>1 are mutually exclusive (striding under winnowing would
+    void the guarantee)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
-                 window: int = 16, stride: int = 1, seed: int = 17):
+                 window: int = 16, stride: int = 1, seed: int = 17,
+                 winnow: int = 0):
+        if winnow and stride != 1:
+            raise ValueError("winnow requires stride=1 (dense hashes)")
         self.text_col = text_col
         self.id_col = id_col
         self.window = window
         self.stride = stride
         self.seed = seed
+        self.winnow = winnow
         # constant per-position mix table: computed once per actor, not
         # per batch
         self.pos_mix = np.array(
@@ -291,6 +316,8 @@ class RollingWindowHashes:
             # position-sensitive fold: token j mixes with its offset so
             # permuted windows don't collide
             folded = np.bitwise_xor.reduce(win * pos_mix[None, :], axis=1)
+            if self.winnow and len(folded) > self.winnow:
+                folded = _winnow_select(folded, self.winnow)
             ids_out.append(np.full(len(folded), doc_id, dtype=np.int64))
             hashes_out.append(folded)
             # int32 halves the per-token metadata in the shuffle; the

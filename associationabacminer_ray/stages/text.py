@@ -53,52 +53,59 @@ class TokenStats:
         # count even for adjacent hits ("a a a" → 3)
         self.stop_pats = [rf"\b{w}\b" for w in sorted(self.stop)]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch):
+        # Arrow-native hot path (batch_format="pyarrow" at call sites —
+        # zero-copy from the object store straight into the RE2 kernels;
+        # VERDICT r2 #6). pandas in → pandas out kept for direct calls.
+        import pyarrow as pa
+
+        if isinstance(batch, pa.Table):
+            return self._call_arrow(batch)
+        return self._call_arrow(
+            pa.Table.from_pandas(batch, preserve_index=False)).to_pandas()
+
+    def _call_arrow(self, t):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        text = batch[self.text_col].fillna("")
-        arr = pc.cast(pa.array(text), pa.string())
-        n_chars_a = pc.utf8_length(arr)
-        n_chars = pd.Series(n_chars_a.to_numpy(), index=text.index)
+        arr = pc.fill_null(pc.cast(t[self.text_col], pa.string()), "")
+        n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
         # whitespace token count = number of \S+ runs: no trim/split
         # edge cases, and the SQL oracle states the identical expression
-        n_tokens = pd.Series(
-            pc.count_substring_regex(arr, r"\S+").to_numpy(),
-            index=text.index).astype(np.int64)
-        n_words = pd.Series(
-            pc.count_substring_regex(arr, self.WORD_PAT).to_numpy(),
-            index=text.index).astype(np.int64)
-        n_punct = pd.Series(
-            pc.count_substring_regex(arr, self.PUNCT_PAT).to_numpy(),
-            index=text.index).astype(np.int64)
-        n_alpha = n_chars - pd.Series(
-            pc.count_substring_regex(arr, self.NON_ALPHA_PAT).to_numpy(),
-            index=text.index)
+        n_tokens = pc.count_substring_regex(arr, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_words = pc.count_substring_regex(arr, self.WORD_PAT).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_punct = pc.count_substring_regex(arr, self.PUNCT_PAT).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_alpha = n_chars - pc.count_substring_regex(
+            arr, self.NON_ALPHA_PAT).to_numpy(zero_copy_only=False)
         lower = pc.utf8_lower(arr)
         stop_acc = None
         for pat in self.stop_pats:
             c = pc.count_substring_regex(lower, pat)
             stop_acc = c if stop_acc is None else pc.add(stop_acc, c)
-        stop_hits = pd.Series(stop_acc.to_numpy(), index=text.index)
-        denom = n_chars.clip(lower=1)
-        stop_ratio = (stop_hits / n_words.clip(lower=1)).astype(np.float64)
-        punct_ratio = (n_punct / denom).astype(np.float64)
-        alpha_ratio = (n_alpha / denom).astype(np.float64)
+        stop_hits = stop_acc.to_numpy(zero_copy_only=False).astype(np.int64)
+        # float math in numpy — elementwise IEEE doubles, the identical op
+        # sequence the bp-folding queries and the SQL oracle state
+        denom = np.maximum(n_chars, 1)
+        stop_ratio = stop_hits / np.maximum(n_words, 1)
+        punct_ratio = n_punct / denom
+        alpha_ratio = n_alpha / denom
         # quality: long enough, mostly alphabetic, some stopwords, low punct
         length_score = np.clip(n_tokens / 20.0, 0, 1)
         quality = (0.35 * length_score + 0.35 * alpha_ratio
                    + 0.2 * np.clip(stop_ratio * 4, 0, 1)
                    + 0.1 * (1 - np.clip(punct_ratio * 4, 0, 1)))
-        out = batch.copy()
-        out["n_chars_computed"] = n_chars.astype(np.int64)
-        out["n_tokens"] = n_tokens
-        out["n_words"] = n_words
-        out["punct_ratio"] = punct_ratio
-        out["alpha_ratio"] = alpha_ratio
-        out["stopword_ratio"] = stop_ratio
-        out["quality_score"] = quality.astype(np.float64)
-        return out
+        for name, col in (("n_chars_computed", n_chars),
+                          ("n_tokens", n_tokens),
+                          ("n_words", n_words),
+                          ("punct_ratio", punct_ratio.astype(np.float64)),
+                          ("alpha_ratio", alpha_ratio.astype(np.float64)),
+                          ("stopword_ratio", stop_ratio.astype(np.float64)),
+                          ("quality_score", quality.astype(np.float64))):
+            t = t.append_column(name, pa.array(col))
+        return t
 
 
 class LangId:
@@ -122,7 +129,16 @@ class LangId:
                 best, best_hits = lang, hits
         return best
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        if isinstance(batch, pa.Table):
+            # Arrow in/out: the per-doc predict is Python either way (set
+            # intersections), but the batch never round-trips pandas
+            texts = pa.compute.fill_null(
+                pa.compute.cast(batch[self.text_col], pa.string()), "")
+            preds = [self._predict_one(s) for s in texts.to_pylist()]
+            return batch.append_column("lang_pred", pa.array(preds, pa.string()))
         out = batch.copy()
         out["lang_pred"] = batch[self.text_col].fillna("").map(self._predict_one)
         return out
@@ -214,20 +230,34 @@ class Fingerprint:
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    @staticmethod
+    def _roll(s: str) -> np.uint64:
+        # rolling hash over whitespace tokens (order-sensitive fold)
+        toks = s.split()
+        if not toks:
+            return np.uint64(0)
+        h = hash_strings(np.asarray(toks, dtype=object))
+        acc = h[:1]
+        for i in range(1, len(h)):
+            acc = combine_hashes(acc, h[i:i + 1])
+        return acc[0]
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        if isinstance(batch, pa.Table):
+            texts = pa.compute.fill_null(
+                pa.compute.cast(batch[self.text_col], pa.string()),
+                "").to_pylist()
+            fp = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                           for s in texts], pa.string())
+            rolling = pa.array(
+                np.array([self._roll(s) for s in texts], dtype=np.uint64))
+            return (batch.append_column("fp", fp)
+                    .append_column("rolling_fp", rolling))
         text = batch[self.text_col].fillna("")
         out = batch.copy()
         out["fp"] = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in text]
-        # rolling hash over whitespace tokens (order-sensitive fold)
-        def roll(s: str) -> np.uint64:
-            toks = s.split()
-            if not toks:
-                return np.uint64(0)
-            h = hash_strings(np.asarray(toks, dtype=object))
-            acc = h[:1]
-            for i in range(1, len(h)):
-                acc = combine_hashes(acc, h[i:i + 1])
-            return acc[0]
-
-        out["rolling_fp"] = np.array([roll(s) for s in text], dtype=np.uint64)
+        out["rolling_fp"] = np.array([self._roll(s) for s in text],
+                                     dtype=np.uint64)
         return out

@@ -140,7 +140,7 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         text_ds = rd.read_parquet(paths[:8], columns=["conv_id", "text"])
         n_docs = text_ds.map_batches(
-            TokenStats, batch_format="pandas", batch_size=8192,
+            TokenStats, batch_format="pyarrow", batch_size=8192,
             concurrency=max(2, num_cpus // 2),
         ).count()
         dt = time.perf_counter() - t0

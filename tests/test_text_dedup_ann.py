@@ -262,6 +262,44 @@ class TestPipelines:
         assert shingle_set_jaccard(base.iloc[7]["text"],
                                    stolen.iloc[0]["text"]) < 0.5
 
+    def test_containment_winnowing_cuts_rows_keeps_recall(self, ray_session,
+                                                          tmp_path):
+        """Winnowing mode (VERDICT r2 #5): ≥5× fewer emitted window-hash
+        rows than stride-1, while the planted 40-token stolen passage is
+        still caught (40 ≥ window + w − 1 = 16 + 12 − 1 = 27)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from associationabacminer_ray.stages.dedup import RollingWindowHashes
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            q_containment_dups,
+        )
+
+        base = pd.read_parquet(f"{SF}/documents.parquet")
+        chunk = " ".join(base.iloc[7]["text"].split()[:40])
+        filler = " ".join(f"novel{i} fresh{i} word{i}" for i in range(30))
+        stolen = pd.DataFrame({
+            "doc_id": [88_888],
+            "text": [filler + " " + chunk + " " + filler.replace("l", "x")],
+            "lang": ["en"], "source": ["srcX"], "n_chars": [0],
+        })
+        corpus = pd.concat([base, stolen], ignore_index=True)
+        d = tmp_path / "docs_win"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
+                       str(d / "documents.parquet"))
+        # emitted-row reduction, measured on the identical corpus
+        dense = RollingWindowHashes(window=16)(corpus)
+        winnowed = RollingWindowHashes(window=16, winnow=12)(corpus)
+        assert len(winnowed) * 5 <= len(dense), (
+            f"winnow only cut {len(dense)}/{len(winnowed)}x")
+        # deterministic-recall contract: the shared fingerprints survive
+        out = q_containment_dups(str(d), window=16, min_shared=1, winnow=12)
+        assert (7, 88_888) in set(zip(out["id_a"], out["id_b"]))
+        # winnow + stride are mutually exclusive (guarantee would break)
+        with pytest.raises(ValueError, match="stride"):
+            RollingWindowHashes(window=16, stride=2, winnow=8)
+
     def test_topk_pairs_block_path_matches_broadcast(self, ray_session):
         """The size-gated block-pair tournament (VERDICT r2 #2) is exact:
         forcing the big path (broadcast_max_rows=0) must reproduce the
