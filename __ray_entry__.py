@@ -114,6 +114,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# closed-form expected answer for the planted text near-dup queries
+# (pipelines.text_pipelines: PLANT_TEXT_EVERY=10, MIN_SHINGLES=200,
+# offset 2^40 = 1099511627776)
+_PLANTED_TEXT_PAIRS_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1099511627776 AS BIGINT) AS id_b
+    FROM documents
+    WHERE doc_id % 10 = 0
+      AND len(list_distinct(list_transform(
+            range(1, greatest(length(coalesce(text, '')) - 3, 2)),
+            i -> coalesce(text, '')[i:i+4]))) >= 200
+"""
+
 _JOIN_SQL = """
     SELECT o.o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -400,7 +413,16 @@ def oracle_sql() -> dict[str, str]:
         TRANSCRIPTS_FROM_EVENTS_SQL,
     )
 
-    return {
+    # pinned golden oracles (scripts/pin_goldens.py) for deterministic
+    # seeded/sketch queries with no independent SQL derivation — the
+    # generated module's docstring states the regression-not-derivation
+    # caveat; derived oracles below always win on a name collision
+    try:
+        from golden_oracles import GOLDEN_SQL
+    except ImportError:
+        GOLDEN_SQL = {}
+
+    return GOLDEN_SQL | {
         "transcripts_view": TRANSCRIPTS_FROM_EVENTS_SQL,
         "support_items": f"""
             WITH {_ITEMS_CTE}
@@ -639,6 +661,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS id_a, vec_id + 1099511627776 AS id_b
             FROM embeddings WHERE vec_id % 10 = 0
         """,
+        # text twin of the embedding plant (round 3): every 10th doc with
+        # ≥200 distinct char-5 shingles gains a copy at id+2^40 with one
+        # unique token appended — true Jaccard ≥ 200/218, LSH miss
+        # probability ~3e-9/pair, so the recovered list IS the plant
+        # list. The shingle-count eligibility below is char-for-char the
+        # engine's rule (DuckDB 1-based inclusive slicing validated
+        # against Python s[j:j+5]).
+        "minhash_dups": _PLANTED_TEXT_PAIRS_SQL,
+        # same plant, word-bigram verifier: appending one token keeps
+        # every original bigram and adds exactly one (J = m/(m+1) > 0.4)
+        "ngram_dups": _PLANTED_TEXT_PAIRS_SQL,
         "crosscorpus_dedup_exact": """
             WITH ref AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0)
             SELECT source,

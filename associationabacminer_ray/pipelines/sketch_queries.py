@@ -74,8 +74,12 @@ def q_greedy_policy(sf_dir: str) -> pd.DataFrame:
     ``greedy_cover`` remains the parity oracle in tests (VERDICT r2 #1)."""
     tx = transactions(transcripts_from_events(f"{sf_dir}/events.parquet"),
                       num_buckets=16)
-    return greedy_cover_ray(tx, metric="cscore", max_rounds=10,
-                            coverage_target=0.9, min_support=2)
+    out = greedy_cover_ray(tx, metric="cscore", max_rounds=10,
+                           coverage_target=0.9, min_support=2)
+    # fold the float score to basis points so the deterministic policy
+    # is integer-exact (pinnable at the gate)
+    out["cscore_bp"] = np.floor(out.pop("cscore") * 10000 + 0.5).astype(np.int64)
+    return out
 
 
 def _window_corpus_n(sf_dir: str) -> int:
@@ -107,10 +111,11 @@ def q_windowed_mining(sf_dir: str) -> pd.DataFrame:
     results = mine_windows(paths, datetime(2024, 1, 1), datetime(2024, 2, 5),
                            obs_days=14, opr_days=3, step_days=7,
                            max_k=2, min_support=2)
+    # wall time stays out of the result (it would make the otherwise
+    # deterministic summary un-pinnable); timings live in bench.py
     return pd.DataFrame([
         {"window_id": r["window_id"], "n_transactions": r["n_transactions"],
-         "n_rules": r["n_rules"],
-         "mining_time_s": round(r["mining_time_elapsed_s"], 3)}
+         "n_rules": r["n_rules"]}
         for r in results
     ])
 
@@ -201,7 +206,7 @@ def q_policy_scores_universe(sf_dir: str) -> pd.DataFrame:
     opr = read_window(paths, spec, "opr", columns=["role", "tool", "ts"])
     scores = score_policy_turns_generated(opr, rules, domains, mode="exact")
     scores["window_id"] = spec.window_id
-    return pd.DataFrame([scores])
+    return _fold_score_floats(pd.DataFrame([scores]))
 
 
 def q_policy_scores(sf_dir: str) -> pd.DataFrame:
@@ -220,4 +225,15 @@ def q_policy_scores(sf_dir: str) -> pd.DataFrame:
                          ignore_index=True)
     scores = score_policy(opr_tx, rules, universe_transactions=universe)
     scores["window_id"] = spec.window_id
-    return pd.DataFrame([scores])
+    return _fold_score_floats(pd.DataFrame([scores]))
+
+
+def _fold_score_floats(df: pd.DataFrame) -> pd.DataFrame:
+    """Replace every float score column with its basis-point integer
+    (floor(x·10⁴+0.5)) so the confusion-matrix summaries are exactly
+    pinnable — the underlying counts are already integers, so the fold
+    loses nothing a gate hash could use."""
+    for c in list(df.columns):
+        if df[c].dtype.kind == "f":
+            df[c + "_bp"] = np.floor(df.pop(c) * 10000 + 0.5).astype(np.int64)
+    return df

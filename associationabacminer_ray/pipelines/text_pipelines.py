@@ -125,12 +125,20 @@ def q_langid(sf_dir: str):
 
 def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16,
                             shingle_k: int = 5, as_dataset: bool = False):
+    """LSH candidate pairs over the documents table (see
+    ``minhash_candidate_pairs_ds`` for the Dataset-input core)."""
+    return minhash_candidate_pairs_ds(
+        _docs(sf_dir, ["doc_id", "text"]), num_perm=num_perm,
+        num_bands=num_bands, shingle_k=shingle_k, as_dataset=as_dataset)
+
+
+def minhash_candidate_pairs_ds(ds, num_perm: int = 64, num_bands: int = 16,
+                               shingle_k: int = 5, as_dataset: bool = False):
     """LSH candidate pairs: docs sharing any (band_id, band_hash) bucket.
     The banding groupby is the only all-to-all (b rows/doc).
     ``as_dataset=True`` keeps the pairs a Dataset (the scale path —
     cross-band duplicate pairs are deduped inside the verification's
     pair buckets instead of on the driver)."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
     exploded = ds.map_batches(
         MinHashLSH, batch_format="pandas", concurrency=auto_concurrency(),
         fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands,
@@ -165,7 +173,7 @@ def minhash_candidate_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16
     return cand.to_pandas().drop_duplicates().reset_index(drop=True)
 
 
-def q_minhash_dups(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+def minhash_near_dups(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
     Verification is fully distributed (``verify_pairs_distributed``):
     the candidate pairs stay a Dataset, a candidate-id Bloom is built
@@ -181,16 +189,99 @@ def q_minhash_dups(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def q_ngram_dups(sf_dir: str, threshold: float = 0.4, n: int = 2) -> pd.DataFrame:
+def ngram_near_dups(sf_dir: str, threshold: float = 0.4, n: int = 2) -> pd.DataFrame:
     """Word n-gram Jaccard near-dups: LSH candidate pairs verified with
     the word-bigram set metric (a second, stricter verifier over the
-    same candidate generation as q_minhash_dups) — distributed, like
-    q_minhash_dups."""
+    same candidate generation as minhash_near_dups) — distributed."""
     cand = minhash_candidate_pairs(sf_dir, as_dataset=True)
     ver = verify_pairs_distributed(
         _docs(sf_dir, ["doc_id", "text"]), cand,
         lambda a, b: word_ngram_jaccard(a, b, n=n), "ngram_jaccard").to_pandas()
     out = ver[ver["ngram_jaccard"] >= threshold]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# Plant eligibility: doc_id % PLANT_TEXT_EVERY == 0 AND the doc has at
+# least PLANT_MIN_SHINGLES distinct char-5 shingles. The appended unique
+# suffix " plantdup<id>" (≤14 chars) adds ≤18 new shingles while every
+# original shingle survives, so the true Jaccard is ≥ 200/218 ≈ 0.917 —
+# per-pair LSH miss probability (1 − J⁴)^16 ≈ 3e-9, i.e. recovery is
+# guaranteed by construction, and the eligibility rule itself is exactly
+# reproducible in SQL (validated char-for-char against DuckDB slicing).
+PLANT_TEXT_EVERY = 10
+PLANT_TEXT_MIN_SHINGLES = 200
+PLANT_TEXT_ID_OFFSET = 1 << 40  # same far-out-of-range offset as ann.py
+
+
+def _distinct_shingles(s: str, k: int = 5) -> int:
+    return len({s[j:j + k] for j in range(max(1, len(s) - k + 1))})
+
+
+class _PlantTextNearDups:
+    """pyarrow map_batches stage: emit a near-duplicate copy (id +
+    PLANT_TEXT_ID_OFFSET, text + unique suffix) for every eligible doc.
+    Pure function of (doc_id, text) — batch layout can't change the
+    plant list, so the expected answer is a closed-form SQL query."""
+
+    def __call__(self, t):
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = pa.compute.fill_null(
+            pa.compute.cast(t["text"], pa.string()), "").to_pylist()
+        out_ids, out_texts = [], []
+        for i, d in enumerate(ids):
+            if d % PLANT_TEXT_EVERY:
+                continue
+            s = texts[i]
+            if _distinct_shingles(s) < PLANT_TEXT_MIN_SHINGLES:
+                continue
+            out_ids.append(int(d) + PLANT_TEXT_ID_OFFSET)
+            out_texts.append(s + " plantdup" + str(int(d)))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
+            "text": pa.array(out_texts, pa.string())})
+
+
+def _planted_text_corpus(sf_dir: str):
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    planted = docs.map_batches(_PlantTextNearDups, batch_format="pyarrow",
+                               concurrency=auto_concurrency())
+    return docs.union(planted)
+
+
+def q_minhash_dups(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """MinHash+LSH near-dup detection in planted-recovery form (the
+    q_embedding_dups pattern, VERDICT r2 #8): the corpus is augmented
+    with deterministic planted near-duplicates and the full
+    shingle→minhash→band→bucket→distributed-verify pipeline must recover
+    the exact plant list — which a closed-form SQL oracle states.
+    ``minhash_near_dups`` keeps the unplanted natural-pair behavior
+    (pytest-covered)."""
+    corpus = _planted_text_corpus(sf_dir)
+    cand = minhash_candidate_pairs_ds(corpus, as_dataset=True)
+    ver = verify_pairs_distributed(corpus, cand, shingle_set_jaccard,
+                                   "jaccard").to_pandas()
+    out = ver[(ver["jaccard"] >= threshold)
+              & (ver["id_b"] - ver["id_a"] == PLANT_TEXT_ID_OFFSET)]
+    out = out[["id_a", "id_b"]].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_ngram_dups(sf_dir: str, threshold: float = 0.4, n: int = 2) -> pd.DataFrame:
+    """Word-bigram-Jaccard verifier over the same planted corpus and LSH
+    candidates as q_minhash_dups: appending one unique token keeps every
+    original bigram and adds exactly one, so each eligible plant passes
+    any threshold < m/(m+1) and the recovered list equals the same SQL
+    closed form. ``ngram_near_dups`` keeps the natural-pair behavior."""
+    corpus = _planted_text_corpus(sf_dir)
+    cand = minhash_candidate_pairs_ds(corpus, as_dataset=True)
+    ver = verify_pairs_distributed(
+        corpus, cand, lambda a, b: word_ngram_jaccard(a, b, n=n),
+        "ngram_jaccard").to_pandas()
+    out = ver[(ver["ngram_jaccard"] >= threshold)
+              & (ver["id_b"] - ver["id_a"] == PLANT_TEXT_ID_OFFSET)]
+    out = out[["id_a", "id_b"]].astype(np.int64)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -107,7 +107,9 @@ class TestPipelines:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from associationabacminer_ray.pipelines.text_pipelines import q_minhash_dups
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            minhash_near_dups,
+        )
 
         base = pd.read_parquet(f"{SF}/documents.parquet")
         planted = base.copy()
@@ -120,10 +122,37 @@ class TestPipelines:
         d.mkdir()
         pq.write_table(pa.Table.from_pandas(planted, preserve_index=False),
                        str(d / "documents.parquet"))
-        out = q_minhash_dups(str(d), threshold=0.5)
+        out = minhash_near_dups(str(d), threshold=0.5)
         pairs = set(zip(out["id_a"], out["id_b"]))
         assert (0, 99_999) in pairs
         assert (out["jaccard"] >= 0.5).all()
+
+    def test_planted_minhash_and_ngram_recover_closed_form(self, ray_session):
+        """q_minhash_dups / q_ngram_dups (planted-recovery gate form)
+        must return exactly the closed-form plant list — the same rule
+        the DuckDB oracle states."""
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            PLANT_TEXT_EVERY,
+            PLANT_TEXT_ID_OFFSET,
+            PLANT_TEXT_MIN_SHINGLES,
+            _distinct_shingles,
+            q_minhash_dups,
+            q_ngram_dups,
+        )
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        eligible = docs[
+            (docs["doc_id"] % PLANT_TEXT_EVERY == 0)
+            & (docs["text"].fillna("").map(_distinct_shingles)
+               >= PLANT_TEXT_MIN_SHINGLES)]["doc_id"].sort_values()
+        want = pd.DataFrame({
+            "id_a": eligible.to_numpy(dtype=np.int64),
+            "id_b": (eligible + PLANT_TEXT_ID_OFFSET).to_numpy(dtype=np.int64),
+        }).reset_index(drop=True)
+        assert len(want) > 0
+        for fn in (q_minhash_dups, q_ngram_dups):
+            got = fn(SF).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want)
 
     def test_distributed_verify_matches_driver_gather(self, ray_session):
         """Regression for the round-2 rework: verify_pairs_distributed
@@ -161,7 +190,7 @@ class TestPipelines:
         import pyarrow.parquet as pq
 
         from associationabacminer_ray.pipelines.text_pipelines import (
-            q_minhash_dups,
+            minhash_near_dups,
         )
 
         base = pd.read_parquet(f"{SF}/documents.parquet")
@@ -181,7 +210,7 @@ class TestPipelines:
         d.mkdir()
         pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False),
                        str(d / "documents.parquet"))
-        out = q_minhash_dups(str(d), threshold=0.5)
+        out = minhash_near_dups(str(d), threshold=0.5)
         pairs = set(zip(out["id_a"], out["id_b"]))
         for i in range(20):
             src = int(corpus.iloc[i]["doc_id"])
