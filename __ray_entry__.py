@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # feature-selection experiment family (src/experiment/ port)
         "stratified_sample": A.q_stratified_sample,
         "field_stats": F.q_field_stats,
+        "low_variance": F.q_low_variance,
         "feature_label_counts": F.q_feature_label_counts,
         "info_gain": F.q_info_gain,
         "dependency_pairs": F.q_dependency_pairs,
@@ -287,6 +288,26 @@ _FIELD_STATS_SQL = f"""
            CAST((10000 * COALESCE(u, 0)) // GREATEST(total, 1)
                 AS BIGINT) AS iuf_bp
     FROM allf CROSS JOIN t LEFT JOIN agg ON agg.field = allf.field
+"""
+
+# low_variance selection is the exact rational rule t < p < 1-t over the
+# same one-hot (field, value) counts — integer arithmetic on both sides
+# (threshold_bp = 500 i.e. t = 0.05)
+_LOW_VARIANCE_SQL = f"""
+    WITH {_SAMPLED},
+    long AS (
+      SELECT 'role' AS field, {_FEXPR['role']} AS value FROM s
+      UNION ALL SELECT 'tool', {_FEXPR['tool']} FROM s
+      UNION ALL SELECT 'hour', {_FEXPR['hour']} FROM s
+      UNION ALL SELECT 'weekday', {_FEXPR['weekday']} FROM s
+      UNION ALL SELECT 'props_k_bin', {_FEXPR['props_k_bin']} FROM s
+    ),
+    t AS (SELECT COUNT(*) AS total FROM s),
+    c AS (SELECT field, value, COUNT(*) AS cnt FROM long GROUP BY 1, 2)
+    SELECT field, value, CAST(cnt AS BIGINT) AS cnt,
+           CAST((10000 * cnt) // GREATEST(total, 1) AS BIGINT) AS p_bp
+    FROM c CROSS JOIN t
+    WHERE cnt * 10000 > 500 * total AND cnt * 10000 < 9500 * total
 """
 
 _MI_COUNTS_CTE = f"""
@@ -644,6 +665,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 5
         """,
         "field_stats": _FIELD_STATS_SQL,
+        "low_variance": _LOW_VARIANCE_SQL,
         "feature_label_counts": _FEATURE_LABEL_COUNTS_SQL,
         "info_gain": _INFO_GAIN_SQL,
         "dependency_pairs": _dependency_pairs_sql(),

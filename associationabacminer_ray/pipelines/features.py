@@ -74,9 +74,10 @@ def _field_frame(b: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def q_field_stats(sf_dir: str) -> pd.DataFrame:
-    """Per-field distinct/instance/frequency/uf/iuf stats over the
-    hash-sampled event set (SeparatedVarianceSelector analog)."""
+def _field_value_counts(sf_dir: str) -> tuple[pd.DataFrame, int]:
+    """Shared (field, value) → count pipeline over the hash-sampled
+    event set: per-batch partial value_counts, bucketed sum. Returns
+    (counts, total sampled events)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "ts", "props"])
 
@@ -104,6 +105,13 @@ def q_field_stats(sf_dir: str) -> pd.DataFrame:
     # role is never 'NONE', so its instance total IS the sampled event
     # count — no second scan of the events table needed
     total = int(counts.loc[counts["field"] == "role", "cnt"].sum())
+    return counts, total
+
+
+def q_field_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-field distinct/instance/frequency/uf/iuf stats over the
+    hash-sampled event set (SeparatedVarianceSelector analog)."""
+    counts, total = _field_value_counts(sf_dir)
     rows = []
     for field in FIELDS:
         sub = counts[(counts["field"] == field) & (counts["value"] != "NONE")]
@@ -119,6 +127,33 @@ def q_field_stats(sf_dir: str) -> pd.DataFrame:
     for c in ("n_values", "instances", "frequency_bp", "uf_bp", "iuf_bp"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def q_low_variance(sf_dir: str, threshold_bp: int = 500) -> pd.DataFrame:
+    """low_variance one-hot feature selection — the last FeatureSelector
+    method with defined semantics (``FeatureSelector.low_variance``,
+    src/experiment/FeatureSelector.py:128-138): sklearn-style
+    VarianceThreshold at t(1−t) over one-hot k=v encodings keeps exactly
+    the features whose Bernoulli rate p satisfies t < p < 1−t.
+
+    Distributed as the same (field, value) count pipeline as
+    q_field_stats; the selection is the exact rational rule
+    ``cnt·10⁴ > t_bp·total AND cnt·10⁴ < (10⁴−t_bp)·total`` — integer
+    arithmetic on both the engine and SQL sides, no float variance.
+    (The remaining skfeature methods — lap_score/SPEC/UDFS/MCFS/NDFS —
+    are excluded: scratch research code pinned to a dead library with
+    graph-Laplacian semantics the miner never consumes; see SURVEY §8.)
+    """
+    counts, total = _field_value_counts(sf_dir)
+    cnt = counts["cnt"].to_numpy()
+    keep = ((cnt * 10000 > threshold_bp * total)
+            & (cnt * 10000 < (10000 - threshold_bp) * total))
+    out = counts[keep].copy()
+    out["p_bp"] = (10000 * out["cnt"]) // max(total, 1)
+    for c in ("cnt", "p_bp"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["field", "value", "cnt", "p_bp"]]
+            .sort_values(["field", "value"]).reset_index(drop=True))
 
 
 # ------------------------------------------------------------ info gain
