@@ -73,7 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_dist": T.q_lang_dist,
         # similarity search (oracle-checked ranks)
         "knn_brute": N.q_knn_brute,
-        # sketch mode (approximate — rows-only here, bounds in pytest)
+        # sketch / seeded / windowed paths. CMS+topk and t-digest/KLL
+        # merges are order-sensitive (rows-only here, bounds in pytest);
+        # the deterministic ones carry pinned golden oracles (r3)
         "sketch_topk_itemsets": S.q_sketch_topk_itemsets,
         "hll_role_convs": S.q_hll_role_convs,
         "value_quantiles": S.q_value_quantiles,
@@ -82,7 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_sketch_sweep": S.q_windowed_sketch_sweep,
         "policy_scores": S.q_policy_scores,
         "policy_scores_universe": S.q_policy_scores_universe,
-        # near-dup / text heuristics (rows-only, verified in pytest)
+        # near-dup / text / multimodal: planted-recovery or pinned-golden
+        # oracles since r3 except simhash_bands and the Bernoulli sampler
         "minhash_dups": T.q_minhash_dups,
         "simhash_bands": T.q_simhash_bands,
         "simhash_dups": T.q_simhash_dups,

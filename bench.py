@@ -161,6 +161,7 @@ def run_bench() -> dict:
         consume(fn(sf_dir))
         timings[name] = time.perf_counter() - t0
 
+    probe = _bandwidth_probe()
     return {
         "metric": "itemset_sketch_partitioned_sec",
         "value": round(headline_sec, 3),
@@ -174,7 +175,13 @@ def run_bench() -> dict:
         # swings ~2x with external load (observed 7-15 GB/s single
         # thread), moving EVERY absolute timing with it — compare
         # ratios within a record, and use this probe across records
-        "bw_probe_gbs": _bandwidth_probe(),
+        "bw_probe_gbs": probe,
+        # probe-normalized headline: these pipelines are memory-bound
+        # (BASELINE.md §4), so wall time scales ~1/bandwidth; normalizing
+        # to the 12 GB/s mid-range of the observed 7-15 swing makes
+        # cross-round comparisons meaningful when the gate lands on a
+        # loaded machine: t_norm = t_raw x probe / 12
+        "value_probe_normalized_12gbs": round(headline_sec * probe / 12.0, 3),
     }
 
 
