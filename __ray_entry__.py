@@ -129,6 +129,10 @@ _PLANTED_TEXT_PAIRS_SQL = """
       AND len(list_distinct(list_transform(
             range(1, greatest(length(coalesce(text, '')) - 3, 2)),
             i -> coalesce(text, '')[i:i+4]))) >= 200
+      -- >=2 whitespace tokens: guarantees >=1 original word bigram
+      -- survives in the plant, so the ngram verifier passes too
+      AND len(regexp_extract_all(coalesce(text, ''),
+              '[^\t\n\f\r ]+')) >= 2
 """
 
 _JOIN_SQL = """

@@ -158,9 +158,12 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, n_clusters: int = 16,
     # to the first rows); the trailing limit() caps the driver-side copy
     # UNCONDITIONALLY — even when the Bernoulli fraction computes to 1.0
     # the driver never holds more than sample_n rows (VERDICT r2 #3: no
-    # full-table to_pandas fallback)
+    # full-table to_pandas fallback). frac targets sample_n EXACTLY (no
+    # oversampling): oversample+limit would keep only the EARLIEST
+    # sampled rows, starving the table's tail of codebook representation;
+    # with frac exact the cap only trims rare Bernoulli overshoot (~2%)
     n_total = emb.count()
-    frac = min(1.0, (sample_n * 1.25) / max(n_total, 1))
+    frac = min(1.0, sample_n / max(n_total, 1))
     sample = emb.random_sample(frac, seed=seed).limit(sample_n).to_pandas()
     if len(sample) < n_clusters:
         # tiny-table degenerate case: take the first sample_n rows —
@@ -392,10 +395,61 @@ class _PairTopKPartial:
         bids = batch["vec_id"].to_numpy()
         sims = _fold_bp(bmat @ self.mat.T)  # (n_batch, n_all), integer bp
         mask = bids[:, None] < self.ids[None, :]
-        keep = np.flatnonzero(mask.ravel())
+        k = min(self.k, int(mask.sum()))
+        if k <= 0:
+            return _local_pair_topk(np.empty(0), np.empty(0, np.int64),
+                                    np.empty(0, np.int64), 0)
+        # cut to the k-th-value slab BEFORE building any index arrays —
+        # keep/ri/ci on every unmasked cell would be n_batch x n_all
+        # int64 arrays (multi-GB at the broadcast gate)
+        sims[~mask] = -np.inf
+        flat = sims.ravel()
+        kth = flat[np.argpartition(-flat, k - 1)[:k]].min()
+        keep = np.flatnonzero(flat >= kth)
         ri, ci = np.unravel_index(keep, sims.shape)
-        return _local_pair_topk(sims.ravel()[keep], bids[ri], self.ids[ci],
-                                self.k)
+        return _local_pair_topk(flat[keep], bids[ri], self.ids[ci], k)
+
+
+_PAIR_CHUNK = 2048
+
+
+def _pairs_topk_chunked(amat, aid, bmat, bid, k: int,
+                        positional_triangle: bool) -> pd.DataFrame:
+    """Top-k pairs between row sets a and b WITHOUT materializing the
+    full |a|×|b| sims matrix: a is processed in ``_PAIR_CHUNK``-row
+    slabs, each slab cut to its k-th-value tie slab before any index
+    arrays exist, and the per-slab winners merged under the global total
+    order. ``positional_triangle`` masks to j > i (global positions) for
+    within-block groups so each unordered pair is counted once."""
+    parts = []
+    n_b = len(bid)
+    for s in range(0, len(aid), _PAIR_CHUNK):
+        e = min(s + _PAIR_CHUNK, len(aid))
+        sims = _fold_bp(amat[s:e] @ bmat.T)
+        if positional_triangle:
+            mask = np.arange(n_b)[None, :] > np.arange(s, e)[:, None]
+            k_eff = min(k, int(mask.sum()))
+            if k_eff <= 0:
+                continue
+            sims[~mask] = -np.inf
+        else:
+            k_eff = min(k, sims.size)
+            if k_eff <= 0:
+                continue
+        flat = sims.ravel()
+        kth = flat[np.argpartition(-flat, k_eff - 1)[:k_eff]].min()
+        keep = np.flatnonzero(flat >= kth)
+        ri, ci = np.unravel_index(keep, sims.shape)
+        ida, idb = aid[s:e][ri], bid[ci]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        parts.append(_local_pair_topk(flat[keep], lo, hi, k_eff))
+    if not parts:
+        return _local_pair_topk(np.empty(0), np.empty(0, np.int64),
+                                np.empty(0, np.int64), 0)
+    out = pd.concat(parts, ignore_index=True)
+    return (out.sort_values(["sim_bp", "id_a", "id_b"],
+                            ascending=[False, True, True], kind="mergesort")
+            .head(k).reset_index(drop=True))
 
 
 def _block_pair_topk(emb, k: int, n_blocks: int) -> pd.DataFrame:
@@ -406,11 +460,13 @@ def _block_pair_topk(emb, k: int, n_blocks: int) -> pd.DataFrame:
     only its cross-block (or diagonal upper-triangle) sims before a tiny
     global merge of B(B+1)/2 × k candidates.
 
-    Scale contract: shuffle volume = B × corpus, per-group memory ≈
-    2N/B vectors — pick B ≈ sqrt(2·N·d·8 / per_task_mem) so a group's
-    two blocks fit a worker heap. Exact (not LSH-prefiltered) so the
-    big-path result is identical to the broadcast path, which the parity
-    test pins."""
+    Scale contract: shuffle volume = B × corpus; per-group memory ≈
+    2N/B vectors PLUS one _PAIR_CHUNK × (N/B) sims slab (the group's
+    pairwise matmul is chunked — the full (N/B)² matrix never exists).
+    Pick B ≈ sqrt(2·N·d·8 / per_task_mem) so a group's two blocks fit a
+    worker heap; the slab then adds ~_PAIR_CHUNK/d of that again. Exact
+    (not LSH-prefiltered) so the big-path result is identical to the
+    broadcast path, which the parity test pins."""
     from .analytics import bucketed_group_agg
 
     B = n_blocks
@@ -438,24 +494,18 @@ def _block_pair_topk(emb, k: int, n_blocks: int) -> pd.DataFrame:
                 if len(ids) < 2:
                     continue
                 mat = _normalize(_stack(grp["embedding"]))
-                sims = _fold_bp(mat @ mat.T)
-                iu, ju = np.triu_indices(len(ids), k=1)
-                ida, idb = ids[iu], ids[ju]
-                lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
-                out.append(_local_pair_topk(sims[iu, ju], lo, hi, k))
+                out.append(_pairs_topk_chunked(mat, ids, mat, ids, k,
+                                               positional_triangle=True))
             else:
                 a = grp[grp["blk"] == i]
                 b = grp[grp["blk"] == j]
                 if not len(a) or not len(b):
                     continue
-                sims = _fold_bp(_normalize(_stack(a["embedding"]))
-                                @ _normalize(_stack(b["embedding"])).T)
-                aid = a["vec_id"].to_numpy()
-                bid = b["vec_id"].to_numpy()
-                ida = np.repeat(aid, len(bid))
-                idb = np.tile(bid, len(aid))
-                lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
-                out.append(_local_pair_topk(sims.ravel(), lo, hi, k))
+                out.append(_pairs_topk_chunked(
+                    _normalize(_stack(a["embedding"])),
+                    a["vec_id"].to_numpy(),
+                    _normalize(_stack(b["embedding"])),
+                    b["vec_id"].to_numpy(), k, positional_triangle=False))
         if not out:
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                                  "id_b": pd.Series(dtype=np.int64),

@@ -77,8 +77,14 @@ def q_greedy_policy(sf_dir: str) -> pd.DataFrame:
     out = greedy_cover_ray(tx, metric="cscore", max_rounds=10,
                            coverage_target=0.9, min_support=2)
     # fold the float score to basis points so the deterministic policy
-    # is integer-exact (pinnable at the gate)
-    out["cscore_bp"] = np.floor(out.pop("cscore") * 10000 + 0.5).astype(np.int64)
+    # is integer-exact (pinnable at the gate); an empty policy (no rule
+    # ever selected) has no columns at all — return the typed empty frame
+    if "cscore" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in (
+            ("round", np.int64), ("antecedent", object), ("consequent", object),
+            ("support_ab", np.int64), ("covered_this_round", np.int64),
+            ("uncovered_before", np.int64), ("cscore_bp", np.int64))})
+    out["cscore_bp"] = _fold_bp_strict(out.pop("cscore"))
     return out
 
 
@@ -228,6 +234,18 @@ def q_policy_scores(sf_dir: str) -> pd.DataFrame:
     return _fold_score_floats(pd.DataFrame([scores]))
 
 
+def _fold_bp_strict(col: pd.Series) -> np.ndarray:
+    """floor(x·10⁴+0.5) to int64, REFUSING non-finite input: silently
+    casting NaN/inf would mint INT64_MIN garbage that the golden pin
+    script (which only sees the already-int column) could then freeze
+    into the gate oracle."""
+    vals = col.to_numpy(dtype=float)
+    if not np.isfinite(vals).all():
+        raise ValueError(f"non-finite value in score column "
+                         f"'{col.name}': {vals}")
+    return np.floor(vals * 10000 + 0.5).astype(np.int64)
+
+
 def _fold_score_floats(df: pd.DataFrame) -> pd.DataFrame:
     """Replace every float score column with its basis-point integer
     (floor(x·10⁴+0.5)) so the confusion-matrix summaries are exactly
@@ -235,5 +253,5 @@ def _fold_score_floats(df: pd.DataFrame) -> pd.DataFrame:
     loses nothing a gate hash could use."""
     for c in list(df.columns):
         if df[c].dtype.kind == "f":
-            df[c + "_bp"] = np.floor(df.pop(c) * 10000 + 0.5).astype(np.int64)
+            df[c + "_bp"] = _fold_bp_strict(df.pop(c))
     return df

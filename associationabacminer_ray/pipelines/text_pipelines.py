@@ -8,6 +8,8 @@ scores, rolling fingerprints.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -202,19 +204,33 @@ def ngram_near_dups(sf_dir: str, threshold: float = 0.4, n: int = 2) -> pd.DataF
 
 
 # Plant eligibility: doc_id % PLANT_TEXT_EVERY == 0 AND the doc has at
-# least PLANT_MIN_SHINGLES distinct char-5 shingles. The appended unique
-# suffix " plantdup<id>" (≤14 chars) adds ≤18 new shingles while every
-# original shingle survives, so the true Jaccard is ≥ 200/218 ≈ 0.917 —
-# per-pair LSH miss probability (1 − J⁴)^16 ≈ 3e-9, i.e. recovery is
-# guaranteed by construction, and the eligibility rule itself is exactly
-# reproducible in SQL (validated char-for-char against DuckDB slicing).
+# least PLANT_MIN_SHINGLES distinct char-5 shingles AND ≥2 whitespace
+# tokens. The appended unique suffix " plantdup<id>" (≤14 chars) adds
+# ≤18 new shingles while every original shingle survives, so the true
+# char-shingle Jaccard is ≥ 200/218 ≈ 0.917 — per-pair LSH miss
+# probability (1 − J⁴)^16 ≈ 3e-9, i.e. recovery is guaranteed by
+# construction. The ≥2-token clause guarantees the word-BIGRAM verifier
+# passes too (≥1 original bigram survives ⇒ J ≥ 1/2 > 0.4); a
+# single-unbroken-token doc would have char-Jaccard ≈ 1 but bigram
+# Jaccard 0, making the two queries' shared oracle wrong. Python's
+# str.split() splits on a superset of the RE2 [\t\n\f\r ] class, so
+# RE2-tokens ≥ 2 ⇒ split-tokens ≥ 2 on the verifier side. The whole
+# eligibility rule is exactly reproducible in SQL (validated
+# char-for-char against DuckDB slicing).
 PLANT_TEXT_EVERY = 10
 PLANT_TEXT_MIN_SHINGLES = 200
 PLANT_TEXT_ID_OFFSET = 1 << 40  # same far-out-of-range offset as ann.py
 
+_RE2_TOKEN = re.compile(r"[^\t\n\f\r ]+")
+
 
 def _distinct_shingles(s: str, k: int = 5) -> int:
     return len({s[j:j + k] for j in range(max(1, len(s) - k + 1))})
+
+
+def _plant_eligible(s: str) -> bool:
+    return (_distinct_shingles(s) >= PLANT_TEXT_MIN_SHINGLES
+            and len(_RE2_TOKEN.findall(s)) >= 2)
 
 
 class _PlantTextNearDups:
@@ -234,7 +250,7 @@ class _PlantTextNearDups:
             if d % PLANT_TEXT_EVERY:
                 continue
             s = texts[i]
-            if _distinct_shingles(s) < PLANT_TEXT_MIN_SHINGLES:
+            if not _plant_eligible(s):
                 continue
             out_ids.append(int(d) + PLANT_TEXT_ID_OFFSET)
             out_texts.append(s + " plantdup" + str(int(d)))
@@ -247,7 +263,10 @@ def _planted_text_corpus(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "text"])
     planted = docs.map_batches(_PlantTextNearDups, batch_format="pyarrow",
                                concurrency=auto_concurrency())
-    return docs.union(planted)
+    # materialize once: both consumers (candidate generation AND the
+    # distributed verify's text gather) would otherwise re-execute the
+    # read+plant lineage end to end
+    return docs.union(planted).materialize()
 
 
 def q_minhash_dups(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:

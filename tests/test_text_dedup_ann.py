@@ -134,8 +134,7 @@ class TestPipelines:
         from associationabacminer_ray.pipelines.text_pipelines import (
             PLANT_TEXT_EVERY,
             PLANT_TEXT_ID_OFFSET,
-            PLANT_TEXT_MIN_SHINGLES,
-            _distinct_shingles,
+            _plant_eligible,
             q_minhash_dups,
             q_ngram_dups,
         )
@@ -143,8 +142,7 @@ class TestPipelines:
         docs = pd.read_parquet(f"{SF}/documents.parquet")
         eligible = docs[
             (docs["doc_id"] % PLANT_TEXT_EVERY == 0)
-            & (docs["text"].fillna("").map(_distinct_shingles)
-               >= PLANT_TEXT_MIN_SHINGLES)]["doc_id"].sort_values()
+            & docs["text"].fillna("").map(_plant_eligible)]["doc_id"].sort_values()
         want = pd.DataFrame({
             "id_a": eligible.to_numpy(dtype=np.int64),
             "id_b": (eligible + PLANT_TEXT_ID_OFFSET).to_numpy(dtype=np.int64),
