@@ -37,6 +37,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import analytics as A
     from associationabacminer_ray.pipelines import ann as N
+    from associationabacminer_ray.pipelines import components as C
     from associationabacminer_ray.pipelines import features as F
     from associationabacminer_ray.pipelines import relational as R
     from associationabacminer_ray.pipelines import sketch_queries as S
@@ -115,16 +116,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # A11/A12: generated allowed-universe + fixed-policy scoring
         "allowed_universe": U.q_allowed_universe,
         "policy_eval_fixed": A.q_policy_eval_fixed,
+        # round 3: near-dup clustering (chain components) + composed
+        # cleaning pipeline
+        "dedup_components": C.q_dedup_components,
+        "clean_pipeline": T.q_clean_pipeline,
     }
 
 
-# closed-form expected answer for the planted text near-dup queries
-# (pipelines.text_pipelines: PLANT_TEXT_EVERY=10, MIN_SHINGLES=200,
-# offset 2^40 = 1099511627776)
-_PLANTED_TEXT_PAIRS_SQL = """
-    SELECT CAST(doc_id AS BIGINT) AS id_a,
-           CAST(doc_id + 1099511627776 AS BIGINT) AS id_b
-    FROM documents
+# closed-form plant eligibility (pipelines.text_pipelines:
+# PLANT_TEXT_EVERY=10, MIN_SHINGLES=200, offset 2^40 = 1099511627776)
+_PLANT_ELIGIBLE_WHERE = """
     WHERE doc_id % 10 = 0
       AND len(list_distinct(list_transform(
             range(1, greatest(length(coalesce(text, '')) - 3, 2)),
@@ -133,6 +134,21 @@ _PLANTED_TEXT_PAIRS_SQL = """
       -- survives in the plant, so the ngram verifier passes too
       AND len(regexp_extract_all(coalesce(text, ''),
               '[^\t\n\f\r ]+')) >= 2
+"""
+
+_PLANTED_TEXT_PAIRS_SQL = f"""
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1099511627776 AS BIGINT) AS id_b
+    FROM documents
+    {_PLANT_ELIGIBLE_WHERE}
+"""
+
+# chain components: each eligible doc d yields members d, d+2^40,
+# d+2^41, all rooted at d (components.q_dedup_components)
+_DEDUP_COMPONENTS_SQL = f"""
+    SELECT CAST(d + o AS BIGINT) AS node, CAST(d AS BIGINT) AS component
+    FROM (SELECT doc_id AS d FROM documents {_PLANT_ELIGIBLE_WHERE})
+    CROSS JOIN (VALUES (0), (1099511627776), (2199023255552)) AS t(o)
 """
 
 _JOIN_SQL = """
@@ -698,6 +714,35 @@ def oracle_sql() -> dict[str, str]:
         # engine's rule (DuckDB 1-based inclusive slicing validated
         # against Python s[j:j+5]).
         "minhash_dups": _PLANTED_TEXT_PAIRS_SQL,
+        "dedup_components": _DEDUP_COMPONENTS_SQL,
+        # composed cleaning pass: the same three verified fragments
+        # (quality fold, langid argmax, exact-dup keep-first) joined with
+        # fixed drop-reason precedence (duplicate -> quality -> language)
+        "clean_pipeline": f"""
+            WITH q AS ({_QUALITY_SQL}),
+                 l AS ({_langid_sql()}),
+                 d AS (SELECT doc_id, source, lang,
+                              (doc_id = MIN(doc_id) OVER (
+                                   PARTITION BY coalesce(text, '')))
+                                  AS is_first
+                       FROM documents)
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN NOT is_first THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_drop_dup,
+                   CAST(SUM(CASE WHEN is_first AND q.quality_bp < 7500
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+                   CAST(SUM(CASE WHEN is_first AND q.quality_bp >= 7500
+                                 AND l.lang_pred <> d.lang
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_lang,
+                   CAST(SUM(CASE WHEN is_first AND q.quality_bp >= 7500
+                                 AND l.lang_pred = d.lang
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM d
+            JOIN q ON q.doc_id = d.doc_id
+            JOIN l ON l.doc_id = d.doc_id
+            GROUP BY d.source
+        """,
         # same plant, word-bigram verifier: appending one token keeps
         # every original bigram and adds exactly one (J = m/(m+1) > 0.4)
         "ngram_dups": _PLANTED_TEXT_PAIRS_SQL,

@@ -1,0 +1,156 @@
+"""Distributed connected components over a near-duplicate pair Dataset —
+the cluster-and-keep-one step modern training pipelines run AFTER
+pairwise near-dup detection: pairs alone mishandle chains (A~B and B~C
+must collapse to one kept document even when A and C are not direct
+near-dups). The reference has no analog (its dedup is exact-hash only,
+``src/model/EnvLogUniverseGenerator.py:91-94``); this is part of the
+beyond-reference LLM-pipeline surface.
+
+Algorithm: hash-min label propagation. Every node starts labeled with
+its own id; each round co-locates labels with edge endpoints (bucketed
+shuffle on ``hash(node) % B``), pushes ``min`` labels across edges, and
+re-minimizes per node. Converges in O(component diameter) rounds — the
+driver sees one scalar per round (the label sum, monotonically
+non-increasing; equality ⇒ converged), never a label table or edge
+list. Per-round cost: two bucketed shuffles of |labels| + 2|edges|
+rows; state is O(nodes) spread across buckets, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .analytics import bucketed_group_agg
+
+
+def connected_components(edges_ds, num_buckets: int = 32,
+                         max_iters: int = 25):
+    """Label-propagation connected components.
+
+    ``edges_ds``: Dataset with int64 columns (id_a, id_b). Returns a
+    Dataset of (node, component) where component = min node id reachable
+    from ``node``. Only nodes appearing in an edge are returned
+    (singletons are trivially their own component).
+    """
+
+    def halves(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["id_a"].to_numpy(dtype=np.int64)
+        c = b["id_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "key": np.concatenate([a, c]),
+            "other": np.concatenate([c, a]),
+            "is_label": np.zeros(2 * len(b), dtype=np.int8),
+        })
+
+    halves_ds = edges_ds.map_batches(halves,
+                                     batch_format="pandas").materialize()
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["key"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"key": u, "other": u,
+                             "is_label": np.ones(len(u), dtype=np.int8)})
+
+    labels = bucketed_group_agg(halves_ds, ["key"], init_labels,
+                                num_buckets=num_buckets).materialize()
+
+    def propose(g: pd.DataFrame) -> pd.DataFrame:
+        # one group-bucket of mixed label + edge rows, keyed by node:
+        # each node's current label is the min over its label rows (one
+        # per node), proposed to itself and across every incident edge
+        lab = g[g["is_label"] == 1].groupby("key", sort=False)["other"].min()
+        edge = g[g["is_label"] == 0]
+        own = pd.DataFrame({"node": lab.index.to_numpy(dtype=np.int64),
+                            "prop": lab.to_numpy(dtype=np.int64)})
+        if len(edge):
+            across = pd.DataFrame({
+                "node": edge["other"].to_numpy(dtype=np.int64),
+                "prop": lab.reindex(edge["key"]).to_numpy(dtype=np.int64),
+            })
+            own = pd.concat([own, across], ignore_index=True)
+        return own
+
+    def remin(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", sort=False)["prop"].min()
+        return pd.DataFrame({"key": m.index.to_numpy(dtype=np.int64),
+                             "other": m.to_numpy(dtype=np.int64),
+                             "is_label": np.ones(len(m), dtype=np.int8)})
+
+    def jump_requests(b: pd.DataFrame) -> pd.DataFrame:
+        # pointer-jumping: ask the node my label points AT for ITS label
+        # (label-of-label), keyed so the same propose machinery answers —
+        # turns O(diameter) convergence into O(log diameter), which is
+        # what makes long accidental chains safe at corpus scale
+        return pd.DataFrame({
+            "key": b["other"].to_numpy(dtype=np.int64),
+            "other": b["key"].to_numpy(dtype=np.int64),
+            "is_label": np.zeros(len(b), dtype=np.int8),
+        })
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # step 1: relax across edges
+        mixed = labels.union(halves_ds)
+        proposals = bucketed_group_agg(mixed, ["key"], propose,
+                                       num_buckets=num_buckets)
+        labels = bucketed_group_agg(proposals, ["node"], remin,
+                                    num_buckets=num_buckets).materialize()
+        # step 2: pointer-jump (label[node] = label[label[node]])
+        reqs = labels.map_batches(jump_requests, batch_format="pandas")
+        proposals = bucketed_group_agg(labels.union(reqs), ["key"], propose,
+                                       num_buckets=num_buckets)
+        labels = bucketed_group_agg(proposals, ["node"], remin,
+                                    num_buckets=num_buckets).materialize()
+        s = labels.sum("other")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda b: pd.DataFrame({"node": b["key"].astype(np.int64),
+                                "component": b["other"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def q_dedup_components(sf_dir: str) -> pd.DataFrame:
+    """Near-dup clustering in planted-CHAIN-recovery form: every
+    eligible doc (the q_minhash_dups plant rule) gains TWO stacked
+    near-dup copies (id+2^40 and id+2^41, each appending one more unique
+    token), LSH+verify discovers the pairwise edges, and
+    ``connected_components`` must collapse each chain into one component
+    rooted at the original doc id — the closed-form SQL oracle.
+
+    Edges are restricted to same-plant-family pairs (both endpoints
+    ≡ base doc mod 2^40) so natural near-dup edges can't merge planted
+    components nondeterministically; the unrestricted operator is
+    exercised by the library API + pytest."""
+    from ..stages.dedup import shingle_set_jaccard, verify_pairs_distributed
+    from .text_pipelines import (
+        PLANT_TEXT_ID_OFFSET,
+        _docs,
+        _PlantTextChain,
+        minhash_candidate_pairs_ds,
+    )
+    from ..runtime import auto_concurrency
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    planted = docs.map_batches(_PlantTextChain, batch_format="pyarrow",
+                               concurrency=auto_concurrency())
+    corpus = docs.union(planted).materialize()
+    cand = minhash_candidate_pairs_ds(corpus, as_dataset=True)
+    ver = verify_pairs_distributed(corpus, cand, shingle_set_jaccard,
+                                   "jaccard")
+
+    base = np.int64(PLANT_TEXT_ID_OFFSET)
+
+    def plant_family_edges(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["id_a"].to_numpy(dtype=np.int64)
+        c = b["id_b"].to_numpy(dtype=np.int64)
+        keep = ((b["jaccard"].to_numpy() >= 0.5)
+                & (np.maximum(a, c) >= base) & (a % base == c % base))
+        return pd.DataFrame({"id_a": a[keep], "id_b": c[keep]})
+
+    edges = ver.map_batches(plant_family_edges, batch_format="pandas")
+    comp = connected_components(edges).to_pandas()
+    comp = comp.sort_values("node").reset_index(drop=True)
+    return comp[["node", "component"]].astype(np.int64)

@@ -259,6 +259,37 @@ class _PlantTextNearDups:
             "text": pa.array(out_texts, pa.string())})
 
 
+class _PlantTextChain:
+    """Chain variant of _PlantTextNearDups for the connected-components
+    query: each eligible doc gains TWO stacked copies — id+2^40 (one
+    unique token appended) and id+2^41 (a second unique token appended
+    to the first copy). Adjacent chain links share all but ≤18 char
+    shingles, so every link is an LSH-recoverable near-dup edge and the
+    expected component is exactly {d, d+2^40, d+2^41} rooted at d."""
+
+    def __call__(self, t):
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = pa.compute.fill_null(
+            pa.compute.cast(t["text"], pa.string()), "").to_pylist()
+        out_ids, out_texts = [], []
+        for i, d in enumerate(ids):
+            if d % PLANT_TEXT_EVERY:
+                continue
+            s = texts[i]
+            if not _plant_eligible(s):
+                continue
+            first = s + " plantdup" + str(int(d))
+            out_ids.append(int(d) + PLANT_TEXT_ID_OFFSET)
+            out_texts.append(first)
+            out_ids.append(int(d) + 2 * PLANT_TEXT_ID_OFFSET)
+            out_texts.append(first + " plantdupb" + str(int(d)))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
+            "text": pa.array(out_texts, pa.string())})
+
+
 def _planted_text_corpus(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "text"])
     planted = docs.map_batches(_PlantTextNearDups, batch_format="pyarrow",
@@ -336,6 +367,73 @@ def q_pii_redacted(sf_dir: str) -> pd.DataFrame:
     for c in ("n_docs", "n_redacted"):
         agg[c] = agg[c].astype(np.int64)
     return agg.sort_values("source").reset_index(drop=True)
+
+
+def q_clean_pipeline(sf_dir: str, quality_min_bp: int = 7500) -> pd.DataFrame:
+    """The composed end-to-end cleaning pass a training-data user
+    actually runs: exact-dedup (keep lowest doc_id per identical text)
+    → quality floor → language match, with per-source drop-reason
+    counts. One chained Arrow pipeline (TokenStats → LangId → per-doc
+    fold+hash), one bucketed shuffle on the text hash to mark
+    keep-first, then per-source partial sums. Drop reasons apply in
+    fixed precedence (duplicate → quality → language), so every doc
+    counts exactly once and the SQL oracle composes the same three
+    verified fragments."""
+    from ..functions.hashing import hash_strings
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+    feats = (ds.map_batches(TokenStats, batch_format="pyarrow",
+                            concurrency=auto_concurrency())
+             .map_batches(LangId, batch_format="pyarrow",
+                          concurrency=auto_concurrency()))
+
+    def per_doc(t) -> pd.DataFrame:
+        q_bp = np.floor(
+            t["quality_score"].to_numpy(zero_copy_only=False) * 10000
+            + 0.5).astype(np.int64)
+        text = pd.Series(t["text"].to_pylist()).fillna("")
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "source": t["source"].to_pylist(),
+            "h": hash_strings(text),
+            "ok_quality": q_bp >= quality_min_bp,
+            "ok_lang": (pd.Series(t["lang_pred"].to_pylist())
+                        == pd.Series(t["lang"].to_pylist())).to_numpy(),
+        })
+
+    rows = feats.map_batches(per_doc, batch_format="pyarrow")
+
+    def mark_first(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("h", sort=False)["doc_id"].transform("min")
+        g = g.assign(is_first=g["doc_id"] == first)
+        # partial per-source sums INSIDE the bucket — only (source,
+        # counts) rows leave, never per-doc rows
+        out = g.groupby("source", sort=False).agg(
+            n_docs=("doc_id", "size"),
+            n_drop_dup=("is_first", lambda s: int((~s).sum())),
+            n_drop_quality=("doc_id", lambda s: 0),  # filled below
+        ).reset_index()
+        drop_q = g[g["is_first"] & ~g["ok_quality"]].groupby(
+            "source", sort=False).size()
+        drop_l = g[g["is_first"] & g["ok_quality"] & ~g["ok_lang"]].groupby(
+            "source", sort=False).size()
+        kept = g[g["is_first"] & g["ok_quality"] & g["ok_lang"]].groupby(
+            "source", sort=False).size()
+        out["n_drop_quality"] = out["source"].map(drop_q).fillna(0).astype(np.int64)
+        out["n_drop_lang"] = out["source"].map(drop_l).fillna(0).astype(np.int64)
+        out["n_kept"] = out["source"].map(kept).fillna(0).astype(np.int64)
+        return out
+
+    from .analytics import bucketed_group_agg
+
+    partials = bucketed_group_agg(rows, ["h"], mark_first,
+                                  num_buckets=16).to_pandas()
+    agg = partials.groupby("source", sort=True).sum(numeric_only=True).reset_index()
+    for c in ("n_docs", "n_drop_dup", "n_drop_quality", "n_drop_lang",
+              "n_kept"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg[["source", "n_docs", "n_drop_dup", "n_drop_quality",
+                "n_drop_lang", "n_kept"]].reset_index(drop=True)
 
 
 def _ref_corpus_hashes(sf_dir: str):

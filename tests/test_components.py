@@ -1,0 +1,51 @@
+"""Distributed connected components (pipelines/components.py)."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from associationabacminer_ray.pipelines.components import connected_components
+
+
+def _uf_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+class TestConnectedComponents:
+    def test_matches_union_find_on_mixed_graph(self, ray_session):
+        rng = np.random.default_rng(5)
+        edges = []
+        # long chain (diameter 30 — forces multiple propagation rounds)
+        edges += [(i, i + 1) for i in range(100, 130)]
+        # star
+        edges += [(1000, 1000 + i) for i in range(1, 12)]
+        # random sparse pairs over a larger id space
+        a = rng.integers(2000, 2500, size=60)
+        b = rng.integers(2000, 2500, size=60)
+        edges += [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+        df = pd.DataFrame(edges, columns=["id_a", "id_b"]).astype(np.int64)
+        got = connected_components(
+            rd.from_pandas(df).repartition(6), num_buckets=8).to_pandas()
+        want = _uf_reference(edges)
+        got_map = dict(zip(got["node"], got["component"]))
+        assert got_map == want
+
+    def test_duplicate_and_reversed_edges_are_harmless(self, ray_session):
+        df = pd.DataFrame({"id_a": [1, 2, 2, 3], "id_b": [2, 1, 3, 2]},
+                          dtype=np.int64)
+        got = connected_components(rd.from_pandas(df), num_buckets=4).to_pandas()
+        assert dict(zip(got["node"], got["component"])) == {1: 1, 2: 1, 3: 1}
