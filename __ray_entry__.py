@@ -732,11 +732,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_drop_dup,
                    CAST(SUM(CASE WHEN is_first AND q.quality_bp < 7500
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+                   -- coalesce: a NULL lang must count as drop_lang
+                   -- (matching the engine's None == pred -> False), not
+                   -- silently vanish from every bucket
                    CAST(SUM(CASE WHEN is_first AND q.quality_bp >= 7500
-                                 AND l.lang_pred <> d.lang
+                                 AND l.lang_pred <> coalesce(d.lang, '')
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_lang,
                    CAST(SUM(CASE WHEN is_first AND q.quality_bp >= 7500
-                                 AND l.lang_pred = d.lang
+                                 AND l.lang_pred = coalesce(d.lang, '')
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
             FROM d
             JOIN q ON q.doc_id = d.doc_id

@@ -43,6 +43,25 @@ METRICS = ("cscore", "fbeta", "product", "l_dist", "lift", "confidence",
 MINIMIZED_METRICS = frozenset({"l_dist", "l_dist_ref"})
 
 
+def fold_bp(values) -> np.ndarray:
+    """THE basis-point fold: floor(x·10⁴ + 0.5) as int64. Every gate
+    query and SQL oracle states this exact IEEE double op sequence —
+    all call sites must share this one implementation so the two sides
+    can never drift (graft gate convention)."""
+    return np.floor(np.asarray(values, dtype=float) * 10000 + 0.5).astype(
+        np.int64)
+
+
+def fold_bp_strict(values, name: str = "") -> np.ndarray:
+    """``fold_bp`` that REFUSES non-finite input: silently casting
+    NaN/inf would mint INT64_MIN garbage that a pinned golden oracle
+    could then freeze into the gate."""
+    vals = np.asarray(values, dtype=float)
+    if not np.isfinite(vals).all():
+        raise ValueError(f"non-finite value in score column '{name}': {vals}")
+    return fold_bp(vals)
+
+
 def coverage_rate(support_ab, n_transactions) -> np.ndarray:
     ab = np.asarray(support_ab, dtype=np.float64)
     n = float(n_transactions)

@@ -160,8 +160,12 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, n_clusters: int = 16,
     # the driver never holds more than sample_n rows (VERDICT r2 #3: no
     # full-table to_pandas fallback). frac targets sample_n EXACTLY (no
     # oversampling): oversample+limit would keep only the EARLIEST
-    # sampled rows, starving the table's tail of codebook representation;
-    # with frac exact the cap only trims rare Bernoulli overshoot (~2%)
+    # sampled rows, starving the table's tail of codebook representation.
+    # With frac exact, about half of draws overshoot the mean and the
+    # cap trims only the binomial-tail excess (O(sqrt(sample_n)) rows,
+    # <2% of the sample) — vs the ~20% systematic tail starvation of
+    # the 1.25x oversample; the other half of draws undershoot by the
+    # same O(sqrt) amount, which a codebook doesn't care about
     n_total = emb.count()
     frac = min(1.0, sample_n / max(n_total, 1))
     sample = emb.random_sample(frac, seed=seed).limit(sample_n).to_pandas()
@@ -354,6 +358,9 @@ SIM_BP_SCALE = 1e4
 
 
 def _fold_bp(sims: np.ndarray) -> np.ndarray:
+    # float-typed twin of functions.scoring.fold_bp — stays float so
+    # masked cells can carry the -inf sentinel before the top-k cut;
+    # the int64 cast happens in _local_pair_topk's output
     return np.floor(sims * SIM_BP_SCALE + 0.5)
 
 
@@ -422,17 +429,26 @@ def _pairs_topk_chunked(amat, aid, bmat, bid, k: int,
     order. ``positional_triangle`` masks to j > i (global positions) for
     within-block groups so each unordered pair is counted once."""
     parts = []
-    n_b = len(bid)
     for s in range(0, len(aid), _PAIR_CHUNK):
         e = min(s + _PAIR_CHUNK, len(aid))
-        sims = _fold_bp(amat[s:e] @ bmat.T)
         if positional_triangle:
-            mask = np.arange(n_b)[None, :] > np.arange(s, e)[:, None]
+            # columns ≤ s are masked for EVERY row of this slab — slice
+            # them out of the matmul instead of computing-then-masking
+            # (halves the triangle path's flops and slab memory)
+            if s + 1 >= len(bid):
+                continue
+            bsub_mat, bsub_id = bmat[s + 1:], bid[s + 1:]
+            sims = _fold_bp(amat[s:e] @ bsub_mat.T)
+            # global j = s+1+cj > i = s+ri  ⟺  cj ≥ ri
+            mask = (np.arange(len(bsub_id))[None, :]
+                    >= np.arange(e - s)[:, None])
             k_eff = min(k, int(mask.sum()))
             if k_eff <= 0:
                 continue
             sims[~mask] = -np.inf
         else:
+            bsub_mat, bsub_id = bmat, bid
+            sims = _fold_bp(amat[s:e] @ bsub_mat.T)
             k_eff = min(k, sims.size)
             if k_eff <= 0:
                 continue
@@ -440,7 +456,7 @@ def _pairs_topk_chunked(amat, aid, bmat, bid, k: int,
         kth = flat[np.argpartition(-flat, k_eff - 1)[:k_eff]].min()
         keep = np.flatnonzero(flat >= kth)
         ri, ci = np.unravel_index(keep, sims.shape)
-        ida, idb = aid[s:e][ri], bid[ci]
+        ida, idb = aid[s:e][ri], bsub_id[ci]
         lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
         parts.append(_local_pair_topk(flat[keep], lo, hi, k_eff))
     if not parts:

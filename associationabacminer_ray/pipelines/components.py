@@ -9,11 +9,13 @@ beyond-reference LLM-pipeline surface.
 Algorithm: hash-min label propagation. Every node starts labeled with
 its own id; each round co-locates labels with edge endpoints (bucketed
 shuffle on ``hash(node) % B``), pushes ``min`` labels across edges, and
-re-minimizes per node. Converges in O(component diameter) rounds — the
-driver sees one scalar per round (the label sum, monotonically
-non-increasing; equality ⇒ converged), never a label table or edge
-list. Per-round cost: two bucketed shuffles of |labels| + 2|edges|
-rows; state is O(nodes) spread across buckets, nothing driver-side.
+re-minimizes per node; a pointer-jumping step (label-of-label) after
+each relax makes convergence O(log diameter). The driver sees one
+scalar per round (the label sum, monotonically non-increasing;
+equality ⇒ converged), never a label table or edge list. Per-round
+cost: FOUR bucketed shuffles (propose+remin for the edge relax, then
+propose+remin again for the jump) over |labels| + 2|edges| rows; state
+is O(nodes) spread across buckets, nothing driver-side.
 """
 
 from __future__ import annotations
@@ -105,6 +107,14 @@ def connected_components(edges_ds, num_buckets: int = 32,
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # labels that stopped improving were caught by the break above;
+        # reaching here means the sum was STILL falling at max_iters —
+        # the labels are not component minima, so fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds; raise max_iters (pointer jumping makes this "
+            "O(log diameter), so this indicates a pathological graph)")
 
     return labels.map_batches(
         lambda b: pd.DataFrame({"node": b["key"].astype(np.int64),
@@ -128,14 +138,15 @@ def q_dedup_components(sf_dir: str) -> pd.DataFrame:
     from .text_pipelines import (
         PLANT_TEXT_ID_OFFSET,
         _docs,
-        _PlantTextChain,
+        _PlantTextNearDups,
         minhash_candidate_pairs_ds,
     )
     from ..runtime import auto_concurrency
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    planted = docs.map_batches(_PlantTextChain, batch_format="pyarrow",
-                               concurrency=auto_concurrency())
+    planted = docs.map_batches(_PlantTextNearDups, batch_format="pyarrow",
+                               concurrency=auto_concurrency(),
+                               fn_constructor_kwargs={"chain_len": 2})
     corpus = docs.union(planted).materialize()
     cand = minhash_candidate_pairs_ds(corpus, as_dataset=True)
     ver = verify_pairs_distributed(corpus, cand, shingle_set_jaccard,

@@ -235,15 +235,9 @@ def q_policy_scores(sf_dir: str) -> pd.DataFrame:
 
 
 def _fold_bp_strict(col: pd.Series) -> np.ndarray:
-    """floor(x·10⁴+0.5) to int64, REFUSING non-finite input: silently
-    casting NaN/inf would mint INT64_MIN garbage that the golden pin
-    script (which only sees the already-int column) could then freeze
-    into the gate oracle."""
-    vals = col.to_numpy(dtype=float)
-    if not np.isfinite(vals).all():
-        raise ValueError(f"non-finite value in score column "
-                         f"'{col.name}': {vals}")
-    return np.floor(vals * 10000 + 0.5).astype(np.int64)
+    from ..functions.scoring import fold_bp_strict
+
+    return fold_bp_strict(col.to_numpy(dtype=float), name=str(col.name))
 
 
 def _fold_score_floats(df: pd.DataFrame) -> pd.DataFrame:

@@ -99,9 +99,10 @@ def q_quality_scores(sf_dir: str):
                          concurrency=auto_concurrency())
 
     def fold(t: pa.Table) -> pa.Table:
+        from ..functions.scoring import fold_bp
+
         def bp(name: str) -> np.ndarray:
-            col = t[name].to_numpy(zero_copy_only=False)
-            return np.floor(col * 10000 + 0.5).astype(np.int64)
+            return fold_bp(t[name].to_numpy(zero_copy_only=False))
 
         return pa.table({
             "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -234,10 +235,23 @@ def _plant_eligible(s: str) -> bool:
 
 
 class _PlantTextNearDups:
-    """pyarrow map_batches stage: emit a near-duplicate copy (id +
-    PLANT_TEXT_ID_OFFSET, text + unique suffix) for every eligible doc.
-    Pure function of (doc_id, text) — batch layout can't change the
-    plant list, so the expected answer is a closed-form SQL query."""
+    """pyarrow map_batches stage: emit ``chain_len`` stacked
+    near-duplicate copies of every eligible doc — copy j lives at
+    id + j·PLANT_TEXT_ID_OFFSET and appends one more unique token to
+    copy j−1 (so adjacent links are near-dups by construction). Pure
+    function of (doc_id, text) — batch layout can't change the plant
+    list, so the expected answer is a closed-form SQL query. One class
+    serves both the pair queries (chain_len=1) and the
+    connected-components chain query (chain_len=2): a single eligibility
+    rule means the shared SQL fragment can never drift from one of two
+    planters."""
+
+    SUFFIX_WORDS = ("plantdup", "plantdupb", "plantdupc")
+
+    def __init__(self, chain_len: int = 1):
+        if chain_len > len(self.SUFFIX_WORDS):
+            raise ValueError("extend SUFFIX_WORDS for longer chains")
+        self.chain_len = chain_len
 
     def __call__(self, t):
         import pyarrow as pa
@@ -252,39 +266,10 @@ class _PlantTextNearDups:
             s = texts[i]
             if not _plant_eligible(s):
                 continue
-            out_ids.append(int(d) + PLANT_TEXT_ID_OFFSET)
-            out_texts.append(s + " plantdup" + str(int(d)))
-        return pa.table({
-            "doc_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
-            "text": pa.array(out_texts, pa.string())})
-
-
-class _PlantTextChain:
-    """Chain variant of _PlantTextNearDups for the connected-components
-    query: each eligible doc gains TWO stacked copies — id+2^40 (one
-    unique token appended) and id+2^41 (a second unique token appended
-    to the first copy). Adjacent chain links share all but ≤18 char
-    shingles, so every link is an LSH-recoverable near-dup edge and the
-    expected component is exactly {d, d+2^40, d+2^41} rooted at d."""
-
-    def __call__(self, t):
-        import pyarrow as pa
-
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = pa.compute.fill_null(
-            pa.compute.cast(t["text"], pa.string()), "").to_pylist()
-        out_ids, out_texts = [], []
-        for i, d in enumerate(ids):
-            if d % PLANT_TEXT_EVERY:
-                continue
-            s = texts[i]
-            if not _plant_eligible(s):
-                continue
-            first = s + " plantdup" + str(int(d))
-            out_ids.append(int(d) + PLANT_TEXT_ID_OFFSET)
-            out_texts.append(first)
-            out_ids.append(int(d) + 2 * PLANT_TEXT_ID_OFFSET)
-            out_texts.append(first + " plantdupb" + str(int(d)))
+            for j in range(1, self.chain_len + 1):
+                s = s + " " + self.SUFFIX_WORDS[j - 1] + str(int(d))
+                out_ids.append(int(d) + j * PLANT_TEXT_ID_OFFSET)
+                out_texts.append(s)
         return pa.table({
             "doc_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
             "text": pa.array(out_texts, pa.string())})
@@ -388,9 +373,9 @@ def q_clean_pipeline(sf_dir: str, quality_min_bp: int = 7500) -> pd.DataFrame:
                           concurrency=auto_concurrency()))
 
     def per_doc(t) -> pd.DataFrame:
-        q_bp = np.floor(
-            t["quality_score"].to_numpy(zero_copy_only=False) * 10000
-            + 0.5).astype(np.int64)
+        from ..functions.scoring import fold_bp
+
+        q_bp = fold_bp(t["quality_score"].to_numpy(zero_copy_only=False))
         text = pd.Series(t["text"].to_pylist()).fillna("")
         return pd.DataFrame({
             "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -405,24 +390,21 @@ def q_clean_pipeline(sf_dir: str, quality_min_bp: int = 7500) -> pd.DataFrame:
 
     def mark_first(g: pd.DataFrame) -> pd.DataFrame:
         first = g.groupby("h", sort=False)["doc_id"].transform("min")
-        g = g.assign(is_first=g["doc_id"] == first)
+        is_first = (g["doc_id"] == first).to_numpy()
+        okq = g["ok_quality"].to_numpy()
+        okl = g["ok_lang"].to_numpy()
         # partial per-source sums INSIDE the bucket — only (source,
-        # counts) rows leave, never per-doc rows
-        out = g.groupby("source", sort=False).agg(
-            n_docs=("doc_id", "size"),
-            n_drop_dup=("is_first", lambda s: int((~s).sum())),
-            n_drop_quality=("doc_id", lambda s: 0),  # filled below
-        ).reset_index()
-        drop_q = g[g["is_first"] & ~g["ok_quality"]].groupby(
-            "source", sort=False).size()
-        drop_l = g[g["is_first"] & g["ok_quality"] & ~g["ok_lang"]].groupby(
-            "source", sort=False).size()
-        kept = g[g["is_first"] & g["ok_quality"] & g["ok_lang"]].groupby(
-            "source", sort=False).size()
-        out["n_drop_quality"] = out["source"].map(drop_q).fillna(0).astype(np.int64)
-        out["n_drop_lang"] = out["source"].map(drop_l).fillna(0).astype(np.int64)
-        out["n_kept"] = out["source"].map(kept).fillna(0).astype(np.int64)
-        return out
+        # counts) rows leave, never per-doc rows; drop reasons apply in
+        # fixed precedence so each doc counts exactly once
+        flags = pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "n_docs": 1,
+            "n_drop_dup": (~is_first).astype(np.int64),
+            "n_drop_quality": (is_first & ~okq).astype(np.int64),
+            "n_drop_lang": (is_first & okq & ~okl).astype(np.int64),
+            "n_kept": (is_first & okq & okl).astype(np.int64),
+        })
+        return flags.groupby("source", sort=False).sum().reset_index()
 
     from .analytics import bucketed_group_agg
 
