@@ -127,28 +127,43 @@ def distinct_conv_count(ds: Dataset, conv_col: str = "conv_id",
     return distinct_count_exact(hashed, num_buckets=num_buckets)
 
 
+TX_COUNT_KEY = "\x00n_tx"  # \x00 can never appear in a role=tool item
+
+
 def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 2,
                            num_buckets: int = 64, min_support: int = 1,
                            max_transaction_items: int | None = 64,
                            min_support_frac: float | None = None,
-                           itemset_limit: int | None = None) -> Dataset:
+                           itemset_limit: int | None = None,
+                           include_tx_count: bool = False) -> Dataset:
     """(itemset, k, support) with support = #conversations containing the
     itemset. Exact analog of FP-growth counting at min_support.
     ``min_support_frac`` mirrors the reference's relative ``itemset_freq``
     knob (src/job/job_generator.py:114-136): the absolute threshold
     becomes ``ceil(frac × n_transactions)``. ``itemset_limit`` mirrors
     the count-threshold top-k (src/EnvAbacRuleMiner.py:234-247): keep
-    only the top-N itemsets by support (Ray-native sort + limit)."""
+    only the top-N itemsets by support (Ray-native sort + limit).
+
+    ``include_tx_count=True`` rides the distinct-conversation count
+    through the SAME shuffle as the supports (one sentinel row per conv
+    bucket, k=0, summed like any itemset) instead of a second full
+    corpus scan — the row comes back as (TX_COUNT_KEY, k=0, n_tx) and
+    is exempt from min_support/itemset_limit."""
+    if include_tx_count and itemset_limit:
+        raise ValueError("include_tx_count with itemset_limit would let "
+                         "the sentinel row consume a top-N slot")
     if min_support_frac is not None:
         # hash-distinct kernel: no list of conv ids ever reaches the driver
         n_tx = distinct_conv_count(ds, conv_col=conv_col,
                                    num_buckets=num_buckets)
         min_support = max(min_support, int(np.ceil(min_support_frac * n_tx)))
     pairs = item_pairs(ds, conv_col=conv_col, num_buckets=num_buckets)
+    tx_key = TX_COUNT_KEY if include_tx_count else None
     partials = pairs.groupby("bucket").map_groups(
         lambda g: itemset_partials_in_bucket(
             g, conv_col, "item", max_k=max_k,
             max_transaction_items=max_transaction_items,
+            tx_count_key=tx_key,
         ),
         batch_format="pandas",
     )
@@ -158,9 +173,11 @@ def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         if batch.empty or "support" not in batch.columns:
             return _EMPTY_SUPPORTS.copy()
-        batch = batch[batch["support"] >= min_support]
+        sentinel = batch["itemset"] == TX_COUNT_KEY
+        batch = batch[(batch["support"] >= min_support) | sentinel]
         out = batch.copy()
         out["k"] = (out["itemset"].str.count("\\" + ITEM_SEP) + 1).astype(np.int32)
+        out.loc[out["itemset"] == TX_COUNT_KEY, "k"] = 0
         out["support"] = out["support"].astype(np.int64)
         return out[["itemset", "k", "support"]]
 

@@ -219,7 +219,8 @@ def read_shard_codes(path: str, conv_col: str = "conv_id", role_col: str = "role
 
 def itemset_partials_in_bucket(group: pd.DataFrame, conv_col: str = "conv_id",
                                item_col: str = "item", max_k: int = 2,
-                               max_transaction_items: int | None = 64) -> pd.DataFrame:
+                               max_transaction_items: int | None = 64,
+                               tx_count_key: str | None = None) -> pd.DataFrame:
     """Per-bucket exact partial supports: (itemset, k, count).
 
     Hash-numeric hot path: rows are deduped / grouped via uint64 hashes
@@ -263,15 +264,26 @@ def itemset_partials_in_bucket(group: pd.DataFrame, conv_col: str = "conv_id",
         tuple(sorted(item_strs[sel[s:s + ln]])) for s, ln in zip(rep_starts, rep_lens)
     ]
     counter = expand_itemsets(transactions, counts, max_k, max_transaction_items)
-    if not counter:
+    keys = list(counter.keys())
+    itemsets = [ITEM_SEP.join(c) for c in keys]
+    ks = [len(c) for c in keys]
+    cnts = list(counter.values())
+    if tx_count_key is not None:
+        # conv buckets are disjoint in hash space, so the per-bucket
+        # distinct-conversation count sums to the global n_transactions
+        # in the same shuffle as the supports — no second corpus scan
+        # (mine_window previously paid a full distinct_conv_count pass)
+        itemsets.append(tx_count_key)
+        ks.append(0)
+        cnts.append(int(len(starts)))
+    if not itemsets:
         return pd.DataFrame({"itemset": pd.Series(dtype=object),
                              "k": pd.Series(dtype=np.int32),
                              "count": pd.Series(dtype=np.int64)})
-    keys = list(counter.keys())
     return pd.DataFrame(
         {
-            "itemset": [ITEM_SEP.join(c) for c in keys],
-            "k": np.array([len(c) for c in keys], dtype=np.int32),
-            "count": np.fromiter(counter.values(), dtype=np.int64, count=len(keys)),
+            "itemset": itemsets,
+            "k": np.array(ks, dtype=np.int32),
+            "count": np.array(cnts, dtype=np.int64),
         }
     )
