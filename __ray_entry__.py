@@ -24,18 +24,15 @@ def entry() -> Any:
     from associationabacminer_ray.pipelines.rules import rules_from_supports
     from associationabacminer_ray.sources.transcripts import transcripts_from_events
 
-    from associationabacminer_ray.pipelines.itemsets import TX_COUNT_KEY
+    from associationabacminer_ray.pipelines.itemsets import split_tx_count
 
     sf_dir = "/root/testdata/sf0.001"
     ds = transcripts_from_events(f"{sf_dir}/events.parquet")
     # n_tx rides the supports shuffle as a sentinel row — one scan
-    supports = exact_itemset_supports(ds, max_k=2, num_buckets=16,
-                                      min_support=2,
-                                      include_tx_count=True).to_pandas()
-    sent = supports["itemset"] == TX_COUNT_KEY
-    n_tx = int(supports.loc[sent, "support"].sum())
-    return rules_from_supports(supports[~sent], n_transactions=n_tx,
-                               min_support=2)
+    supports, n_tx = split_tx_count(
+        exact_itemset_supports(ds, max_k=2, num_buckets=16, min_support=2,
+                               include_tx_count=True).to_pandas())
+    return rules_from_supports(supports, n_transactions=n_tx, min_support=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -127,7 +127,21 @@ def distinct_conv_count(ds: Dataset, conv_col: str = "conv_id",
     return distinct_count_exact(hashed, num_buckets=num_buckets)
 
 
-TX_COUNT_KEY = "\x00n_tx"  # \x00 can never appear in a role=tool item
+# unforgeable in-band key: every real item contains '=' (make_items
+# builds role + "=" + tool) and this key contains none
+TX_COUNT_KEY = "\x00n_tx"
+
+
+def split_tx_count(supports: pd.DataFrame) -> tuple[pd.DataFrame, int]:
+    """Extract the ``include_tx_count`` sentinel from a supports frame:
+    returns (supports without the sentinel, n_transactions). THE one
+    place that knows the sentinel shape — callers must not re-implement
+    it. Tolerates the column-less frame an empty Dataset produces."""
+    if "itemset" not in supports.columns:
+        return _EMPTY_SUPPORTS.copy(), 0
+    sent = supports["itemset"] == TX_COUNT_KEY
+    n_tx = int(supports.loc[sent, "support"].sum())
+    return supports[~sent], n_tx
 
 
 def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 2,

@@ -78,18 +78,11 @@ def mine_window(transcripts_path: str, spec: WindowSpec, mode: str = "exact",
             )
             n_tx = sk["n_transactions"]
         else:
-            from .itemsets import TX_COUNT_KEY
+            from .itemsets import split_tx_count
 
-            supports = exact_itemset_supports(
+            supports, n_tx = split_tx_count(exact_itemset_supports(
                 ds, max_k=max_k, num_buckets=num_buckets,
-                min_support=min_support, include_tx_count=True).to_pandas()
-            if "itemset" not in supports.columns:  # empty window
-                supports = pd.DataFrame({"itemset": pd.Series(dtype=object),
-                                         "k": pd.Series(dtype="int32"),
-                                         "support": pd.Series(dtype="int64")})
-            sent = supports["itemset"] == TX_COUNT_KEY
-            n_tx = int(supports.loc[sent, "support"].sum())
-            supports = supports[~sent]
+                min_support=min_support, include_tx_count=True).to_pandas())
         # single-value-column semantics (TableCreator.py:124-128): items in
         # every transaction leave mining, then rejoin every selected rule.
         # EXACT mode only: sketch-mode counts are overestimates, so the
