@@ -37,6 +37,9 @@ GOLDEN = [
     # distinct itemsets), so merge order cannot move the counts —
     # validated with cold daily caches at 3 and 16 CPUs
     "windowed_sketch_sweep",
+    # pure per-doc function of the text (seeded simhash + band split) —
+    # cross-CPU hash-stable at 3 and 16 CPUs
+    "simhash_bands",
     "multimodal_features",
     "policy_scores",
     "policy_scores_universe",
@@ -63,6 +66,14 @@ def _lit(v) -> str:
     return f"'{s}'"
 
 
+def _sql_type(dtype) -> str:
+    if dtype.kind == "u":
+        return "UBIGINT"  # uint64 columns (e.g. simhash) overflow BIGINT
+    if dtype.kind == "i":
+        return "BIGINT"
+    return "VARCHAR"
+
+
 def _values_sql(df: pd.DataFrame, n_events: int) -> str:
     if not len(df):
         # 'VALUES ()' with zero tuples is a DuckDB parse error that would
@@ -71,17 +82,20 @@ def _values_sql(df: pd.DataFrame, n_events: int) -> str:
                          "literal would be invalid SQL); handle the "
                          "empty case explicitly or drop the pin")
     cols = list(df.columns)
+    sql_types = {c: _sql_type(df[c].dtype) for c in cols}
     rows = []
-    for i, (_, r) in enumerate(df.iterrows()):
+    # column-wise access: iterrows() would upcast a mixed int64+uint64
+    # row to float64 and trip the no-floats guard
+    for i in range(len(df)):
         vals = []
         for c in cols:
-            v = r[c]
+            v = df[c].iloc[i]
             lit = _lit(v)
-            # type-anchor the first row so DuckDB unifies to BIGINT/VARCHAR
+            # type-anchor the first row by COLUMN dtype so DuckDB unifies
+            # every later tuple to it (a value-based anchor would pick
+            # BIGINT for a small first uint64 and overflow later rows)
             if i == 0 and lit != "NULL":
-                lit = (f"CAST({lit} AS BIGINT)"
-                       if isinstance(v, (np.integer, int))
-                       else f"CAST({lit} AS VARCHAR)")
+                lit = f"CAST({lit} AS {sql_types[c]})"
             vals.append(lit)
         rows.append("(" + ", ".join(vals) + ")")
     body = ",\n      ".join(rows)
