@@ -240,12 +240,101 @@ def _bucket_sketch_partials_fn(conv_col: str, max_k: int,
     return bucket_sketch_partials
 
 
+def item_vocab(ds: Dataset, role_col: str = "role",
+               tool_col: str = "tool") -> np.ndarray:
+    """Sorted distinct ``role=tool`` item strings (the dictionary for the
+    coded shuffle). Per-batch distinct partials; the collected side is
+    O(vocab), not O(rows)."""
+    def uniq(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"item": make_items(b, role_col,
+                                                tool_col)["item"].unique()})
+
+    parts = (ds.select_columns([role_col, tool_col])
+             .map_batches(uniq, batch_format="pandas").to_pandas())
+    return np.sort(parts["item"].unique())
+
+
+def item_pairs_coded(ds: Dataset, vocab_ref, conv_col: str = "conv_id",
+                     role_col: str = "role", tool_col: str = "tool",
+                     num_buckets: int = 64) -> Dataset:
+    """transcripts → distinct (conv_hash u64, item code i32, bucket)
+    rows: the coded pre-shuffle combiner. 16 bytes/row vs ~35 for the
+    string form — the all-to-all that dominates the general-input sketch
+    path moves ~2× fewer bytes, and the map side touches strings only
+    per unique (role, tool) combo (PERF.md #18)."""
+    import ray
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        vocab = ray.get(vocab_ref)
+        b = make_items(batch, role_col, tool_col)
+        codes = np.searchsorted(vocab, b["item"].to_numpy()).astype(np.int32)
+        conv_h = hash_strings(b[conv_col])
+        order = np.lexsort((codes, conv_h))
+        ch, cd = conv_h[order], codes[order]
+        keep = np.ones(len(ch), dtype=bool)
+        keep[1:] = (ch[1:] != ch[:-1]) | (cd[1:] != cd[:-1])
+        ch, cd = ch[keep], cd[keep]
+        return pd.DataFrame({
+            "conv_h": ch, "code": cd,
+            "bucket": (ch % np.uint64(num_buckets)).astype(np.int32)})
+
+    cols = [conv_col, role_col, tool_col]
+    return ds.select_columns(cols).map_batches(fn, batch_format="pandas")
+
+
+def _bucket_sketch_partials_coded_fn(max_k: int,
+                                     max_transaction_items: int | None,
+                                     cms_width: int, cms_depth: int,
+                                     topk_capacity: int, hll_p: int,
+                                     num_salts: int, vocab_ref):
+    """Coded twin of ``_bucket_sketch_partials_fn``: same partial blobs,
+    built from (conv_h, code) rows — conv hashes come pre-computed (the
+    identical hash family the string path derives in-bucket, so HLL and
+    transaction counts match bit-for-bit) and item strings are decoded
+    from the broadcast vocab only for the few DISTINCT transactions."""
+    import ray
+
+    from ..stages.transactionize import itemset_partials_from_codes
+
+    num_salts = max(1, num_salts)
+
+    def bucket_sketch_partials(group: pd.DataFrame) -> pd.DataFrame:
+        vocab = ray.get(vocab_ref)
+        conv_h = group["conv_h"].to_numpy().astype(np.uint64)
+        uniq_conv, conv_dense = np.unique(conv_h, return_inverse=True)
+        partial = itemset_partials_from_codes(
+            conv_dense.astype(np.int64),
+            group["code"].to_numpy().astype(np.int64), vocab,
+            max_k=max_k, max_transaction_items=max_transaction_items)
+        cms = CountMinSketch(width=cms_width, depth=cms_depth)
+        topk = SpaceSaving(capacity=topk_capacity)
+        hll = HyperLogLog(p=hll_p)
+        if len(partial):
+            hashes = hash_strings(partial["itemset"])
+            counts = partial["count"].to_numpy()
+            cms.update_hashed(hashes, counts)
+            topk.update(partial["itemset"].tolist(), counts)
+        hll.update_hashed(uniq_conv)
+        salt = int(group["bucket"].iloc[0]) % num_salts if len(group) else 0
+        return pd.DataFrame(
+            {
+                "name": ["itemset_cms", "itemset_topk", "conv_hll"],
+                "salt": np.int32(salt),
+                "blob": [cms.to_bytes(), topk.to_bytes(), hll.to_bytes()],
+                "n_transactions": np.int64(len(uniq_conv)),
+            }
+        )
+
+    return bucket_sketch_partials
+
+
 def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 2,
                               num_buckets: int = 64, num_salts: int = 8,
                               max_transaction_items: int | None = 64,
                               cms_width: int = 1 << 13, cms_depth: int = 4,
                               topk_capacity: int = 4096, hll_p: int = 14,
-                              two_phase: bool | None = None) -> dict:
+                              two_phase: bool | None = None,
+                              coded: bool = False) -> dict:
     """Sketch-mode supports: returns
     ``{"cms": CountMinSketch, "topk": SpaceSaving, "hll": HyperLogLog,
        "n_transactions": int}``.
@@ -254,11 +343,29 @@ def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int
     groupby(name). Estimate any itemset's support with
     ``cms.estimate_one(hash_string_scalar("a|b"))`` or read the
     heavy-hitter head from ``topk.top(k)``.
-    """
-    pairs = item_pairs(ds, conv_col=conv_col, num_buckets=num_buckets)
-    fn = _bucket_sketch_partials_fn(conv_col, max_k, max_transaction_items,
-                                    cms_width, cms_depth, topk_capacity, hll_p,
-                                    num_salts)
+
+    ``coded=True``: a vocab pass first, then the all-to-all moves
+    (conv_hash u64, item code i32) instead of strings — ~2× fewer
+    shuffled bytes, identical estimates (CMS/HLL bit-equal,
+    parity-tested). MEASURED trade-off on this corpus (short ~10-char
+    items): the vocab scan + per-batch coding costs roughly what the
+    sort saves, so string stays the default; flip to coded when item
+    strings are long (real tool names / URLs), where shuffled-byte
+    reduction grows with string length while the coding cost doesn't."""
+    import ray
+
+    if coded:
+        vocab_ref = ray.put(item_vocab(ds))
+        pairs = item_pairs_coded(ds, vocab_ref, conv_col=conv_col,
+                                 num_buckets=num_buckets)
+        fn = _bucket_sketch_partials_coded_fn(
+            max_k, max_transaction_items, cms_width, cms_depth,
+            topk_capacity, hll_p, num_salts, vocab_ref)
+    else:
+        pairs = item_pairs(ds, conv_col=conv_col, num_buckets=num_buckets)
+        fn = _bucket_sketch_partials_fn(conv_col, max_k, max_transaction_items,
+                                        cms_width, cms_depth, topk_capacity,
+                                        hll_p, num_salts)
     partials = pairs.groupby("bucket").map_groups(fn, batch_format="pandas")
     # two-phase (salted) merge only pays off when the partial count is large
     # enough that a single reduce would bottleneck on one task

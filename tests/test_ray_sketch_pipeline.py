@@ -111,6 +111,20 @@ class TestSketchedItemsets:
         assert r1["hll"].to_bytes() == r8["hll"].to_bytes()
         assert r1["topk"].top(50) == r8["topk"].top(50)
 
+    def test_coded_shuffle_matches_string_shuffle(self, transcripts_ds):
+        """The coded all-to-all (conv_hash + item code, PERF.md #18)
+        must produce the SAME sketches as the string shuffle: CMS/HLL
+        bit-identical, top-k head identical as (item, count) sets."""
+        s = P.sketched_itemset_supports(transcripts_ds, num_buckets=16,
+                                        num_salts=4, coded=False)
+        c = P.sketched_itemset_supports(transcripts_ds, num_buckets=16,
+                                        num_salts=4, coded=True)
+        assert c["n_transactions"] == s["n_transactions"]
+        assert c["cms"].to_bytes() == s["cms"].to_bytes()
+        assert c["hll"].to_bytes() == s["hll"].to_bytes()
+        assert (sorted((k, v) for k, v, _ in c["topk"].top(100))
+                == sorted((k, v) for k, v, _ in s["topk"].top(100)))
+
 
 class TestUpdaterStage:
     def test_flat_stream_updater_and_merge(self, transcripts_ds, transcripts_tbl):
