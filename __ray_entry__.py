@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import features as F
     from associationabacminer_ray.pipelines import relational as R
     from associationabacminer_ray.pipelines import sketch_queries as S
+    from associationabacminer_ray.pipelines import temporal as TM
     from associationabacminer_ray.pipelines import text_pipelines as T
     from associationabacminer_ray.pipelines import universe as U
 
@@ -121,6 +122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cleaning pipeline
         "dedup_components": C.q_dedup_components,
         "clean_pipeline": T.q_clean_pipeline,
+        # round 3 (late): temporal family — as-of join, rolling window
+        # aggregate, exact-quantile twin of the sketch path
+        "asof_attribution": TM.q_asof_attribution,
+        "rolling_user_activity": TM.q_rolling_user_activity,
+        "value_quantiles_exact": TM.q_value_quantiles_exact,
     }
 
 
@@ -773,5 +779,56 @@ def oracle_sql() -> dict[str, str]:
                    a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             QUALIFY rank <= 20
+        """,
+        # as-of join: most recent strictly-prior 'signup' per user;
+        # tie-break (ts DESC, event_id DESC) matches merge_asof taking
+        # the last eligible right row under (ts, event_id) sort
+        "asof_attribution": """
+            WITH probe AS (SELECT event_id, user_id, ts FROM events
+                           WHERE event_type <> 'signup'),
+            anchor AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'signup'),
+            j AS (
+                SELECT p.event_id AS event_id,
+                       a.event_id AS anchor_event_id,
+                       epoch_us(p.ts) - epoch_us(a.ts) AS gap_us,
+                       ROW_NUMBER() OVER (PARTITION BY p.event_id
+                           ORDER BY a.ts DESC, a.event_id DESC) AS rn
+                FROM probe p
+                JOIN anchor a ON a.user_id = p.user_id AND a.ts < p.ts
+            )
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(anchor_event_id AS BIGINT) AS anchor_event_id,
+                   CAST(gap_us AS BIGINT) AS gap_us
+            FROM j WHERE rn = 1
+        """,
+        # trailing-7-day RANGE frame per user; value folded to bp
+        # per ROW before the window sum so the total is integer-exact
+        "rolling_user_activity": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+                        OVER w AS BIGINT) AS sum_7d_bp
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        """,
+        # exact discrete quantiles of folded value per type; rank rule
+        # floor(q/100*(n-1))+1 runs as the identical float64 expression
+        # in numpy (pipelines.temporal.exact_value_quantiles)
+        "value_quantiles_exact": """
+            WITH f AS (SELECT event_type,
+                              CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+                       FROM events),
+            n AS (SELECT event_type, COUNT(*) AS n FROM f GROUP BY event_type),
+            r AS (SELECT event_type, v, ROW_NUMBER() OVER (
+                      PARTITION BY event_type ORDER BY v) AS rn FROM f),
+            q(q_pct) AS (VALUES (25), (50), (75), (90), (99))
+            SELECT r.event_type AS event_type,
+                   CAST(q.q_pct AS INTEGER) AS q_pct,
+                   CAST(r.v AS BIGINT) AS value_bp
+            FROM r JOIN n USING (event_type)
+            JOIN q ON r.rn = CAST(FLOOR(q.q_pct / 100.0 * (n.n - 1))
+                                  AS BIGINT) + 1
         """,
     }

@@ -1,0 +1,249 @@
+"""Temporal operators: as-of join, rolling windowed aggregates, and
+exact distributed quantiles.
+
+The reference never joins two event streams on time (its windows are
+pre-sliced Mongo range queries, ``src/job/WindowGenerator.py:13-24``,
+and each window is order-insensitive within itself) — but a
+training-data pipeline over transcript streams needs the temporal
+family Ray Data lacks natively:
+
+- **As-of join** (``q_asof_attribution``): attach to each event the
+  most recent strictly-prior anchor event of the same key — the
+  attribution/sessionless-lookup shape (e.g. "which signup does this
+  click follow"). Composition: tag both streams, one hash shuffle on
+  the key, per-bucket ``pandas.merge_asof`` (vectorized backward
+  search). Partitioning assumption: a key's rows fit in one bucket
+  group — the same assumption every keyed groupby here makes.
+- **Rolling window aggregate** (``q_rolling_user_activity``): per
+  event, COUNT/SUM over the trailing 7 days of the same key — the SQL
+  ``RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW`` frame,
+  computed with two ``np.searchsorted`` calls per key segment on the
+  bucket-sorted stream (no per-row loop).
+- **Exact distributed quantiles** (``q_value_quantiles_exact``): the
+  oracle-backed exact twin of the t-digest/KLL ``value_quantiles``
+  sketch path (``sketch_queries.q_value_quantiles``). Values are
+  folded to integer basis points per row, so exact quantiles reduce
+  to a (type, value_bp) histogram — one bucketed count shuffle whose
+  cardinality is bounded by the fold granularity, not the row count —
+  then a per-type rank pick over the tiny histogram. This is the
+  standard exact-quantile-at-scale layout: 100 TB of rows collapse to
+  at most ~5M distinct bp cells per type before anything is gathered.
+
+All three emit integer-only columns (gate convention: float
+aggregation order can never flip a value hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.hashing import hash_ints
+
+US_PER_DAY = 86_400_000_000
+ASOF_ANCHOR_TYPE = "signup"
+ROLLING_DAYS = 7
+QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """timestamp[us] column -> int64 microseconds since epoch."""
+    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _fold_bp(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """floor(x*10000+0.5) as int64 — identical IEEE op sequence to the
+    SQL oracle (functions.scoring.fold_bp semantics on an Arrow col)."""
+    folded = pc.floor(pc.add(pc.multiply(col, 10000.0), 0.5))
+    return pc.cast(folded, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+# ----------------------------------------------------------------- as-of join
+def asof_join_events(sf_dir: str, anchor_type: str = ASOF_ANCHOR_TYPE,
+                     num_buckets: int = 16) -> rd.Dataset:
+    """For every non-anchor event, the most recent strictly-prior
+    anchor event of the same user (inner semantics: events with no
+    prior anchor are dropped).
+
+    Tie-break when two anchors share a timestamp: larger event_id wins
+    (right side sorted by (ts, event_id); ``merge_asof`` backward takes
+    the last eligible row). Returns integer columns only:
+    (event_id, anchor_event_id, gap_us).
+    """
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts_us": _ts_us(t["ts"]),
+            "is_anchor": pc.equal(t["event_type"], anchor_type)
+                         .to_numpy(zero_copy_only=False),
+        })
+        df["bucket"] = (hash_ints(df["user_id"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g[~g["is_anchor"]].sort_values("ts_us", kind="mergesort")
+        anchor = (g[g["is_anchor"]]
+                  .sort_values(["ts_us", "event_id"], kind="mergesort"))
+        if probe.empty or anchor.empty:
+            return pd.DataFrame({"event_id": np.array([], np.int64),
+                                 "anchor_event_id": np.array([], np.int64),
+                                 "gap_us": np.array([], np.int64)})
+        # merge_asof keeps only the left 'on' column — carry the anchor
+        # timestamp as a plain value column
+        right = pd.DataFrame({
+            "anchor_event_id": anchor["event_id"].to_numpy(np.int64),
+            "user_id": anchor["user_id"].to_numpy(),
+            "ts_us": anchor["ts_us"].to_numpy(np.int64),
+            "anchor_ts_us": anchor["ts_us"].to_numpy(np.int64),
+        })
+        j = pd.merge_asof(
+            probe[["event_id", "user_id", "ts_us"]], right,
+            on="ts_us", by="user_id", direction="backward",
+            allow_exact_matches=False)
+        j = j.dropna(subset=["anchor_event_id"])
+        return pd.DataFrame({
+            "event_id": j["event_id"].to_numpy(np.int64),
+            "anchor_event_id": j["anchor_event_id"].to_numpy(np.int64),
+            "gap_us": (j["ts_us"].to_numpy(np.int64)
+                       - j["anchor_ts_us"].to_numpy(np.int64)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return asof_bucket(g.drop(columns=["bucket"]))
+
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def q_asof_attribution(sf_dir: str) -> rd.Dataset:
+    return asof_join_events(sf_dir)
+
+
+# ------------------------------------------------------- rolling window agg
+def rolling_window_agg(sf_dir: str, window_days: int = ROLLING_DAYS,
+                       num_buckets: int = 16) -> rd.Dataset:
+    """Per event: COUNT and folded-SUM(value) over the trailing
+    ``window_days`` of the same user — inclusive [t - w, t] bounds with
+    equal-timestamp peers included, exactly the SQL RANGE frame.
+
+    Per bucket: one sort by (user_id, ts, event_id), then per user
+    segment two vectorized ``searchsorted`` calls + a cumulative-sum
+    difference. The Python loop is over *users in the bucket*, each
+    iteration O(1) vector ops — not over rows.
+    """
+    win_us = np.int64(window_days * US_PER_DAY)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts_us": _ts_us(t["ts"]),
+            "value_bp": _fold_bp(t["value"]),
+        })
+        df["bucket"] = (hash_ints(df["user_id"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy(np.int64)
+        bp = g["value_bp"].to_numpy(np.int64)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        ends = np.r_[starts[1:], n]
+        n_out = np.empty(n, np.int64)
+        sum_out = np.empty(n, np.int64)
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg - win_us, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            csum = np.r_[np.int64(0), np.cumsum(bp[s:e])]
+            n_out[s:e] = hi - lo
+            sum_out[s:e] = csum[hi] - csum[lo]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "n_7d": n_out, "sum_7d_bp": sum_out})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return roll_bucket(g.drop(columns=["bucket"]))
+
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def q_rolling_user_activity(sf_dir: str) -> rd.Dataset:
+    return rolling_window_agg(sf_dir)
+
+
+# --------------------------------------------------- exact quantiles (bp fold)
+def exact_value_quantiles(sf_dir: str, pcts=QUANTILE_PCTS,
+                          num_buckets: int = 16) -> rd.Dataset:
+    """Exact discrete quantiles of folded value per event_type.
+
+    Rank rule (mirrored verbatim in the SQL oracle): the element at
+    1-based rank ``floor(q/100*(n-1)) + 1`` of the ascending sort —
+    numpy and DuckDB run the identical float64 expression, so the rank
+    is bit-equal. Stage 1 pre-aggregates (type, value_bp) counts inside
+    each batch; stage 2 is one bucketed count shuffle over histogram
+    CELLS (bounded by fold granularity, not rows); stage 3 picks ranks
+    per type over the tiny merged histogram.
+    """
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "value_bp": _fold_bp(t["value"]),
+        })
+        out = (df.groupby(["event_type", "value_bp"], sort=False)
+               .size().rename("cnt").reset_index())
+        out["bucket"] = ((hash_ints(out["value_bp"])
+                          % np.uint64(num_buckets)).astype(np.int32))
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["event_type", "value_bp"], sort=False)["cnt"]
+                .sum().reset_index())
+
+    hist = (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: merge_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+    pct_arr = np.array(pcts, np.int32)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_bp", kind="mergesort")
+        counts = g["cnt"].to_numpy(np.int64)
+        values = g["value_bp"].to_numpy(np.int64)
+        csum = np.cumsum(counts)
+        n = int(csum[-1])
+        # identical float64 expression to the SQL FLOOR(q/100.0*(n-1))+1
+        ranks = np.floor(pct_arr / 100.0 * (n - 1)).astype(np.int64) + 1
+        idx = np.searchsorted(csum, ranks, side="left")
+        return pd.DataFrame({
+            "event_type": np.repeat(g["event_type"].iloc[0], len(pct_arr)),
+            "q_pct": pct_arr,
+            "value_bp": values[idx],
+        })
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+def q_value_quantiles_exact(sf_dir: str) -> rd.Dataset:
+    return exact_value_quantiles(sf_dir)
