@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import relational as R
     from associationabacminer_ray.pipelines import sketch_queries as S
     from associationabacminer_ray.pipelines import temporal as TM
+    from associationabacminer_ray.pipelines import terms as TR
     from associationabacminer_ray.pipelines import text_pipelines as T
     from associationabacminer_ray.pipelines import universe as U
 
@@ -127,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution": TM.q_asof_attribution,
         "rolling_user_activity": TM.q_rolling_user_activity,
         "value_quantiles_exact": TM.q_value_quantiles_exact,
+        # round 3 (late): document-term ranking + grouped mode
+        "top_terms": TR.q_top_terms,
+        "user_event_mode": TR.q_user_event_mode,
     }
 
 
@@ -830,5 +834,41 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN n USING (event_type)
             JOIN q ON r.rn = CAST(FLOOR(q.q_pct / 100.0 * (n.n - 1))
                                   AS BIGINT) + 1
+        """,
+        # per-doc distinctive terms: integer-exact (tf DESC, df ASC,
+        # term ASC) ranking — see pipelines.terms for why not float
+        # tf·ln(N/df) (cross-libm ulp risk)
+        "top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                   FROM toks GROUP BY term),
+            ranked AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+                FROM tf JOIN df USING (term))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(rn AS INTEGER) AS rank, term,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+            FROM ranked WHERE rn <= 5
+        """,
+        # grouped MODE with the tie-break pinned (DuckDB's mode() is
+        # unspecified on ties): most-frequent event_type per user,
+        # ties -> lexicographically smallest
+        "user_event_mode": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM events GROUP BY user_id, event_type),
+            r AS (SELECT user_id, event_type, n, ROW_NUMBER() OVER (
+                      PARTITION BY user_id
+                      ORDER BY n DESC, event_type ASC) AS rn FROM c)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   event_type AS top_type, CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1
         """,
     }

@@ -1,0 +1,184 @@
+"""Document-term (inverted-index) pipelines: per-document distinctive
+term ranking — the tf-idf shape with integer-exact ordering.
+
+The reference's nearest analog is the per-key value-frequency
+machinery (``src/model/EnvLogUniverseGenerator.py:256-267``) and the
+experiment family's term counting (``src/experiment/info_gain.py`` via
+sklearn CountVectorizer); a training-data pipeline needs the same
+thing over free text: which terms characterize a document against the
+corpus.
+
+Ranking is (tf DESC, df ASC, term ASC) — frequent in the document,
+rare in the corpus — instead of the float score ``tf·ln(N/df)``.
+Rationale (gate convention): ``ln`` is not guaranteed bit-identical
+between numpy and DuckDB's libm, so a folded float score could flip
+ranks by one ulp on a future corpus; the lexicographic integer rule
+induces the same "frequent here, rare there" ordering for fixed tf and
+is exactly reproducible on both sides. A float ``tfidf()`` helper is
+exported for library users; the gate query emits integers only.
+
+Layout (two bucketed shuffles, no driver materialization):
+
+1. tokenize per batch (a doc's text is one row, so (doc, term, tf)
+   never spans blocks) — vectorized explode + one groupby per batch;
+2. df = distinct-doc count per term: the (doc,term) rows are already
+   unique, so df is a bucketed SUM of per-batch partial counts keyed
+   on hash(term) — vocabulary-sized, never row-sized;
+3. tf ⋈ df on hash(term) buckets (both sides tagged, pandas merge per
+   bucket — same pattern as relational.q_lineitem_orders_join);
+4. per-doc top-k: one hash(doc) shuffle, vectorized in-bucket sort +
+   head. Only (doc, term, tf, df) candidate rows move — at 100 TB the
+   step-4 shuffle is bounded by tokens, the same volume step 1 already
+   produced, and each stage is a streaming map_batches/map_groups.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.hashing import hash_ints, hash_strings
+
+TOKEN_RE = re.compile(r"[a-z0-9]+", re.ASCII)
+TOP_K_TERMS = 5
+
+
+def doc_term_freqs(ds: rd.Dataset) -> rd.Dataset:
+    """documents(doc_id, text) -> long (doc_id, term, tf)."""
+
+    def tf_batch(t: pa.Table) -> pd.DataFrame:
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        toks = [TOKEN_RE.findall((s or "").lower()) for s in texts]
+        lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(doc_ids, lens),
+            "term": np.concatenate([np.asarray(x, object) for x in toks])
+            if len(toks) else np.array([], object),
+        })
+        out = (flat.groupby(["doc_id", "term"], sort=False)
+               .size().rename("tf").reset_index())
+        out["tf"] = out["tf"].astype(np.int64)
+        return out
+
+    return ds.map_batches(tf_batch, batch_format="pyarrow")
+
+
+def tfidf(tf: np.ndarray, df: np.ndarray, n_docs: int) -> np.ndarray:
+    """Float tf·ln(N/df) for library users (NOT used in the gate query —
+    see module docstring for why the gate ranks on integers)."""
+    return tf.astype(np.float64) * np.log(float(n_docs) / df)
+
+
+def top_terms_per_doc(sf_dir: str, k: int = TOP_K_TERMS,
+                      num_buckets: int = 16) -> rd.Dataset:
+    """Top-k distinctive terms per document by (tf DESC, df ASC,
+    term ASC). Returns (doc_id, rank, term, tf, df) — integers + the
+    term string."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tf = doc_term_freqs(docs)
+
+    # ---- stage 2+3 fused: one term-keyed shuffle computes df AND
+    # joins it back to the tf rows (each bucket holds a term fully)
+    def add_term_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(hash_strings(b["term"]) %
+                                np.uint64(num_buckets)).astype(np.int32))
+
+    def df_join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # (doc,term) rows are unique -> df = group size per term
+        df_col = g.groupby("term", sort=False)["doc_id"].transform("size")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "term": g["term"].to_numpy(),
+            "tf": g["tf"].to_numpy(np.int64),
+            "df": df_col.to_numpy(np.int64),
+        })
+
+    with_df = (tf.map_batches(add_term_bucket, batch_format="pandas")
+               .groupby("bucket")
+               .map_groups(lambda g: df_join_bucket(g.drop(columns=["bucket"])),
+                           batch_format="pandas"))
+
+    # ---- stage 4: doc-keyed shuffle, vectorized in-bucket top-k.
+    # Top-k under a total order is mergeable (global top-k ⊆ union of
+    # per-part top-k), so each batch pre-prunes to k rows per doc
+    # BEFORE the shuffle — volume drops from token-count to
+    # ≤ k · docs-per-batch even though a doc's terms arrive scattered
+    # across term buckets.
+    def add_doc_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["doc_id", "tf", "df", "term"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        b = b[b.groupby("doc_id", sort=False).cumcount() < k]
+        return b.assign(bucket=(hash_ints(b["doc_id"]) %
+                                np.uint64(num_buckets)).astype(np.int32))
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tf", "df", "term"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        rank = g.groupby("doc_id", sort=False).cumcount() + 1
+        g = g.assign(rank=rank.astype(np.int32))
+        g = g[g["rank"] <= k]
+        return g[["doc_id", "rank", "term", "tf", "df"]]
+
+    return (with_df.map_batches(add_doc_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda g: topk_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_top_terms(sf_dir: str) -> rd.Dataset:
+    return top_terms_per_doc(sf_dir)
+
+
+# ------------------------------------------------------------ grouped mode
+def grouped_mode(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """MODE aggregate: per user, the most frequent event_type (ties →
+    lexicographically smallest). DuckDB's ``mode()`` leaves ties
+    unspecified, so the tie-break is pinned explicitly on both sides.
+
+    One user-keyed shuffle of per-batch (user, type, partial-count)
+    rows — the partial pre-aggregation means the shuffle moves at most
+    |users|×|types| rows per block, not raw events (the combiner-
+    before-groupby rule)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+        })
+        out = (df.groupby(["user_id", "event_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["bucket"] = (hash_ints(out["user_id"]) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def mode_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["user_id", "event_type"], sort=False)["n"]
+             .sum().reset_index())
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = c.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame({
+            "user_id": top["user_id"].to_numpy(np.int64),
+            "top_type": top["event_type"].to_numpy(),
+            "n": top["n"].to_numpy(np.int64),
+        })
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: mode_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_user_event_mode(sf_dir: str) -> rd.Dataset:
+    return grouped_mode(sf_dir)
