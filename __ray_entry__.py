@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3 (late): document-term ranking + grouped mode
         "top_terms": TR.q_top_terms,
         "user_event_mode": TR.q_user_event_mode,
+        "value_rank": TM.q_value_rank,
     }
 
 
@@ -870,5 +871,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS BIGINT) AS user_id,
                    event_type AS top_type, CAST(n AS BIGINT) AS n
             FROM r WHERE rn = 1
+        """,
+        # per-row RANK() among same-type events by folded value —
+        # two-pass distributed rank (histogram broadcast + searchsorted
+        # lookup, no global sort), pipelines.temporal.value_ranks
+        "value_rank": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(RANK() OVER (PARTITION BY event_type
+                        ORDER BY CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_rank
+            FROM events
         """,
     }

@@ -190,18 +190,12 @@ def q_rolling_user_activity(sf_dir: str) -> rd.Dataset:
 
 
 # --------------------------------------------------- exact quantiles (bp fold)
-def exact_value_quantiles(sf_dir: str, pcts=QUANTILE_PCTS,
-                          num_buckets: int = 16) -> rd.Dataset:
-    """Exact discrete quantiles of folded value per event_type.
-
-    Rank rule (mirrored verbatim in the SQL oracle): the element at
-    1-based rank ``floor(q/100*(n-1)) + 1`` of the ascending sort —
-    numpy and DuckDB run the identical float64 expression, so the rank
-    is bit-equal. Stage 1 pre-aggregates (type, value_bp) counts inside
-    each batch; stage 2 is one bucketed count shuffle over histogram
-    CELLS (bounded by fold granularity, not rows); stage 3 picks ranks
-    per type over the tiny merged histogram.
-    """
+def value_histogram(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """(event_type, value_bp, cnt) histogram of folded values — the
+    shared reduction behind exact quantiles and per-row ranks. Stage 1
+    pre-aggregates counts inside each batch; stage 2 is one bucketed
+    count shuffle over histogram CELLS, bounded by the bp fold
+    granularity, not the row count."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
 
@@ -220,10 +214,23 @@ def exact_value_quantiles(sf_dir: str, pcts=QUANTILE_PCTS,
         return (g.groupby(["event_type", "value_bp"], sort=False)["cnt"]
                 .sum().reset_index())
 
-    hist = (ev.map_batches(partial, batch_format="pyarrow")
+    return (ev.map_batches(partial, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(lambda g: merge_bucket(g.drop(columns=["bucket"])),
                         batch_format="pandas"))
+
+
+def exact_value_quantiles(sf_dir: str, pcts=QUANTILE_PCTS,
+                          num_buckets: int = 16) -> rd.Dataset:
+    """Exact discrete quantiles of folded value per event_type.
+
+    Rank rule (mirrored verbatim in the SQL oracle): the element at
+    1-based rank ``floor(q/100*(n-1)) + 1`` of the ascending sort —
+    numpy and DuckDB run the identical float64 expression, so the rank
+    is bit-equal. Built on the ``value_histogram`` reduction; the final
+    stage picks ranks per type over the tiny merged histogram.
+    """
+    hist = value_histogram(sf_dir, num_buckets=num_buckets)
 
     pct_arr = np.array(pcts, np.int32)
 
@@ -247,3 +254,52 @@ def exact_value_quantiles(sf_dir: str, pcts=QUANTILE_PCTS,
 
 def q_value_quantiles_exact(sf_dir: str) -> rd.Dataset:
     return exact_value_quantiles(sf_dir)
+
+
+# ------------------------------------------------------- per-row value rank
+def value_ranks(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Per event: its RANK() among same-type events by folded value
+    (ties share the minimum rank) — the classic two-pass distributed
+    rank. Pass 1 is the ``value_histogram`` reduction; the merged
+    histogram (histogram-cell-sized, a documented small-side broadcast
+    — bounded by the bp fold granularity of the value domain, not the
+    row count) is ``ray.put`` once, and pass 2 is a stateless
+    ``map_batches`` lookup: rank = 1 + Σ counts of strictly-smaller
+    cells, via one ``searchsorted`` per (batch, type). No global sort
+    anywhere."""
+    import ray
+
+    hist = value_histogram(sf_dir, num_buckets=num_buckets).to_pandas()
+    lut = {}
+    for etype, g in hist.groupby("event_type", sort=False):
+        g = g.sort_values("value_bp", kind="mergesort")
+        vals = g["value_bp"].to_numpy(np.int64)
+        below = np.r_[np.int64(0),
+                      np.cumsum(g["cnt"].to_numpy(np.int64))][:-1]
+        lut[str(etype)] = (vals, below)
+    lut_ref = ray.put(lut)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def rank_batch(t: pa.Table) -> pd.DataFrame:
+        table = ray.get(lut_ref)
+        etypes = t["event_type"].to_numpy(zero_copy_only=False)
+        bp = _fold_bp(t["value"])
+        out = np.empty(len(bp), np.int64)
+        for etype in pd.unique(etypes):
+            m = etypes == etype
+            vals, below = table[str(etype)]
+            idx = np.searchsorted(vals, bp[m], side="left")
+            out[m] = below[idx] + 1
+        return pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "value_rank": out,
+        })
+
+    return ev.map_batches(rank_batch, batch_format="pyarrow")
+
+
+def q_value_rank(sf_dir: str) -> rd.Dataset:
+    return value_ranks(sf_dir)

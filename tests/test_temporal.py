@@ -154,3 +154,19 @@ def test_rolling_bucket_invariance(ray_session):
     b = (rolling_window_agg(sf, num_buckets=16).to_pandas()
          .sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_value_rank_ties_share_min_rank(ray_session, tmp_path):
+    """RANK() semantics: equal folded values share the smallest rank,
+    and the next distinct value skips past the tie block."""
+    from associationabacminer_ray.pipelines.temporal import value_ranks
+
+    sf = _write_events(tmp_path, [
+        (1, TS0, 1, "t", 2.0, "k1"),
+        (2, TS0, 2, "t", 2.0, "k1"),   # tie with event 1
+        (3, TS0, 3, "t", 5.0, "k1"),   # rank 3, not 2
+        (4, TS0, 4, "u", 9.0, "k1"),   # separate partition
+    ])
+    got = (value_ranks(sf).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert got["value_rank"].tolist() == [1, 1, 3, 1]
