@@ -790,9 +790,13 @@ def oracle_sql() -> dict[str, str]:
         # the last eligible right row under (ts, event_id) sort
         "asof_attribution": """
             WITH probe AS (SELECT event_id, user_id, ts FROM events
-                           WHERE event_type <> 'signup'),
+                           WHERE event_type <> 'signup'
+                             AND event_id IS NOT NULL
+                             AND user_id IS NOT NULL AND ts IS NOT NULL),
             anchor AS (SELECT event_id, user_id, ts FROM events
-                       WHERE event_type = 'signup'),
+                       WHERE event_type = 'signup'
+                         AND event_id IS NOT NULL
+                         AND user_id IS NOT NULL AND ts IS NOT NULL),
             j AS (
                 SELECT p.event_id AS event_id,
                        a.event_id AS anchor_event_id,
@@ -815,6 +819,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
                         OVER w AS BIGINT) AS sum_7d_bp
             FROM events
+            WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+              AND ts IS NOT NULL AND value IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
         """,
@@ -824,7 +830,9 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles_exact": """
             WITH f AS (SELECT event_type,
                               CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
-                       FROM events),
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND value IS NOT NULL),
             n AS (SELECT event_type, COUNT(*) AS n FROM f GROUP BY event_type),
             r AS (SELECT event_type, v, ROW_NUMBER() OVER (
                       PARTITION BY event_type ORDER BY v) AS rn FROM f),
@@ -844,7 +852,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(regexp_extract_all(lower(coalesce(text, '')),
                                                  '[a-z0-9]+')) AS term
-                FROM documents),
+                FROM documents WHERE doc_id IS NOT NULL),
             tf AS (SELECT doc_id, term, COUNT(*) AS tf
                    FROM toks GROUP BY doc_id, term),
             df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
@@ -864,7 +872,9 @@ def oracle_sql() -> dict[str, str]:
         # ties -> lexicographically smallest
         "user_event_mode": """
             WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
-                       FROM events GROUP BY user_id, event_type),
+                       FROM events
+                       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY user_id, event_type),
             r AS (SELECT user_id, event_type, n, ROW_NUMBER() OVER (
                       PARTITION BY user_id
                       ORDER BY n DESC, event_type ASC) AS rn FROM c)
@@ -881,5 +891,7 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
                         AS BIGINT) AS value_rank
             FROM events
+            WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+              AND value IS NOT NULL
         """,
     }

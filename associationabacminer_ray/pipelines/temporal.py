@@ -56,10 +56,23 @@ def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def _fold_bp(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """floor(x*10000+0.5) as int64 — identical IEEE op sequence to the
-    SQL oracle (functions.scoring.fold_bp semantics on an Arrow col)."""
-    folded = pc.floor(pc.add(pc.multiply(col, 10000.0), 0.5))
-    return pc.cast(folded, pa.int64()).to_numpy(zero_copy_only=False)
+    """Basis-point fold of an Arrow float column via THE shared
+    ``functions.scoring.fold_bp_strict`` (one implementation per gate
+    convention; refuses NaN/inf loudly instead of minting INT64_MIN).
+    Callers drop NULL rows first (`_drop_null` — mirrored by explicit
+    ``IS NOT NULL`` predicates in the SQL oracles)."""
+    from ..functions.scoring import fold_bp_strict
+
+    return fold_bp_strict(col.to_numpy(zero_copy_only=False), name="value")
+
+
+def _drop_null(t: pa.Table) -> pa.Table:
+    """Drop rows with a NULL in ANY selected column. Every temporal
+    operator's SQL oracle carries the matching IS NOT NULL predicates,
+    so the null contract is pinned identically on both sides (pandas
+    groupby would otherwise silently drop null keys while SQL GROUP BY
+    keeps them — a gate divergence)."""
+    return t.drop_null()
 
 
 # ----------------------------------------------------------------- as-of join
@@ -78,12 +91,13 @@ def asof_join_events(sf_dir: str, anchor_type: str = ASOF_ANCHOR_TYPE,
                          columns=["event_id", "user_id", "ts", "event_type"])
 
     def prep(t: pa.Table) -> pd.DataFrame:
+        t = _drop_null(t)
         df = pd.DataFrame({
             "event_id": t["event_id"].to_numpy(zero_copy_only=False),
             "user_id": t["user_id"].to_numpy(zero_copy_only=False),
             "ts_us": _ts_us(t["ts"]),
             "is_anchor": pc.equal(t["event_type"], anchor_type)
-                         .to_numpy(zero_copy_only=False),
+                         .to_numpy(zero_copy_only=False).astype(bool),
         })
         df["bucket"] = (hash_ints(df["user_id"]) %
                         np.uint64(num_buckets)).astype(np.int32)
@@ -97,24 +111,28 @@ def asof_join_events(sf_dir: str, anchor_type: str = ASOF_ANCHOR_TYPE,
             return pd.DataFrame({"event_id": np.array([], np.int64),
                                  "anchor_event_id": np.array([], np.int64),
                                  "gap_us": np.array([], np.int64)})
-        # merge_asof keeps only the left 'on' column — carry the anchor
-        # timestamp as a plain value column
+        # merge_asof keeps only the left 'on' column, and any carried
+        # int64 column becomes float64 (NaN for no-match rows) — which
+        # would corrupt event_ids above 2^53. Carry the anchor's ROW
+        # POSITION instead (bounded by the group size, always exact in
+        # float64) and take ids/timestamps through it after dropna.
+        anchor_ids = anchor["event_id"].to_numpy(np.int64)
+        anchor_ts = anchor["ts_us"].to_numpy(np.int64)
         right = pd.DataFrame({
-            "anchor_event_id": anchor["event_id"].to_numpy(np.int64),
             "user_id": anchor["user_id"].to_numpy(),
-            "ts_us": anchor["ts_us"].to_numpy(np.int64),
-            "anchor_ts_us": anchor["ts_us"].to_numpy(np.int64),
+            "ts_us": anchor_ts,
+            "anchor_pos": np.arange(len(anchor), dtype=np.int64),
         })
         j = pd.merge_asof(
             probe[["event_id", "user_id", "ts_us"]], right,
             on="ts_us", by="user_id", direction="backward",
             allow_exact_matches=False)
-        j = j.dropna(subset=["anchor_event_id"])
+        j = j.dropna(subset=["anchor_pos"])
+        pos = j["anchor_pos"].to_numpy(np.int64)
         return pd.DataFrame({
             "event_id": j["event_id"].to_numpy(np.int64),
-            "anchor_event_id": j["anchor_event_id"].to_numpy(np.int64),
-            "gap_us": (j["ts_us"].to_numpy(np.int64)
-                       - j["anchor_ts_us"].to_numpy(np.int64)),
+            "anchor_event_id": anchor_ids[pos],
+            "gap_us": j["ts_us"].to_numpy(np.int64) - anchor_ts[pos],
         })
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -146,6 +164,7 @@ def rolling_window_agg(sf_dir: str, window_days: int = ROLLING_DAYS,
                          columns=["event_id", "user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pd.DataFrame:
+        t = _drop_null(t)
         df = pd.DataFrame({
             "event_id": t["event_id"].to_numpy(zero_copy_only=False),
             "user_id": t["user_id"].to_numpy(zero_copy_only=False),
@@ -200,6 +219,7 @@ def value_histogram(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
                          columns=["event_type", "value"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        t = _drop_null(t)
         df = pd.DataFrame({
             "event_type": t["event_type"].to_numpy(zero_copy_only=False),
             "value_bp": _fold_bp(t["value"]),
@@ -283,6 +303,7 @@ def value_ranks(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
                          columns=["event_id", "event_type", "value"])
 
     def rank_batch(t: pa.Table) -> pd.DataFrame:
+        t = _drop_null(t)
         table = ray.get(lut_ref)
         etypes = t["event_type"].to_numpy(zero_copy_only=False)
         bp = _fold_bp(t["value"])

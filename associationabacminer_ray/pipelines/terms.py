@@ -39,6 +39,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -52,6 +53,11 @@ def doc_term_freqs(ds: rd.Dataset) -> rd.Dataset:
     """documents(doc_id, text) -> long (doc_id, term, tf)."""
 
     def tf_batch(t: pa.Table) -> pd.DataFrame:
+        # null doc_id rows are dropped (the oracle's toks CTE produces
+        # no term rows for them either: null text coalesces to '' and a
+        # null key would be GROUP BY'd — pinned out on both sides)
+        if t["doc_id"].null_count:
+            t = t.filter(pc.is_valid(t["doc_id"]))
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
         texts = t["text"].to_pylist()
         toks = [TOKEN_RE.findall((s or "").lower()) for s in texts]
@@ -152,6 +158,10 @@ def grouped_mode(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
                          columns=["user_id", "event_type"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        # null-keyed rows are excluded on BOTH sides (the oracle carries
+        # matching IS NOT NULL predicates; pandas groupby would drop
+        # them silently while SQL GROUP BY keeps a NULL group)
+        t = t.drop_null()
         df = pd.DataFrame({
             "user_id": t["user_id"].to_numpy(zero_copy_only=False),
             "event_type": t["event_type"].to_numpy(zero_copy_only=False),

@@ -170,3 +170,42 @@ def test_value_rank_ties_share_min_rank(ray_session, tmp_path):
     got = (value_ranks(sf).to_pandas()
            .sort_values("event_id").reset_index(drop=True))
     assert got["value_rank"].tolist() == [1, 1, 3, 1]
+
+
+def test_null_rows_excluded_matches_oracle(ray_session, tmp_path):
+    """Rows with NULL key/ts/value are excluded identically by the
+    engine (_drop_null) and the oracle (IS NOT NULL predicates) —
+    pinned on a corpus the natural fixtures never produce."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    df = pd.DataFrame({
+        "event_id": pd.array([1, 2, 3, 4, 5, 6], dtype="Int64"),
+        "ts": [TS0, TS0 + DAY, pd.NaT, TS0 + 2 * DAY, TS0 + 3 * DAY,
+               TS0 + 4 * DAY],
+        "user_id": pd.array([1, 1, 1, None, 1, 1], dtype="Int64"),
+        "event_type": ["signup", "click", "click", "click", None, "view"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, None],
+        "props": ["k1"] * 6,
+    })
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    t = t.set_column(t.schema.get_field_index("ts"),
+                     pa.field("ts", pa.timestamp("us")),
+                     t["ts"].cast(pa.timestamp("us")))
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    q = entrymod.queries()
+    sql = entrymod.oracle_sql()
+    for name in ["asof_attribution", "rolling_user_activity",
+                 "value_quantiles_exact", "value_rank", "user_event_mode"]:
+        got = q[name](sf).to_pandas()
+        want = con.execute(sql[name]).df()
+        sc = sorted(got.columns)
+        g = got[sc].sort_values(sc).reset_index(drop=True)
+        w = want[sc].sort_values(sc).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False), name
