@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import features as F
     from associationabacminer_ray.pipelines import relational as R
     from associationabacminer_ray.pipelines import sketch_queries as S
+    from associationabacminer_ray.pipelines import olap as O
+    from associationabacminer_ray.pipelines import sequence as SQ
     from associationabacminer_ray.pipelines import temporal as TM
     from associationabacminer_ray.pipelines import terms as TR
     from associationabacminer_ray.pipelines import text_pipelines as T
@@ -132,6 +134,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": TR.q_top_terms,
         "user_event_mode": TR.q_user_event_mode,
         "value_rank": TM.q_value_rank,
+        # round 3 (late): ordered-sequence family — LAG gaps, trajectory
+        # strings, trajectory-prefix frequency
+        "user_event_gaps": SQ.q_user_event_gaps,
+        "user_paths": SQ.q_user_paths,
+        "top_paths": SQ.q_top_paths,
+        # round 3 (late): OLAP family — per-group top-N, pivot,
+        # anti-join, ROLLUP, keyed set difference
+        "segment_top_orders": O.q_segment_top_orders,
+        "type_hour_pivot": O.q_type_hour_pivot,
+        "inactive_customers": O.q_inactive_customers,
+        "daily_rollup": O.q_daily_rollup,
+        "user_set_diff": O.q_user_set_diff,
     }
 
 
@@ -893,5 +907,122 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id IS NOT NULL AND event_type IS NOT NULL
               AND value IS NOT NULL
+        """,
+        # LAG window without a global sort: predecessor of each event
+        # within its user's (ts, event_id) order; first-per-user rows
+        # dropped (inner semantics) — pipelines.sequence.user_event_gaps
+        "user_event_gaps": """
+            WITH s AS (
+                SELECT event_id,
+                       LAG(event_id) OVER w AS prev_event_id,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+                FROM events
+                WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(prev_event_id AS BIGINT) AS prev_event_id,
+                   CAST(gap_us AS BIGINT) AS gap_us
+            FROM s WHERE prev_event_id IS NOT NULL
+        """,
+        # ordered string_agg per user (trajectory string), ordering and
+        # separator pinned on both sides — pipelines.sequence.user_paths
+        "user_paths": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n_steps
+            FROM events
+            WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+              AND ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY user_id
+        """,
+        # trajectory-prefix frequency: first 5 ordered steps per user,
+        # top-20 by (n_users DESC, path ASC) — pipelines.sequence.top_paths
+        "top_paths": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events
+                WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                  AND ts IS NOT NULL AND event_type IS NOT NULL),
+            p AS (SELECT user_id,
+                         string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM o WHERE rn <= 5 GROUP BY user_id)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_users DESC, path LIMIT 20
+        """,
+        # per-group top-N rows: top-3 orders per market segment by
+        # (cents DESC, orderkey ASC) — pipelines.olap.segment_top_orders
+        "segment_top_orders": """
+            WITH j AS (
+                SELECT c.c_mktsegment,
+                       o.o_orderkey,
+                       CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS total_cents
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE o.o_orderkey IS NOT NULL AND o.o_custkey IS NOT NULL
+                  AND o.o_totalprice IS NOT NULL
+                  AND c.c_mktsegment IS NOT NULL),
+            r AS (SELECT c_mktsegment, o_orderkey, total_cents,
+                         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                             ORDER BY total_cents DESC, o_orderkey) AS rank
+                  FROM j)
+            SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank,
+                   CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(total_cents AS BIGINT) AS total_cents
+            FROM r WHERE rank <= 3
+        """,
+        # pivot/crosstab: one row per event_type, 24 hour-count columns
+        # — pipelines.olap.type_hour_pivot
+        "type_hour_pivot": f"""
+            SELECT event_type,
+                   {', '.join(
+                       f"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = {h} "
+                       f"THEN 1 ELSE 0 END) AS BIGINT) AS h{h}"
+                       for h in range(24))}
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY event_type
+        """,
+        # exact hash anti-join: customers with no order since 2000-01-01
+        # (946684800000000 us) — pipelines.olap.inactive_customers
+        "inactive_customers": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+            FROM customer c
+            WHERE c.c_custkey IS NOT NULL AND c.c_name IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate IS NOT NULL
+                                AND epoch_us(o.o_orderdate)
+                                    >= 946684800000000)
+        """,
+        # ROLLUP(event_type, day): sentinels 'ALL' / -1 for rolled-up
+        # levels; day = integer floor-division of epoch microseconds on
+        # BOTH sides (no float day boundary risk) —
+        # pipelines.olap.daily_rollup
+        "daily_rollup": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   CAST(COALESCE(day_num, -1) AS BIGINT) AS day_num,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT event_type,
+                         epoch_us(ts) // 86400000000 AS day_num
+                  FROM events
+                  WHERE event_type IS NOT NULL AND ts IS NOT NULL)
+            GROUP BY ROLLUP(event_type, day_num)
+        """,
+        # keyed set difference (EXCEPT): users who used tool k1 but
+        # never k2 (transcripts tool mapping) — pipelines.olap.user_set_diff
+        "user_set_diff": """
+            SELECT CAST(user_id AS BIGINT) AS user_id
+            FROM events
+            WHERE user_id IS NOT NULL AND props IS NOT NULL
+              AND 'k' || regexp_extract(props, '[0-9]+') = 'k1'
+            EXCEPT
+            SELECT CAST(user_id AS BIGINT) AS user_id
+            FROM events
+            WHERE user_id IS NOT NULL AND props IS NOT NULL
+              AND 'k' || regexp_extract(props, '[0-9]+') = 'k2'
         """,
     }

@@ -1,0 +1,295 @@
+"""OLAP-shape operators the reference reaches through Elasticsearch
+aggregations and hand-written loops, re-expressed as Ray Data
+shuffles: per-group top-N rows, pivot/crosstab, hash anti-join,
+ROLLUP, and keyed set difference.
+
+Reference analogs: the top-500-of-2000 per-chunk truncation
+(``src/eval/EnvOverassignmentCalculator.py:191-196``) is per-group
+top-N; the ES terms aggregations behind universe counts
+(``src/eval/EnvOverassignmentCalculator.py:59-106``) are pivots; the
+covered-entry ``delete_by_query`` (``src/EnvAbacRuleMiner.py:268-272``)
+is an anti-join; ``ScoreAggregator``'s config-hash averaging plus its
+grand summaries (``src/job/ScoreAggregator.py:27-56``) is a ROLLUP.
+
+Scale notes per operator are on the functions. Gate conventions as in
+``pipelines.sequence``: integer/string outputs, NULL contract pinned on
+both sides, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..functions.hashing import hash_ints
+
+US_PER_DAY = 86_400_000_000
+SEGMENT_TOP_N = 3
+N_HOURS = 24
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+# --------------------------------------------------------- per-group top-N
+def segment_top_orders(sf_dir: str, n: int = SEGMENT_TOP_N) -> rd.Dataset:
+    """Top-``n`` orders per customer market segment by (total cents
+    DESC, orderkey ASC) — the ``ROW_NUMBER() OVER (PARTITION BY ...)
+    <= n`` shape (A7's truncation generalized to rows).
+
+    Layout: the customer→segment map is the broadcast small side
+    (``ray.put`` once, as in ``relational.q_orders_customer_join``);
+    each batch keeps only its own top-``n`` per segment, so at most
+    n × |segments| rows per batch enter the final per-segment
+    ``map_groups`` — the shuffle is bounded by n × segments × blocks,
+    never by the orders row count."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(zip(cust["c_custkey"].to_pylist(),
+                       cust["c_mktsegment"].to_pylist()))
+    seg_ref = ray.put(seg_map)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        m = ray.get(seg_ref)
+        df = pd.DataFrame({
+            "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
+            "total_cents": _cents(t["o_totalprice"]).to_numpy(),
+            "c_mktsegment": pd.Series(
+                t["o_custkey"].to_numpy(zero_copy_only=False)).map(m),
+        }).dropna(subset=["c_mktsegment"])
+        df = df.sort_values(["total_cents", "o_orderkey"],
+                            ascending=[False, True], kind="mergesort")
+        return df.groupby("c_mktsegment", sort=False).head(n)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["total_cents", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(n)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "c_mktsegment": g["c_mktsegment"],
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "total_cents": g["total_cents"].to_numpy(np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .map_groups(final, batch_format="pandas"))
+
+
+def q_segment_top_orders(sf_dir: str) -> rd.Dataset:
+    return segment_top_orders(sf_dir)
+
+
+# ------------------------------------------------------------ pivot/crosstab
+def type_hour_pivot(sf_dir: str) -> rd.Dataset:
+    """Crosstab: events pivoted to one row per event_type with 24 hour
+    columns ``h0..h23`` of counts. Each batch pre-aggregates its own
+    (type × 24) partial matrix, so the shuffle carries |types| × 24
+    cells per block regardless of row count; the final per-type group
+    sums partials."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    hcols = [f"h{h}" for h in range(N_HOURS)]
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "hour": pc.hour(t["ts"]).to_numpy(zero_copy_only=False),
+        })
+        ct = pd.crosstab(df["event_type"], df["hour"])
+        ct = ct.reindex(columns=range(N_HOURS), fill_value=0)
+        ct.columns = hcols
+        return ct.astype(np.int64).rename_axis("event_type").reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"event_type": [g["event_type"].iloc[0]]})
+        for c in hcols:
+            out[c] = np.int64(g[c].sum())
+        return out
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(final, batch_format="pandas"))
+
+
+def q_type_hour_pivot(sf_dir: str) -> rd.Dataset:
+    return type_hour_pivot(sf_dir)
+
+
+# ---------------------------------------------------------------- anti-join
+INACTIVE_SINCE_US = np.int64(946_684_800_000_000)  # 2000-01-01 UTC
+
+
+def inactive_customers(sf_dir: str, since_us: np.int64 = INACTIVE_SINCE_US,
+                       num_buckets: int = 16) -> rd.Dataset:
+    """Customers with no order on/after ``since_us`` — the exact hash
+    anti-join (J2's covered-entry removal as a standalone relational
+    operator). The recent-orders predicate filters the probe side at
+    the read; both sides then bucket on ``hash(custkey) % B`` and each
+    bucket's probe is an ``np.isin`` complement. Exactness matters
+    here, so no Bloom shortcut: a Bloom false positive would silently
+    drop a customer (the Bloom variant exists for the greedy cover,
+    where FPs only cost recall of *removals*)."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def prep_cust(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "key": t["c_custkey"].to_numpy(zero_copy_only=False),
+            "c_name": t["c_name"].to_numpy(zero_copy_only=False),
+        })
+        df["side"] = np.int8(0)
+        df["bucket"] = (hash_ints(df["key"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def prep_orders(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        recent = pc.greater_equal(pc.cast(t["o_orderdate"], pa.int64()),
+                                  int(since_us))
+        t = t.filter(recent)
+        keys = pd.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"key": keys,
+                           "c_name": np.full(len(keys), "", dtype=object)})
+        df["side"] = np.int8(1)
+        df["bucket"] = (hash_ints(df["key"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    tagged = (cust.map_batches(prep_cust, batch_format="pyarrow")
+              .union(orders.map_batches(prep_orders, batch_format="pyarrow")))
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right_keys = g.loc[g["side"] == 1, "key"].to_numpy(np.int64)
+        keep = ~np.isin(left["key"].to_numpy(np.int64), right_keys)
+        out = left[keep]
+        return pd.DataFrame({
+            "c_custkey": out["key"].to_numpy(np.int64),
+            "c_name": out["c_name"].to_numpy(object),
+        })
+
+    return (tagged.groupby("bucket")
+            .map_groups(lambda g: anti_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_inactive_customers(sf_dir: str) -> rd.Dataset:
+    return inactive_customers(sf_dir)
+
+
+# -------------------------------------------------------------------- ROLLUP
+def daily_rollup(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(event_type, day)`` counts: the (type, day)
+    level plus the (type) subtotal and the grand total, with sentinels
+    ``day_num = -1`` / ``event_type = 'ALL'`` for the rolled-up levels.
+
+    The corpus is scanned ONCE for the finest level (a bucketed
+    partial-sum shuffle bounded by |types| × |days| cells); both
+    coarser levels are derived from that small aggregate on the driver
+    — a documented small-side materialization (types × days cells, not
+    rows)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "day_num": (pc.cast(t["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False) // US_PER_DAY),
+        })
+        out = (df.groupby(["event_type", "day_num"], sort=False)
+               .size().rename("n").reset_index())
+        out["bucket"] = (hash_ints(out["day_num"]) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["event_type", "day_num"], sort=False)["n"]
+               .sum().reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    finest = (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: merge_bucket(g.drop(columns=["bucket"])),
+                          batch_format="pandas")
+              .to_pandas())
+    finest["day_num"] = finest["day_num"].astype(np.int64)
+    finest["n"] = finest["n"].astype(np.int64)
+
+    by_type = (finest.groupby("event_type", sort=False)["n"].sum()
+               .reset_index())
+    by_type["day_num"] = np.int64(-1)
+    total = pd.DataFrame({"event_type": ["ALL"],
+                          "day_num": np.array([-1], np.int64),
+                          "n": np.array([finest["n"].sum()], np.int64)})
+    out = pd.concat([finest, by_type[["event_type", "day_num", "n"]], total],
+                    ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["event_type", "day_num", "n"]]
+
+
+def q_daily_rollup(sf_dir: str) -> pd.DataFrame:
+    return daily_rollup(sf_dir)
+
+
+# ------------------------------------------------------- keyed set difference
+def user_set_diff(sf_dir: str, tool_a: str = "k1", tool_b: str = "k2",
+                  num_buckets: int = 16) -> rd.Dataset:
+    """Users who used ``tool_a`` but never ``tool_b`` (the transcripts
+    tool mapping, ``sources.transcripts.TRANSCRIPTS_FROM_EVENTS_SQL``)
+    — distributed EXCEPT over per-key flags. One scan; each batch
+    pre-aggregates (user, saw_a, saw_b) bits, the bucketed merge ORs
+    them, and the filter emits the difference. The shuffle carries one
+    row per (user, block), never per event."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "props"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        props = pd.Series(t["props"].to_numpy(zero_copy_only=False))
+        tool = "k" + props.str.extract(r"([0-9]+)", expand=False).fillna("")
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "saw_a": (tool == tool_a).to_numpy().astype(np.int8),
+            "saw_b": (tool == tool_b).to_numpy().astype(np.int8),
+        })
+        out = (df.groupby("user_id", sort=False)[["saw_a", "saw_b"]]
+               .max().reset_index())
+        out["bucket"] = (hash_ints(out["user_id"]) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", sort=False)[["saw_a", "saw_b"]].max()
+        keep = m[(m["saw_a"] == 1) & (m["saw_b"] == 0)]
+        return pd.DataFrame({"user_id":
+                             keep.index.to_numpy(np.int64)})
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: diff_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_user_set_diff(sf_dir: str) -> rd.Dataset:
+    return user_set_diff(sf_dir)

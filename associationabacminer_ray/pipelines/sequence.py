@@ -1,0 +1,167 @@
+"""Ordered-sequence operators over a keyed event stream: LAG/lead
+gaps, ordered path aggregation (trajectory strings), and trajectory
+frequency mining.
+
+The reference treats a window's events as an unordered bag (dedup by
+content hash, ``src/model/EnvLogUniverseGenerator.py:91-94``) — order
+only ever matters to it through the pre-sliced Mongo time bounds. A
+transcript-scale training-data pipeline needs the *ordered* family:
+"what preceded this turn", "what is this conversation's tool
+trajectory", "which trajectories are common". All three are one keyed
+hash shuffle + a vectorized per-bucket kernel — the same partitioning
+contract as every keyed groupby here (one key's rows co-locate in one
+bucket group; path length is bounded by the per-key row count, which
+for transcripts is the conversation length, not the corpus size).
+
+Gate conventions (see ``graft-gate-conventions``): integer or plain
+string outputs only; the NULL contract is pinned on both sides (the
+engine drops NULL input rows, every SQL oracle carries the matching
+``IS NOT NULL`` predicates); ordering ties break on ``event_id`` in
+both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.hashing import hash_ints, hash_strings
+
+PATH_SEP = ">"
+TOP_PATHS_K = 20
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+# ------------------------------------------------------------- LAG / gaps
+def user_event_gaps(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Per event: the previous event of the same user and the gap to it
+    — the SQL ``LAG() OVER (PARTITION BY user ORDER BY ts, event_id)``
+    window, computed without a global sort: one hash shuffle on the
+    user, then a vectorized shift inside each bucket-sorted segment.
+    The first event of each user has no predecessor and is dropped
+    (inner semantics, mirrored by the oracle's ``WHERE prev IS NOT
+    NULL``)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts_us": _ts_us(t["ts"]),
+        })
+        df["bucket"] = (hash_ints(df["user_id"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        # row i's predecessor is row i-1 unless a new user segment starts
+        keep = np.r_[False, users[1:] == users[:-1]]
+        return pd.DataFrame({
+            "event_id": ids[keep],
+            "prev_event_id": ids[np.flatnonzero(keep) - 1],
+            "gap_us": ts[keep] - ts[np.flatnonzero(keep) - 1],
+        })
+
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: gaps_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_user_event_gaps(sf_dir: str) -> rd.Dataset:
+    return user_event_gaps(sf_dir)
+
+
+# --------------------------------------------------- ordered path aggregation
+def user_paths(sf_dir: str, sep: str = PATH_SEP,
+               num_buckets: int = 16) -> rd.Dataset:
+    """Per user: the ordered event-type trajectory string (ordered by
+    (ts, event_id)) and its step count — the SQL ``string_agg(...
+    ORDER BY ts, event_id)`` shape. One hash shuffle on the user; the
+    per-bucket kernel sorts once and joins per user segment. The output
+    row size is bounded by the per-key sequence length (conversation
+    length for transcripts), the documented partitioning assumption of
+    every keyed operator here."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts_us": _ts_us(t["ts"]),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+        })
+        df["bucket"] = (hash_ints(df["user_id"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def paths_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        agg = (g.groupby("user_id", sort=False)["event_type"]
+               .agg([("path", sep.join), ("n_steps", "size")])
+               .reset_index())
+        agg["user_id"] = agg["user_id"].astype(np.int64)
+        agg["n_steps"] = agg["n_steps"].astype(np.int64)
+        return agg[["user_id", "path", "n_steps"]]
+
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: paths_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_user_paths(sf_dir: str) -> rd.Dataset:
+    return user_paths(sf_dir)
+
+
+# ----------------------------------------------------- trajectory frequency
+def top_paths(sf_dir: str, k: int = TOP_PATHS_K, prefix_len: int = 5,
+              num_buckets: int = 16) -> rd.Dataset:
+    """Most common trajectory *prefixes* (first ``prefix_len`` steps):
+    full paths are near-unique, so frequency mining operates on the
+    bounded prefix — the sequence analog of the itemset top-k (A6).
+
+    Composition: ``user_paths`` → per-batch partial counts → one
+    bucketed count shuffle keyed on the prefix hash → global
+    ``sort + limit`` with the (n_users DESC, path ASC) tie-break pinned
+    on both sides. Only (prefix, partial-count) rows shuffle."""
+    paths = user_paths(sf_dir, num_buckets=num_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        prefix = df["path"].str.split(PATH_SEP).str[:prefix_len].str.join(PATH_SEP)
+        out = (prefix.value_counts().rename_axis("path")
+               .rename("n_users").reset_index())
+        out["bucket"] = (hash_strings(out["path"].to_numpy(object)) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("path", sort=False)["n_users"].sum().reset_index()
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    merged = (paths.map_batches(partial, batch_format="pandas")
+              .groupby("bucket")
+              .map_groups(lambda g: merge_bucket(g.drop(columns=["bucket"])),
+                          batch_format="pandas"))
+    return (merged.sort(["n_users", "path"], descending=[True, False])
+            .limit(k))
+
+
+def q_top_paths(sf_dir: str) -> rd.Dataset:
+    return top_paths(sf_dir)

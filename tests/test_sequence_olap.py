@@ -1,0 +1,204 @@
+"""Semantics tests for pipelines.sequence (LAG gaps, trajectory
+strings, prefix frequency) and pipelines.olap (per-group top-N, pivot,
+anti-join, ROLLUP, set difference) on crafted corner-case corpora —
+the gate parity at sf0.001/sf0.01 lives in test_oracle_parity.py;
+these pin edge behaviors the natural data never exercises (ties,
+singleton groups, bucket-count invariance, empty pivot cells)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, rows):
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    t = t.set_column(t.schema.get_field_index("ts"),
+                     pa.field("ts", pa.timestamp("us")),
+                     t["ts"].cast(pa.timestamp("us")))
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _write_tpch(tmp_path, customers, orders):
+    cdf = pd.DataFrame(customers, columns=["c_custkey", "c_name",
+                                           "c_nationkey", "c_acctbal",
+                                           "c_mktsegment"])
+    pq.write_table(pa.Table.from_pandas(cdf, preserve_index=False),
+                   str(tmp_path / "customer.parquet"))
+    odf = pd.DataFrame(orders, columns=["o_orderkey", "o_custkey",
+                                        "o_orderstatus", "o_totalprice",
+                                        "o_orderdate", "o_orderpriority"])
+    t = pa.Table.from_pandas(odf, preserve_index=False)
+    t = t.set_column(t.schema.get_field_index("o_orderdate"),
+                     pa.field("o_orderdate", pa.timestamp("us")),
+                     t["o_orderdate"].cast(pa.timestamp("us")))
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+TS0 = pd.Timestamp("2024-01-10")
+SEC = pd.Timedelta(seconds=1)
+
+
+# ------------------------------------------------------------------ sequence
+def test_gaps_tiebreak_and_first_dropped(ray_session, tmp_path):
+    """Equal timestamps order by event_id; each user's first event has
+    no predecessor and is dropped."""
+    from associationabacminer_ray.pipelines.sequence import user_event_gaps
+
+    sf = _write_events(tmp_path, [
+        (3, TS0, 1, "a", 1.0, "k1"),          # same ts as id 2 -> after it
+        (2, TS0, 1, "a", 1.0, "k1"),
+        (5, TS0 + SEC, 1, "a", 1.0, "k1"),
+        (9, TS0, 2, "a", 1.0, "k1"),          # singleton user -> dropped
+    ])
+    got = (user_event_gaps(sf).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert got["event_id"].tolist() == [3, 5]
+    assert got["prev_event_id"].tolist() == [2, 3]
+    assert got["gap_us"].tolist() == [0, 1_000_000]
+
+
+def test_gaps_bucket_count_invariance(ray_session, tmp_path):
+    from associationabacminer_ray.pipelines.sequence import user_event_gaps
+
+    rows = [(i, TS0 + (i % 7) * SEC, i % 5, "a", 1.0, "k1")
+            for i in range(40)]
+    sf = _write_events(tmp_path, rows)
+    a = (user_event_gaps(sf, num_buckets=1).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    b = (user_event_gaps(sf, num_buckets=16).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_paths_order_and_singleton(ray_session, tmp_path):
+    from associationabacminer_ray.pipelines.sequence import user_paths
+
+    sf = _write_events(tmp_path, [
+        (2, TS0, 1, "view", 1.0, "k1"),
+        (1, TS0, 1, "click", 1.0, "k1"),      # same ts: id 1 first
+        (3, TS0 + SEC, 1, "buy", 1.0, "k1"),
+        (9, TS0, 2, "solo", 1.0, "k1"),
+    ])
+    got = (user_paths(sf).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert got["path"].tolist() == ["click>view>buy", "solo"]
+    assert got["n_steps"].tolist() == [3, 1]
+
+
+def test_top_paths_prefix_and_tiebreak(ray_session, tmp_path):
+    """Paths longer than 5 steps count by their 5-step prefix; equal
+    counts order by path ASC."""
+    from associationabacminer_ray.pipelines.sequence import top_paths
+
+    rows = []
+    eid = 0
+    # users 1,2: same 6-step sequence differing only at step 6
+    for u, last in [(1, "x"), (2, "y")]:
+        for i, t in enumerate(["a", "b", "c", "d", "e", last]):
+            rows.append((eid, TS0 + i * SEC, u, t, 1.0, "k1"))
+            eid += 1
+    # user 3: short path 'z'
+    rows.append((eid, TS0, 3, "z", 1.0, "k1"))
+    sf = _write_events(tmp_path, rows)
+    got = top_paths(sf).to_pandas().reset_index(drop=True)
+    assert got["path"].tolist() == ["a>b>c>d>e", "z"]
+    assert got["n_users"].tolist() == [2, 1]
+
+
+# ---------------------------------------------------------------------- olap
+def test_segment_top_orders_ties_and_small_groups(ray_session, tmp_path):
+    from associationabacminer_ray.pipelines.olap import segment_top_orders
+
+    sf = _write_tpch(
+        tmp_path,
+        customers=[(1, "ca", 0, 0.0, "SEG1"), (2, "cb", 0, 0.0, "SEG1"),
+                   (3, "cc", 0, 0.0, "SEG2")],
+        orders=[
+            # SEG1: tie at 100.00 -> orderkey ASC; 4 orders -> top 3
+            (11, 1, "O", 100.0, TS0, "P"),
+            (12, 2, "O", 100.0, TS0, "P"),
+            (13, 1, "O", 50.0, TS0, "P"),
+            (14, 2, "O", 25.0, TS0, "P"),
+            # SEG2: only one order -> rank 1 alone
+            (21, 3, "O", 10.0, TS0, "P"),
+        ])
+    got = (segment_top_orders(sf).to_pandas()
+           .sort_values(["c_mktsegment", "rank"]).reset_index(drop=True))
+    seg1 = got[got["c_mktsegment"] == "SEG1"]
+    assert seg1["o_orderkey"].tolist() == [11, 12, 13]
+    assert seg1["rank"].tolist() == [1, 2, 3]
+    seg2 = got[got["c_mktsegment"] == "SEG2"]
+    assert seg2["o_orderkey"].tolist() == [21]
+
+
+def test_type_hour_pivot_zero_cells(ray_session, tmp_path):
+    from associationabacminer_ray.pipelines.olap import type_hour_pivot
+
+    sf = _write_events(tmp_path, [
+        (1, pd.Timestamp("2024-01-10 00:30:00"), 1, "a", 1.0, "k1"),
+        (2, pd.Timestamp("2024-01-10 00:45:00"), 1, "a", 1.0, "k1"),
+        (3, pd.Timestamp("2024-01-10 23:15:00"), 1, "b", 1.0, "k1"),
+    ])
+    got = (type_hour_pivot(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    assert got.shape == (2, 25)
+    assert got.loc[0, "h0"] == 2 and got.loc[0, "h23"] == 0
+    assert got.loc[1, "h23"] == 1 and got.loc[1, "h0"] == 0
+    assert int(got[[f"h{h}" for h in range(24)]].to_numpy().sum()) == 3
+
+
+def test_inactive_customers_cutoff(ray_session, tmp_path):
+    from associationabacminer_ray.pipelines.olap import inactive_customers
+
+    old = pd.Timestamp("1999-06-01")
+    new = pd.Timestamp("2000-06-01")
+    sf = _write_tpch(
+        tmp_path,
+        customers=[(1, "only-old", 0, 0.0, "S"),
+                   (2, "has-recent", 0, 0.0, "S"),
+                   (3, "no-orders", 0, 0.0, "S")],
+        orders=[(11, 1, "O", 1.0, old, "P"),
+                (12, 2, "O", 1.0, old, "P"),
+                (13, 2, "O", 1.0, new, "P")])
+    got = (inactive_customers(sf).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    assert got["c_custkey"].tolist() == [1, 3]
+    assert got["c_name"].tolist() == ["only-old", "no-orders"]
+
+
+def test_daily_rollup_levels_consistent(ray_session, tmp_path):
+    from associationabacminer_ray.pipelines.olap import daily_rollup
+
+    sf = _write_events(tmp_path, [
+        (1, pd.Timestamp("2024-01-10 01:00"), 1, "a", 1.0, "k1"),
+        (2, pd.Timestamp("2024-01-10 02:00"), 1, "a", 1.0, "k1"),
+        (3, pd.Timestamp("2024-01-11 01:00"), 1, "a", 1.0, "k1"),
+        (4, pd.Timestamp("2024-01-10 01:00"), 1, "b", 1.0, "k1"),
+    ])
+    got = daily_rollup(sf)
+    finest = got[(got["event_type"] != "ALL") & (got["day_num"] >= 0)]
+    subtot = got[(got["event_type"] != "ALL") & (got["day_num"] == -1)]
+    total = got[got["event_type"] == "ALL"]
+    assert len(finest) == 3 and len(subtot) == 2 and len(total) == 1
+    assert int(total["n"].iloc[0]) == 4
+    a_sub = int(subtot.loc[subtot["event_type"] == "a", "n"].iloc[0])
+    assert a_sub == int(finest.loc[finest["event_type"] == "a", "n"].sum()) == 3
+
+
+def test_user_set_diff_membership(ray_session, tmp_path):
+    from associationabacminer_ray.pipelines.olap import user_set_diff
+
+    sf = _write_events(tmp_path, [
+        (1, TS0, 1, "a", 1.0, "key 1 x"),   # user 1: k1 only -> kept
+        (2, TS0, 2, "a", 1.0, "key 1 x"),   # user 2: k1 and k2 -> dropped
+        (3, TS0, 2, "a", 1.0, "key 2 x"),
+        (4, TS0, 3, "a", 1.0, "key 2 x"),   # user 3: k2 only -> dropped
+        (5, TS0, 4, "a", 1.0, "key 3 x"),   # user 4: neither -> dropped
+    ])
+    got = user_set_diff(sf).to_pandas()
+    assert got["user_id"].tolist() == [1]
