@@ -146,6 +146,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": O.q_inactive_customers,
         "daily_rollup": O.q_daily_rollup,
         "user_set_diff": O.q_user_set_diff,
+        # round 3 (late): sequence bigrams, text bigrams, rolling
+        # distinct (7-day active users)
+        "type_transitions": SQ.q_type_transitions,
+        "bigram_counts": TR.q_bigram_counts,
+        "rolling_active_users": TM.q_rolling_active_users,
     }
 
 
@@ -1024,5 +1029,53 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IS NOT NULL AND props IS NOT NULL
               AND 'k' || regexp_extract(props, '[0-9]+') = 'k2'
+        """,
+        # first-order Markov transition counts over each user's
+        # (ts, event_id)-ordered stream — pipelines.sequence.type_transitions
+        "type_transitions": """
+            WITH s AS (
+                SELECT event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events
+                WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                  AND ts IS NOT NULL AND event_type IS NOT NULL)
+            SELECT prev AS prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE prev IS NOT NULL
+            GROUP BY prev, event_type
+        """,
+        # global top-50 token bigrams (same tokenizer contract as
+        # top_terms: lowercase [a-z0-9]+ runs; bigrams never cross
+        # documents); 1-based DuckDB list indexing —
+        # pipelines.terms.bigram_counts
+        "bigram_counts": """
+            WITH toks AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS ts
+                FROM documents),
+            bg AS (
+                SELECT unnest(list_transform(
+                           range(1, len(ts)),
+                           i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+                FROM toks WHERE len(ts) >= 2)
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bg GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT 50
+        """,
+        # trailing-7-day DISTINCT active users per day-with-activity —
+        # the rolling-distinct metric a plain windowed sum cannot
+        # express — pipelines.temporal.rolling_active_users
+        "rolling_active_users": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS d
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            days AS (SELECT DISTINCT d FROM ud)
+            SELECT CAST(days.d AS BIGINT) AS day_num,
+                   CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_active
+            FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+            GROUP BY days.d
         """,
     }

@@ -165,3 +165,62 @@ def top_paths(sf_dir: str, k: int = TOP_PATHS_K, prefix_len: int = 5,
 
 def q_top_paths(sf_dir: str) -> rd.Dataset:
     return top_paths(sf_dir)
+
+
+# ------------------------------------------------------- Markov transitions
+def type_transitions(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """First-order transition counts over each user's ordered event
+    stream: how often ``prev_type → next_type`` occurs (the Markov /
+    sequence-bigram matrix an LM-style sequence model trains on).
+
+    Same bucket-sorted kernel as ``user_event_gaps``; each bucket
+    pre-counts its pairs, so the final shuffle carries at most
+    |types|² cells per bucket — the per-type-pair groupby after it
+    touches a types²-sized table, never the event stream."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts_us": _ts_us(t["ts"]),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+        })
+        df["bucket"] = (hash_ints(df["user_id"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy(np.int64)
+        types = g["event_type"].to_numpy(object)
+        keep = np.r_[False, users[1:] == users[:-1]]
+        pairs = pd.DataFrame({
+            "prev_type": types[np.flatnonzero(keep) - 1],
+            "next_type": types[keep],
+        })
+        out = (pairs.groupby(["prev_type", "next_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(lambda g: count_bucket(g.drop(columns=["bucket"])),
+                            batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "prev_type": [g["prev_type"].iloc[0]],
+            "next_type": [g["next_type"].iloc[0]],
+            "n": np.array([g["n"].sum()], np.int64),
+        })
+
+    return (partials.groupby(["prev_type", "next_type"])
+            .map_groups(merge, batch_format="pandas"))
+
+
+def q_type_transitions(sf_dir: str) -> rd.Dataset:
+    return type_transitions(sf_dir)

@@ -324,3 +324,73 @@ def value_ranks(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
 def q_value_rank(sf_dir: str) -> rd.Dataset:
     return value_ranks(sf_dir)
+
+
+# ------------------------------------------------- rolling distinct (7d MAU)
+def rolling_active_users(sf_dir: str, window_days: int = ROLLING_DAYS,
+                         num_buckets: int = 16) -> rd.Dataset:
+    """For every day with activity: the count of DISTINCT users active
+    in the trailing ``window_days``-day window ``[d-(w-1), d]`` — the
+    rolling-active-users metric. Distinct-over-a-sliding-window cannot
+    ride a plain windowed sum (a user active twice in the window must
+    count once), so the engine uses per-user interval coverage:
+
+    1. per-batch (user, day) dedup, bucketed on hash(user);
+    2. per bucket: each user's active days expand to the days they
+       keep the user "active" (``day .. day+w-1``), deduplicated per
+       user — a (w × per-user-day-pairs)-bounded expansion of the
+       already-deduped pairs, never of raw events. Emits per-bucket
+       partial (day, n_users) counts plus the bucket's observed-day
+       markers;
+    3. tiny day-keyed merge: sum partials, keep only days observed in
+       the data (the marker rows), matching the oracle's "days with
+       activity" frame.
+    """
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = _drop_null(t)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "day": _ts_us(t["ts"]) // US_PER_DAY,
+        }).drop_duplicates()
+        df["bucket"] = (hash_ints(df["user_id"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def cover_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        users = np.repeat(g["user_id"].to_numpy(np.int64), window_days)
+        days = (np.repeat(g["day"].to_numpy(np.int64), window_days)
+                + np.tile(np.arange(window_days, dtype=np.int64), len(g)))
+        cov = (pd.DataFrame({"user_id": users, "day": days})
+               .drop_duplicates())
+        n = cov.groupby("day", sort=False).size().rename("n").reset_index()
+        n["n"] = n["n"].astype(np.int64)
+        n["obs"] = np.int8(0)
+        obs = pd.DataFrame({"day": pd.unique(g["day"].to_numpy(np.int64))})
+        obs["n"] = np.int64(0)
+        obs["obs"] = np.int8(1)
+        return pd.concat([n, obs], ignore_index=True)
+
+    partials = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(lambda g: cover_bucket(g.drop(columns=["bucket"])),
+                            batch_format="pandas"))
+
+    def merge_day(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["obs"].max()) == 0:
+            return pd.DataFrame({"day_num": np.array([], np.int64),
+                                 "n_active": np.array([], np.int64)})
+        return pd.DataFrame({
+            "day_num": np.array([g["day"].iloc[0]], np.int64),
+            "n_active": np.array([g["n"].sum()], np.int64),
+        })
+
+    return partials.groupby("day").map_groups(merge_day,
+                                              batch_format="pandas")
+
+
+def q_rolling_active_users(sf_dir: str) -> rd.Dataset:
+    return rolling_active_users(sf_dir)

@@ -192,3 +192,56 @@ def grouped_mode(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
 def q_user_event_mode(sf_dir: str) -> rd.Dataset:
     return grouped_mode(sf_dir)
+
+
+# ------------------------------------------------------------ n-gram counts
+BIGRAM_TOP_K = 50
+
+
+def bigram_counts(sf_dir: str, k: int = BIGRAM_TOP_K,
+                  num_buckets: int = 16) -> rd.Dataset:
+    """Global top-k token bigrams over the corpus — the n-gram count
+    table LM data work starts from (vocab stats, contamination checks,
+    boilerplate detection). Bigrams never cross documents.
+
+    Each batch tokenizes (same ``TOKEN_RE``/lower contract as
+    ``doc_term_freqs``) and pre-counts its own bigrams, so the shuffle
+    carries per-batch (bigram, partial-count) rows bounded by the
+    batch's distinct-bigram count; one hash(bigram) bucketed sum, then
+    global ``sort + limit`` with the (n DESC, bigram ASC) tie-break
+    pinned on both sides."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        grams: list[str] = []
+        for s in texts:
+            toks = TOKEN_RE.findall((s or "").lower())
+            grams.extend(a + " " + b for a, b in zip(toks, toks[1:]))
+        if not grams:
+            return pd.DataFrame({"bigram": np.array([], object),
+                                 "n": np.array([], np.int64),
+                                 "bucket": np.array([], np.int32)})
+        out = (pd.Series(grams, dtype=object).value_counts()
+               .rename_axis("bigram").rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        out["bucket"] = (hash_strings(out["bigram"].to_numpy(object)) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bigram", sort=False)["n"].sum().reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    merged = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: merge_bucket(g.drop(columns=["bucket"])),
+                          batch_format="pandas"))
+    return (merged.sort(["n", "bigram"], descending=[True, False])
+            .limit(k))
+
+
+def q_bigram_counts(sf_dir: str) -> rd.Dataset:
+    return bigram_counts(sf_dir)

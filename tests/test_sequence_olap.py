@@ -202,3 +202,62 @@ def test_user_set_diff_membership(ray_session, tmp_path):
     ])
     got = user_set_diff(sf).to_pandas()
     assert got["user_id"].tolist() == [1]
+
+
+def test_type_transitions_order_and_singletons(ray_session, tmp_path):
+    from associationabacminer_ray.pipelines.sequence import type_transitions
+
+    sf = _write_events(tmp_path, [
+        (2, TS0, 1, "a", 1.0, "k1"),
+        (1, TS0, 1, "b", 1.0, "k1"),       # same ts: id 1 first -> b>a
+        (3, TS0 + SEC, 1, "a", 1.0, "k1"),  # a>a
+        (9, TS0, 2, "solo", 1.0, "k1"),     # singleton: no transition
+    ])
+    got = (type_transitions(sf).to_pandas()
+           .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+    assert got[["prev_type", "next_type"]].values.tolist() == [
+        ["a", "a"], ["b", "a"]]
+    assert got["n"].tolist() == [1, 1]
+
+
+def test_bigram_counts_doc_boundary_and_ties(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from associationabacminer_ray.pipelines.terms import bigram_counts
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["x y z", "z X y", "solo", None],
+        "lang": ["en"] * 4, "source": ["s"] * 4, "n_chars": [5] * 4,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = bigram_counts(str(tmp_path)).to_pandas().reset_index(drop=True)
+    # 'x y' appears in both docs (lowercased); 'z x' does NOT cross the
+    # doc-1/doc-2 boundary; 'solo' and None yield nothing
+    assert got["bigram"].tolist() == ["x y", "y z", "z x"]
+    assert got["n"].tolist() == [2, 1, 1]
+
+
+def test_rolling_active_users_dedup_and_boundary(ray_session, tmp_path):
+    from associationabacminer_ray.pipelines.temporal import (
+        rolling_active_users)
+
+    D = pd.Timedelta(days=1)
+    sf = _write_events(tmp_path, [
+        # user 1 active twice on day 0 (must count once) and on day 6
+        (1, TS0, 1, "a", 1.0, "k1"),
+        (2, TS0 + pd.Timedelta(hours=3), 1, "a", 1.0, "k1"),
+        (3, TS0 + 6 * D, 1, "a", 1.0, "k1"),
+        # user 2 active on day 0 only: inside day-6 window (d-6..d),
+        # outside day-7's
+        (4, TS0, 2, "a", 1.0, "k1"),
+        # user 3 creates day 7 so the boundary is observable
+        (5, TS0 + 7 * D, 3, "a", 1.0, "k1"),
+    ])
+    got = (rolling_active_users(sf).to_pandas()
+           .sort_values("day_num").reset_index(drop=True))
+    d0 = int(got["day_num"].iloc[0])
+    assert got["day_num"].tolist() == [d0, d0 + 6, d0 + 7]
+    # day 0: users {1,2}; day 6: {1 (both day-0 and day-6), 2}; day 7:
+    # {1 (day-6 activity), 3} — user 2's day-0 is out of range
+    assert got["n_active"].tolist() == [2, 2, 2]
