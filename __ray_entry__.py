@@ -1004,9 +1004,9 @@ def oracle_sql() -> dict[str, str]:
                                     >= 946684800000000)
         """,
         # ROLLUP(event_type, day): sentinels 'ALL' / -1 for rolled-up
-        # levels; day = integer floor-division of epoch microseconds on
-        # BOTH sides (no float day boundary risk) —
-        # pipelines.olap.daily_rollup
+        # levels; day = integer division of epoch microseconds with
+        # DuckDB's trunc-toward-zero semantics mirrored in the engine
+        # (temporal.day_num_trunc) — pipelines.olap.daily_rollup
         "daily_rollup": """
             SELECT COALESCE(event_type, 'ALL') AS event_type,
                    CAST(COALESCE(day_num, -1) AS BIGINT) AS day_num,

@@ -27,14 +27,11 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import hash_ints
+from .relational import _cents
+from .temporal import _ts_us, day_num_trunc
 
-US_PER_DAY = 86_400_000_000
 SEGMENT_TOP_N = 3
 N_HOURS = 24
-
-
-def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
-    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
 
 
 # --------------------------------------------------------- per-group top-N
@@ -43,13 +40,17 @@ def segment_top_orders(sf_dir: str, n: int = SEGMENT_TOP_N) -> rd.Dataset:
     DESC, orderkey ASC) — the ``ROW_NUMBER() OVER (PARTITION BY ...)
     <= n`` shape (A7's truncation generalized to rows).
 
-    Layout: the customer→segment map is the broadcast small side
-    (``ray.put`` once, as in ``relational.q_orders_customer_join``);
-    each batch keeps only its own top-``n`` per segment, so at most
+    Layout: the customer→segment map is the broadcast small side —
+    ``ray.put`` once, fetched once per ACTOR in ``__init__`` (the
+    ``relational._SegmentLookup`` pattern; a per-batch ``ray.get``
+    would re-deserialize the whole dimension dict for every batch).
+    Each batch keeps only its own top-``n`` per segment, so at most
     n × |segments| rows per batch enter the final per-segment
     ``map_groups`` — the shuffle is bounded by n × segments × blocks,
     never by the orders row count."""
     import pyarrow.parquet as pq
+
+    from ..runtime import auto_concurrency
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
@@ -59,19 +60,6 @@ def segment_top_orders(sf_dir: str, n: int = SEGMENT_TOP_N) -> rd.Dataset:
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
-
-    def partial(t: pa.Table) -> pd.DataFrame:
-        t = t.drop_null()
-        m = ray.get(seg_ref)
-        df = pd.DataFrame({
-            "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
-            "total_cents": _cents(t["o_totalprice"]).to_numpy(),
-            "c_mktsegment": pd.Series(
-                t["o_custkey"].to_numpy(zero_copy_only=False)).map(m),
-        }).dropna(subset=["c_mktsegment"])
-        df = df.sort_values(["total_cents", "o_orderkey"],
-                            ascending=[False, True], kind="mergesort")
-        return df.groupby("c_mktsegment", sort=False).head(n)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["total_cents", "o_orderkey"],
@@ -84,9 +72,34 @@ def segment_top_orders(sf_dir: str, n: int = SEGMENT_TOP_N) -> rd.Dataset:
             "total_cents": g["total_cents"].to_numpy(np.int64),
         })
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(_SegmentTopNPartial, batch_format="pyarrow",
+                           fn_constructor_args=(seg_ref, n),
+                           concurrency=auto_concurrency())
             .groupby("c_mktsegment")
             .map_groups(final, batch_format="pandas"))
+
+
+class _SegmentTopNPartial:
+    """Actor-pool stage: broadcast custkey→segment dict fetched once in
+    ``__init__``; per batch, map + inner-drop unknown custkeys + keep
+    the batch's own top-n per segment."""
+
+    def __init__(self, seg_ref, n: int):
+        self._seg = ray.get(seg_ref)
+        self._n = n
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
+            "total_cents": _cents(t["o_totalprice"]).to_numpy(),
+            "c_mktsegment": pd.Series(
+                t["o_custkey"].to_numpy(zero_copy_only=False))
+            .map(self._seg),
+        }).dropna(subset=["c_mktsegment"])
+        df = df.sort_values(["total_cents", "o_orderkey"],
+                            ascending=[False, True], kind="mergesort")
+        return df.groupby("c_mktsegment", sort=False).head(self._n)
 
 
 def q_segment_top_orders(sf_dir: str) -> rd.Dataset:
@@ -213,8 +226,7 @@ def daily_rollup(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
         t = t.drop_null()
         df = pd.DataFrame({
             "event_type": t["event_type"].to_numpy(zero_copy_only=False),
-            "day_num": (pc.cast(t["ts"], pa.int64()).to_numpy(
-                zero_copy_only=False) // US_PER_DAY),
+            "day_num": day_num_trunc(_ts_us(t["ts"])),
         })
         out = (df.groupby(["event_type", "day_num"], sort=False)
                .size().rename("n").reset_index())

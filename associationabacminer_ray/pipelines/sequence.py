@@ -1,17 +1,18 @@
 """Ordered-sequence operators over a keyed event stream: LAG/lead
-gaps, ordered path aggregation (trajectory strings), and trajectory
-frequency mining.
+gaps, ordered path aggregation (trajectory strings), trajectory-prefix
+frequency, and first-order transition counts.
 
 The reference treats a window's events as an unordered bag (dedup by
 content hash, ``src/model/EnvLogUniverseGenerator.py:91-94``) — order
 only ever matters to it through the pre-sliced Mongo time bounds. A
 transcript-scale training-data pipeline needs the *ordered* family:
 "what preceded this turn", "what is this conversation's tool
-trajectory", "which trajectories are common". All three are one keyed
-hash shuffle + a vectorized per-bucket kernel — the same partitioning
-contract as every keyed groupby here (one key's rows co-locate in one
-bucket group; path length is bounded by the per-key row count, which
-for transcripts is the conversation length, not the corpus size).
+trajectory", "which trajectories are common", "what transitions does
+the stream make". All are one keyed hash shuffle + a vectorized
+per-bucket kernel — the same partitioning contract as every keyed
+groupby here (one key's rows co-locate in one bucket group; path
+length is bounded by the per-key row count, which for transcripts is
+the conversation length, not the corpus size).
 
 Gate conventions (see ``graft-gate-conventions``): integer or plain
 string outputs only; the NULL contract is pinned on both sides (the
@@ -25,18 +26,34 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data as rd
 
 from ..functions.hashing import hash_ints, hash_strings
+from .temporal import _ts_us
 
 PATH_SEP = ">"
 TOP_PATHS_K = 20
+TOP_PATHS_PREFIX = 5
 
 
-def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+def _prep_events(t: pa.Table, num_buckets: int,
+                 with_type: bool = False) -> pd.DataFrame:
+    """Shared null-dropping + user-bucketing projection for every
+    sequence operator (one copy so the bucketing/null contract cannot
+    drift between them)."""
+    t = t.drop_null()
+    cols = {
+        "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+        "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+        "ts_us": _ts_us(t["ts"]),
+    }
+    if with_type:
+        cols["event_type"] = t["event_type"].to_numpy(zero_copy_only=False)
+    df = pd.DataFrame(cols)
+    df["bucket"] = (hash_ints(df["user_id"]) %
+                    np.uint64(num_buckets)).astype(np.int32)
+    return df
 
 
 # ------------------------------------------------------------- LAG / gaps
@@ -51,17 +68,6 @@ def user_event_gaps(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts"])
 
-    def prep(t: pa.Table) -> pd.DataFrame:
-        t = t.drop_null()
-        df = pd.DataFrame({
-            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
-            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
-            "ts_us": _ts_us(t["ts"]),
-        })
-        df["bucket"] = (hash_ints(df["user_id"]) %
-                        np.uint64(num_buckets)).astype(np.int32)
-        return df
-
     def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         users = g["user_id"].to_numpy(np.int64)
@@ -69,13 +75,15 @@ def user_event_gaps(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         ts = g["ts_us"].to_numpy(np.int64)
         # row i's predecessor is row i-1 unless a new user segment starts
         keep = np.r_[False, users[1:] == users[:-1]]
+        at = np.flatnonzero(keep)
         return pd.DataFrame({
-            "event_id": ids[keep],
-            "prev_event_id": ids[np.flatnonzero(keep) - 1],
-            "gap_us": ts[keep] - ts[np.flatnonzero(keep) - 1],
+            "event_id": ids[at],
+            "prev_event_id": ids[at - 1],
+            "gap_us": ts[at] - ts[at - 1],
         })
 
-    return (ev.map_batches(prep, batch_format="pyarrow")
+    return (ev.map_batches(lambda t: _prep_events(t, num_buckets),
+                           batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(lambda g: gaps_bucket(g.drop(columns=["bucket"])),
                         batch_format="pandas"))
@@ -86,32 +94,25 @@ def q_user_event_gaps(sf_dir: str) -> rd.Dataset:
 
 
 # --------------------------------------------------- ordered path aggregation
-def user_paths(sf_dir: str, sep: str = PATH_SEP,
+def user_paths(sf_dir: str, sep: str = PATH_SEP, max_steps: int | None = None,
                num_buckets: int = 16) -> rd.Dataset:
     """Per user: the ordered event-type trajectory string (ordered by
     (ts, event_id)) and its step count — the SQL ``string_agg(...
-    ORDER BY ts, event_id)`` shape. One hash shuffle on the user; the
-    per-bucket kernel sorts once and joins per user segment. The output
-    row size is bounded by the per-key sequence length (conversation
-    length for transcripts), the documented partitioning assumption of
-    every keyed operator here."""
+    ORDER BY ts, event_id)`` shape. ``max_steps`` truncates each user's
+    sequence to its first N *rows before joining* (the oracle's
+    ``rn <= N`` — truncating the joined string would miscount whenever
+    an event_type contains the separator). One hash shuffle on the
+    user; the per-bucket kernel sorts once and joins per user segment.
+    The output row size is bounded by the per-key sequence length
+    (conversation length for transcripts), the documented partitioning
+    assumption of every keyed operator here."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "event_type"])
 
-    def prep(t: pa.Table) -> pd.DataFrame:
-        t = t.drop_null()
-        df = pd.DataFrame({
-            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
-            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
-            "ts_us": _ts_us(t["ts"]),
-            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
-        })
-        df["bucket"] = (hash_ints(df["user_id"]) %
-                        np.uint64(num_buckets)).astype(np.int32)
-        return df
-
     def paths_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        if max_steps is not None:
+            g = g[g.groupby("user_id", sort=False).cumcount() < max_steps]
         agg = (g.groupby("user_id", sort=False)["event_type"]
                .agg([("path", sep.join), ("n_steps", "size")])
                .reset_index())
@@ -119,7 +120,9 @@ def user_paths(sf_dir: str, sep: str = PATH_SEP,
         agg["n_steps"] = agg["n_steps"].astype(np.int64)
         return agg[["user_id", "path", "n_steps"]]
 
-    return (ev.map_batches(prep, batch_format="pyarrow")
+    return (ev.map_batches(lambda t: _prep_events(t, num_buckets,
+                                                  with_type=True),
+                           batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(lambda g: paths_bucket(g.drop(columns=["bucket"])),
                         batch_format="pandas"))
@@ -130,21 +133,25 @@ def q_user_paths(sf_dir: str) -> rd.Dataset:
 
 
 # ----------------------------------------------------- trajectory frequency
-def top_paths(sf_dir: str, k: int = TOP_PATHS_K, prefix_len: int = 5,
+def top_paths(sf_dir: str, k: int = TOP_PATHS_K,
+              prefix_len: int = TOP_PATHS_PREFIX,
               num_buckets: int = 16) -> rd.Dataset:
     """Most common trajectory *prefixes* (first ``prefix_len`` steps):
     full paths are near-unique, so frequency mining operates on the
     bounded prefix — the sequence analog of the itemset top-k (A6).
+    The prefix is truncated at the event-row level inside
+    ``user_paths`` (never by splitting the joined string, which would
+    break if a type contained the separator).
 
-    Composition: ``user_paths`` → per-batch partial counts → one
-    bucketed count shuffle keyed on the prefix hash → global
+    Composition: ``user_paths(max_steps)`` → per-batch partial counts
+    → one bucketed count shuffle keyed on the prefix hash → global
     ``sort + limit`` with the (n_users DESC, path ASC) tie-break pinned
     on both sides. Only (prefix, partial-count) rows shuffle."""
-    paths = user_paths(sf_dir, num_buckets=num_buckets)
+    paths = user_paths(sf_dir, max_steps=prefix_len,
+                       num_buckets=num_buckets)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        prefix = df["path"].str.split(PATH_SEP).str[:prefix_len].str.join(PATH_SEP)
-        out = (prefix.value_counts().rename_axis("path")
+        out = (df["path"].value_counts().rename_axis("path")
                .rename("n_users").reset_index())
         out["bucket"] = (hash_strings(out["path"].to_numpy(object)) %
                          np.uint64(num_buckets)).astype(np.int32)
@@ -180,33 +187,24 @@ def type_transitions(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "event_type"])
 
-    def prep(t: pa.Table) -> pd.DataFrame:
-        t = t.drop_null()
-        df = pd.DataFrame({
-            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
-            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
-            "ts_us": _ts_us(t["ts"]),
-            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
-        })
-        df["bucket"] = (hash_ints(df["user_id"]) %
-                        np.uint64(num_buckets)).astype(np.int32)
-        return df
-
     def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         users = g["user_id"].to_numpy(np.int64)
         types = g["event_type"].to_numpy(object)
         keep = np.r_[False, users[1:] == users[:-1]]
+        at = np.flatnonzero(keep)
         pairs = pd.DataFrame({
-            "prev_type": types[np.flatnonzero(keep) - 1],
-            "next_type": types[keep],
+            "prev_type": types[at - 1],
+            "next_type": types[at],
         })
         out = (pairs.groupby(["prev_type", "next_type"], sort=False)
                .size().rename("n").reset_index())
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    partials = (ev.map_batches(prep, batch_format="pyarrow")
+    partials = (ev.map_batches(lambda t: _prep_events(t, num_buckets,
+                                                      with_type=True),
+                               batch_format="pyarrow")
                 .groupby("bucket")
                 .map_groups(lambda g: count_bucket(g.drop(columns=["bucket"])),
                             batch_format="pandas"))

@@ -55,6 +55,16 @@ def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
 
 
+def day_num_trunc(ts_us: np.ndarray) -> np.ndarray:
+    """Day bucket matching DuckDB's ``epoch_us(ts) // 86400000000``:
+    integer division with truncation TOWARD ZERO (``SELECT -7 // 2``
+    is -3 in DuckDB), not numpy's floor division (-7 // 2 = -4). The
+    two agree for post-1970 timestamps; pinning trunc semantics keeps
+    engine and oracle identical for pre-1970 rows too."""
+    q = np.abs(ts_us) // US_PER_DAY
+    return np.where(ts_us >= 0, q, -q).astype(np.int64)
+
+
 def _fold_bp(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Basis-point fold of an Arrow float column via THE shared
     ``functions.scoring.fold_bp_strict`` (one implementation per gate
@@ -353,7 +363,7 @@ def rolling_active_users(sf_dir: str, window_days: int = ROLLING_DAYS,
         t = _drop_null(t)
         df = pd.DataFrame({
             "user_id": t["user_id"].to_numpy(zero_copy_only=False),
-            "day": _ts_us(t["ts"]) // US_PER_DAY,
+            "day": day_num_trunc(_ts_us(t["ts"])),
         }).drop_duplicates()
         df["bucket"] = (hash_ints(df["user_id"]) %
                         np.uint64(num_buckets)).astype(np.int32)

@@ -211,7 +211,7 @@ def bigram_counts(sf_dir: str, k: int = BIGRAM_TOP_K,
     global ``sort + limit`` with the (n DESC, bigram ASC) tie-break
     pinned on both sides."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+                           columns=["text"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
         texts = t["text"].to_pylist()

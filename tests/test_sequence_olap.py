@@ -261,3 +261,30 @@ def test_rolling_active_users_dedup_and_boundary(ray_session, tmp_path):
     # day 0: users {1,2}; day 6: {1 (both day-0 and day-6), 2}; day 7:
     # {1 (day-6 activity), 3} — user 2's day-0 is out of range
     assert got["n_active"].tolist() == [2, 2, 2]
+
+
+def test_day_num_trunc_matches_duckdb_pre_1970():
+    """Engine day bucketing must use DuckDB's '//' semantics (trunc
+    toward zero), not numpy floor — divergence only shows pre-1970."""
+    import duckdb
+    from associationabacminer_ray.pipelines.temporal import day_num_trunc
+
+    ts = np.array([-7 * 86_400_000_000 // 2,   # mid-day pre-1970
+                   -1, 0, 1,
+                   5 * 86_400_000_000 + 123], np.int64)
+    want = [duckdb.sql(f"SELECT {int(v)} // 86400000000").fetchone()[0]
+            for v in ts]
+    assert day_num_trunc(ts).tolist() == want
+
+
+def test_top_paths_separator_in_type(ray_session, tmp_path):
+    """A '>' inside an event_type must not shift the prefix boundary:
+    truncation happens on event rows, before joining (oracle rn<=5)."""
+    from associationabacminer_ray.pipelines.sequence import top_paths
+
+    rows = [(i, TS0 + i * SEC, 1, t, 1.0, "k1")
+            for i, t in enumerate(["a>b", "c", "d", "e", "f", "g"])]
+    sf = _write_events(tmp_path, rows)
+    got = top_paths(sf).to_pandas()
+    # 5 EVENTS -> 'a>b', 'c', 'd', 'e', 'f' (six '>'-separated tokens)
+    assert got["path"].tolist() == ["a>b>c>d>e>f"]
