@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_transitions": SQ.q_type_transitions,
         "bigram_counts": TR.q_bigram_counts,
         "rolling_active_users": TM.q_rolling_active_users,
+        # round 3 (late): ordered conversion funnel + left-join aggregate
+        "funnel_counts": SQ.q_funnel_counts,
+        "customer_order_counts": O.q_customer_order_counts,
     }
 
 
@@ -1077,5 +1080,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_active
             FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
             GROUP BY days.d
+        """,
+        # ordered conversion funnel signup -> view -> purchase:
+        # earliest-completion greedy, each step STRICTLY after the
+        # previous step's earliest valid time —
+        # pipelines.sequence.funnel_counts
+        "funnel_counts": """
+            WITH base AS (SELECT user_id, ts, event_type FROM events
+                          WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                            AND ts IS NOT NULL AND event_type IS NOT NULL),
+            s1 AS (SELECT user_id, MIN(ts) AS t FROM base
+                   WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT b.user_id, MIN(b.ts) AS t FROM base b
+                   JOIN s1 ON b.user_id = s1.user_id
+                   WHERE b.event_type = 'view' AND b.ts > s1.t
+                   GROUP BY b.user_id),
+            s3 AS (SELECT b.user_id, MIN(b.ts) AS t FROM base b
+                   JOIN s2 ON b.user_id = s2.user_id
+                   WHERE b.event_type = 'purchase' AND b.ts > s2.t
+                   GROUP BY b.user_id)
+            SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'view',
+                   CAST(COUNT(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   CAST(COUNT(*) AS BIGINT) FROM s3
+        """,
+        # customer LEFT JOIN orders aggregate: order count per customer
+        # including zero — pipelines.olap.customer_order_counts
+        "customer_order_counts": """
+            SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+                   CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NOT NULL
+            GROUP BY c.c_custkey
         """,
     }

@@ -305,3 +305,55 @@ def user_set_diff(sf_dir: str, tool_a: str = "k1", tool_b: str = "k2",
 
 def q_user_set_diff(sf_dir: str) -> rd.Dataset:
     return user_set_diff(sf_dir)
+
+
+# -------------------------------------------------------- left join aggregate
+def customer_order_counts(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """customer LEFT JOIN orders, aggregated: per customer the order
+    count INCLUDING zero — the outer-join shape the inner/anti joins
+    don't cover. Both sides bucket on hash(custkey); the probe side
+    pre-counts per (custkey, block) so the shuffle carries count
+    partials, not order rows; each bucket reindexes its customers over
+    the summed counts with a zero fill."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def prep_cust(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "key": t["c_custkey"].to_numpy(zero_copy_only=False),
+            "n": np.zeros(t.num_rows, np.int64),
+        })
+        df["side"] = np.int8(0)
+        df["bucket"] = (hash_ints(df["key"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def prep_orders(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        keys = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False))
+        cnt = keys.value_counts().rename_axis("key").rename("n").reset_index()
+        cnt["n"] = cnt["n"].astype(np.int64)
+        cnt["side"] = np.int8(1)
+        cnt["bucket"] = (hash_ints(cnt["key"]) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return cnt
+
+    tagged = (cust.map_batches(prep_cust, batch_format="pyarrow")
+              .union(orders.map_batches(prep_orders, batch_format="pyarrow")))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left_keys = g.loc[g["side"] == 0, "key"].to_numpy(np.int64)
+        sums = (g[g["side"] == 1].groupby("key", sort=False)["n"].sum())
+        n = sums.reindex(left_keys, fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame({"c_custkey": left_keys, "n_orders": n})
+
+    return (tagged.groupby("bucket")
+            .map_groups(lambda g: join_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_customer_order_counts(sf_dir: str) -> rd.Dataset:
+    return customer_order_counts(sf_dir)

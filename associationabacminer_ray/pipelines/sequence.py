@@ -222,3 +222,63 @@ def type_transitions(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
 def q_type_transitions(sf_dir: str) -> rd.Dataset:
     return type_transitions(sf_dir)
+
+
+# ------------------------------------------------------------------- funnel
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
+                  num_buckets: int = 16) -> rd.Dataset:
+    """Ordered conversion funnel: for each step k, how many users
+    completed steps 1..k IN ORDER — step k must occur at a timestamp
+    STRICTLY greater than the user's earliest valid completion of step
+    k-1 (earliest-completion greedy semantics; equal-timestamp steps do
+    not advance the funnel, pinned identically in the SQL oracle's
+    ``e.ts > prev.t`` joins).
+
+    One user-keyed shuffle; each bucket resolves its users' step times
+    with vectorized per-step groupby-min + merge (no per-user loop) and
+    emits |steps| partial counts, so the final merge touches
+    |steps| × buckets rows."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # bound: per user, earliest completion time of the previous step
+        bound = None  # DataFrame(user_id, t)
+        counts = []
+        for i, step in enumerate(steps):
+            rows = g[g["event_type"] == step]
+            if bound is not None:
+                rows = rows.merge(bound, on="user_id", how="inner")
+                rows = rows[rows["ts_us"] > rows["t"]]
+            t = (rows.groupby("user_id", sort=False)["ts_us"].min()
+                 .rename("t").reset_index())
+            counts.append(len(t))
+            bound = t
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "step_type": np.array(steps, object),
+            "n_users": np.array(counts, np.int64),
+        })
+
+    partials = (ev.map_batches(lambda t: _prep_events(t, num_buckets,
+                                                      with_type=True),
+                               batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(lambda g: funnel_bucket(
+                    g.drop(columns=["bucket"])), batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "step": np.array([g["step"].iloc[0]], np.int64),
+            "step_type": [g["step_type"].iloc[0]],
+            "n_users": np.array([g["n_users"].sum()], np.int64),
+        })
+
+    return partials.groupby("step").map_groups(merge, batch_format="pandas")
+
+
+def q_funnel_counts(sf_dir: str) -> rd.Dataset:
+    return funnel_counts(sf_dir)

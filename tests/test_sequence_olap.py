@@ -288,3 +288,50 @@ def test_top_paths_separator_in_type(ray_session, tmp_path):
     got = top_paths(sf).to_pandas()
     # 5 EVENTS -> 'a>b', 'c', 'd', 'e', 'f' (six '>'-separated tokens)
     assert got["path"].tolist() == ["a>b>c>d>e>f"]
+
+
+def test_funnel_strict_order_and_ties(ray_session, tmp_path):
+    """Steps must advance strictly in time: same-ts view does not
+    count; a view BEFORE signup does not count; purchase needs a valid
+    view first."""
+    from associationabacminer_ray.pipelines.sequence import funnel_counts
+
+    D = pd.Timedelta(minutes=1)
+    sf = _write_events(tmp_path, [
+        # user 1: full ordered funnel
+        (1, TS0, 1, "signup", 1.0, "k1"),
+        (2, TS0 + D, 1, "view", 1.0, "k1"),
+        (3, TS0 + 2 * D, 1, "purchase", 1.0, "k1"),
+        # user 2: view at the SAME ts as signup -> step 2 not reached
+        (4, TS0, 2, "signup", 1.0, "k1"),
+        (5, TS0, 2, "view", 1.0, "k1"),
+        (6, TS0 + D, 2, "purchase", 1.0, "k1"),  # purchase w/o view: no
+        # user 3: view BEFORE signup only -> step 2 not reached
+        (7, TS0 + D, 3, "signup", 1.0, "k1"),
+        (8, TS0, 3, "view", 1.0, "k1"),
+        # user 4: second view after signup rescues the funnel
+        (9, TS0 + D, 4, "signup", 1.0, "k1"),
+        (10, TS0, 4, "view", 1.0, "k1"),
+        (11, TS0 + 2 * D, 4, "view", 1.0, "k1"),
+        (12, TS0 + 3 * D, 4, "purchase", 1.0, "k1"),
+    ])
+    got = (funnel_counts(sf).to_pandas()
+           .sort_values("step").reset_index(drop=True))
+    assert got["step_type"].tolist() == ["signup", "view", "purchase"]
+    assert got["n_users"].tolist() == [4, 2, 2]
+
+
+def test_customer_order_counts_zero_fill(ray_session, tmp_path):
+    from associationabacminer_ray.pipelines.olap import customer_order_counts
+
+    sf = _write_tpch(
+        tmp_path,
+        customers=[(1, "a", 0, 0.0, "S"), (2, "b", 0, 0.0, "S"),
+                   (3, "c", 0, 0.0, "S")],
+        orders=[(11, 1, "O", 1.0, TS0, "P"),
+                (12, 1, "O", 1.0, TS0, "P"),
+                (13, 2, "O", 1.0, TS0, "P")])
+    got = (customer_order_counts(sf).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    assert got["c_custkey"].tolist() == [1, 2, 3]
+    assert got["n_orders"].tolist() == [2, 1, 0]
