@@ -345,7 +345,11 @@ def customer_order_counts(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
               .union(orders.map_batches(prep_orders, batch_format="pyarrow")))
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left_keys = g.loc[g["side"] == 0, "key"].to_numpy(np.int64)
+        # one output row per DISTINCT key (the oracle GROUP BYs the
+        # key); same-key rows always land in the same bucket, so the
+        # per-bucket unique is globally unique
+        left_keys = np.unique(g.loc[g["side"] == 0, "key"]
+                              .to_numpy(np.int64))
         sums = (g[g["side"] == 1].groupby("key", sort=False)["n"].sum())
         n = sums.reindex(left_keys, fill_value=0).to_numpy(np.int64)
         return pd.DataFrame({"c_custkey": left_keys, "n_orders": n})

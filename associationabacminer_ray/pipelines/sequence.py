@@ -237,18 +237,28 @@ def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
     not advance the funnel, pinned identically in the SQL oracle's
     ``e.ts > prev.t`` joins).
 
-    One user-keyed shuffle; each bucket resolves its users' step times
-    with vectorized per-step groupby-min + merge (no per-user loop) and
-    emits |steps| partial counts, so the final merge touches
-    |steps| × buckets rows."""
+    One user-keyed shuffle; non-funnel event types and the (null-
+    checked but otherwise unused) event_id column are dropped BEFORE
+    bucketing, so only funnel-relevant (user, ts, type) rows shuffle.
+    Each bucket resolves its users' step times with vectorized
+    per-step groupby-min + merge (no per-user loop) and emits |steps|
+    partial counts, so the final merge touches |steps| × buckets rows
+    (a constant zero-count seed per step keeps the output exactly
+    |steps| rows even on an empty/fully-null input, matching the
+    oracle's unconditional COUNT(*) rows)."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = _prep_events(t, num_buckets, with_type=True)
+        df = df[df["event_type"].isin(steps)]
+        return df.drop(columns=["event_id"])
 
     def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # bound: per user, earliest completion time of the previous step
         bound = None  # DataFrame(user_id, t)
         counts = []
-        for i, step in enumerate(steps):
+        for step in steps:
             rows = g[g["event_type"] == step]
             if bound is not None:
                 rows = rows.merge(bound, on="user_id", how="inner")
@@ -263,12 +273,17 @@ def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
             "n_users": np.array(counts, np.int64),
         })
 
-    partials = (ev.map_batches(lambda t: _prep_events(t, num_buckets,
-                                                      with_type=True),
-                               batch_format="pyarrow")
+    seed = rd.from_pandas(pd.DataFrame({
+        "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+        "step_type": np.array(steps, object),
+        "n_users": np.zeros(len(steps), np.int64),
+    }))
+
+    partials = (ev.map_batches(prep, batch_format="pyarrow")
                 .groupby("bucket")
                 .map_groups(lambda g: funnel_bucket(
-                    g.drop(columns=["bucket"])), batch_format="pandas"))
+                    g.drop(columns=["bucket"])), batch_format="pandas")
+                .union(seed))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

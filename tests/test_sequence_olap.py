@@ -335,3 +335,32 @@ def test_customer_order_counts_zero_fill(ray_session, tmp_path):
            .sort_values("c_custkey").reset_index(drop=True))
     assert got["c_custkey"].tolist() == [1, 2, 3]
     assert got["n_orders"].tolist() == [2, 1, 0]
+
+
+def test_funnel_empty_input_keeps_step_rows(ray_session, tmp_path):
+    """Empty (or fully null-dropped) input must still yield one row
+    per step with n_users=0 — the oracle's COUNT(*) subqueries always
+    produce their rows."""
+    from associationabacminer_ray.pipelines.sequence import funnel_counts
+
+    sf = _write_events(tmp_path, [])
+    got = (funnel_counts(sf).to_pandas()
+           .sort_values("step").reset_index(drop=True))
+    assert got["step_type"].tolist() == ["signup", "view", "purchase"]
+    assert got["n_users"].tolist() == [0, 0, 0]
+
+
+def test_customer_order_counts_duplicate_left_keys(ray_session, tmp_path):
+    """A duplicated customer key must produce ONE output row (the
+    oracle GROUP BYs the key)."""
+    from associationabacminer_ray.pipelines.olap import customer_order_counts
+
+    sf = _write_tpch(
+        tmp_path,
+        customers=[(7, "dup-a", 0, 0.0, "S"), (7, "dup-b", 0, 0.0, "S")],
+        orders=[(11, 7, "O", 1.0, TS0, "P"),
+                (12, 7, "O", 1.0, TS0, "P"),
+                (13, 7, "O", 1.0, TS0, "P")])
+    got = customer_order_counts(sf).to_pandas()
+    assert got["c_custkey"].tolist() == [7]
+    assert got["n_orders"].tolist() == [3]
