@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3 (late): ordered conversion funnel + left-join aggregate
         "funnel_counts": SQ.q_funnel_counts,
         "customer_order_counts": O.q_customer_order_counts,
+        # round 3 (late): conversion-time analysis composed on the
+        # funnel bounds + the exact-quantile rank pick
+        "conversion_gaps": SQ.q_conversion_gaps,
+        "conversion_time_quantiles": SQ.q_conversion_time_quantiles,
     }
 
 
@@ -1107,6 +1111,56 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST(COUNT(*) AS BIGINT) FROM s3
+        """,
+        # per-user funnel completion time: chain end minus first-step
+        # earliest ts, same greedy bounds as funnel_counts —
+        # pipelines.sequence.user_conversion_gaps
+        "conversion_gaps": """
+            WITH base AS (SELECT user_id, ts, event_type FROM events
+                          WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                            AND ts IS NOT NULL AND event_type IS NOT NULL),
+            s1 AS (SELECT user_id, MIN(ts) AS t FROM base
+                   WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT b.user_id, MIN(b.ts) AS t FROM base b
+                   JOIN s1 ON b.user_id = s1.user_id
+                   WHERE b.event_type = 'view' AND b.ts > s1.t
+                   GROUP BY b.user_id),
+            s3 AS (SELECT b.user_id, MIN(b.ts) AS t FROM base b
+                   JOIN s2 ON b.user_id = s2.user_id
+                   WHERE b.event_type = 'purchase' AND b.ts > s2.t
+                   GROUP BY b.user_id)
+            SELECT CAST(s3.user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(s3.t) - epoch_us(s1.t) AS BIGINT) AS gap_us
+            FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+        """,
+        # exact discrete quantiles of the conversion gap; identical
+        # rank rule to value_quantiles_exact —
+        # pipelines.sequence.conversion_time_quantiles
+        "conversion_time_quantiles": """
+            WITH base AS (SELECT user_id, ts, event_type FROM events
+                          WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                            AND ts IS NOT NULL AND event_type IS NOT NULL),
+            s1 AS (SELECT user_id, MIN(ts) AS t FROM base
+                   WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT b.user_id, MIN(b.ts) AS t FROM base b
+                   JOIN s1 ON b.user_id = s1.user_id
+                   WHERE b.event_type = 'view' AND b.ts > s1.t
+                   GROUP BY b.user_id),
+            s3 AS (SELECT b.user_id, MIN(b.ts) AS t FROM base b
+                   JOIN s2 ON b.user_id = s2.user_id
+                   WHERE b.event_type = 'purchase' AND b.ts > s2.t
+                   GROUP BY b.user_id),
+            gaps AS (SELECT epoch_us(s3.t) - epoch_us(s1.t) AS gap
+                     FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
+            n AS (SELECT COUNT(*) AS n FROM gaps),
+            r AS (SELECT gap, ROW_NUMBER() OVER (ORDER BY gap) AS rn
+                  FROM gaps),
+            q(q_pct) AS (VALUES (25), (50), (75), (90), (99))
+            SELECT CAST(q.q_pct AS INTEGER) AS q_pct,
+                   CAST(r.gap AS BIGINT) AS gap_us
+            FROM r, n JOIN q
+              ON r.rn = CAST(FLOOR(q.q_pct / 100.0 * (n.n - 1))
+                             AS BIGINT) + 1
         """,
         # customer LEFT JOIN orders aggregate: order count per customer
         # including zero — pipelines.olap.customer_order_counts

@@ -297,3 +297,106 @@ def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
 
 def q_funnel_counts(sf_dir: str) -> rd.Dataset:
     return funnel_counts(sf_dir)
+
+
+# ------------------------------------------------- conversion-time analysis
+def user_conversion_gaps(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
+                         num_buckets: int = 16) -> rd.Dataset:
+    """Per user completing the WHOLE funnel: microseconds from the
+    first step's earliest occurrence to the chain's valid completion
+    of the last step (same earliest-completion greedy bounds as
+    ``funnel_counts``). One user-keyed shuffle; each bucket walks the
+    step chain with the same vectorized groupby-min + merge and emits
+    (user_id, gap_us) for users whose chain completed."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = _prep_events(t, num_buckets, with_type=True)
+        df = df[df["event_type"].isin(steps)]
+        return df.drop(columns=["event_id"])
+
+    def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = None  # per-user ts of step 1
+        bound = None
+        for step in steps:
+            rows = g[g["event_type"] == step]
+            if bound is not None:
+                rows = rows.merge(bound, on="user_id", how="inner")
+                rows = rows[rows["ts_us"] > rows["t"]]
+            t = (rows.groupby("user_id", sort=False)["ts_us"].min()
+                 .rename("t").reset_index())
+            if first is None:
+                first = t.rename(columns={"t": "t0"})
+            bound = t
+        done = bound.merge(first, on="user_id", how="inner")
+        return pd.DataFrame({
+            "user_id": done["user_id"].to_numpy(np.int64),
+            "gap_us": (done["t"].to_numpy(np.int64)
+                       - done["t0"].to_numpy(np.int64)),
+        })
+
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: gaps_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_conversion_gaps(sf_dir: str) -> rd.Dataset:
+    return user_conversion_gaps(sf_dir)
+
+
+CONV_QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+def conversion_time_quantiles(sf_dir: str,
+                              pcts=CONV_QUANTILE_PCTS,
+                              num_buckets: int = 16) -> rd.Dataset:
+    """Exact discrete quantiles of the conversion gap — the same
+    histogram-reduction + rank-pick layout as
+    ``temporal.exact_value_quantiles`` (rank = floor(q/100*(n-1))+1,
+    the identical float64 expression in numpy and SQL), composed on
+    top of ``user_conversion_gaps``. The shuffle after the per-batch
+    pre-count is bounded by distinct gap values, and the final pick
+    runs inside one map_groups over the merged histogram — no driver
+    materialization."""
+    gaps = user_conversion_gaps(sf_dir, num_buckets=num_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df["gap_us"].value_counts().rename_axis("gap_us")
+               .rename("cnt").reset_index())
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["bucket"] = (hash_ints(out["gap_us"]) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("gap_us", sort=False)["cnt"].sum().reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["all"] = np.int8(0)
+        return out
+
+    hist = (gaps.map_batches(partial, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda g: merge_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+    pct_arr = np.array(pcts, np.int32)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("gap_us", kind="mergesort")
+        counts = g["cnt"].to_numpy(np.int64)
+        values = g["gap_us"].to_numpy(np.int64)
+        csum = np.cumsum(counts)
+        n = int(csum[-1])
+        ranks = np.floor(pct_arr / 100.0 * (n - 1)).astype(np.int64) + 1
+        idx = np.searchsorted(csum, ranks, side="left")
+        return pd.DataFrame({"q_pct": pct_arr, "gap_us": values[idx]})
+
+    return (hist.groupby("all")
+            .map_groups(lambda g: pick(g.drop(columns=["all"])),
+                        batch_format="pandas"))
+
+
+def q_conversion_time_quantiles(sf_dir: str) -> rd.Dataset:
+    return conversion_time_quantiles(sf_dir)

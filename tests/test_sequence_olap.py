@@ -364,3 +364,37 @@ def test_customer_order_counts_duplicate_left_keys(ray_session, tmp_path):
     got = customer_order_counts(sf).to_pandas()
     assert got["c_custkey"].tolist() == [7]
     assert got["n_orders"].tolist() == [3]
+
+
+def test_conversion_gaps_and_quantiles(ray_session, tmp_path):
+    """Gap = chain completion minus FIRST signup (not the rescue
+    view's ts); single-gap corpus puts every quantile at that value."""
+    from associationabacminer_ray.pipelines.sequence import (
+        conversion_time_quantiles, user_conversion_gaps)
+
+    D = pd.Timedelta(minutes=1)
+    sf = _write_events(tmp_path, [
+        (1, TS0, 1, "signup", 1.0, "k1"),
+        (2, TS0 + D, 1, "view", 1.0, "k1"),
+        (3, TS0 + 3 * D, 1, "purchase", 1.0, "k1"),
+        # user 2 never completes -> no gap row
+        (4, TS0, 2, "signup", 1.0, "k1"),
+    ])
+    gaps = user_conversion_gaps(sf).to_pandas()
+    assert gaps["user_id"].tolist() == [1]
+    assert gaps["gap_us"].tolist() == [180_000_000]
+    q = (conversion_time_quantiles(sf).to_pandas()
+         .sort_values("q_pct").reset_index(drop=True))
+    assert q["q_pct"].tolist() == [25, 50, 75, 90, 99]
+    assert set(q["gap_us"]) == {180_000_000}
+
+
+def test_conversion_quantiles_empty(ray_session, tmp_path):
+    """No completed chains -> empty output on both sides (the oracle's
+    rank join matches nothing when n=0)."""
+    from associationabacminer_ray.pipelines.sequence import (
+        conversion_time_quantiles)
+
+    sf = _write_events(tmp_path, [(1, TS0, 1, "signup", 1.0, "k1")])
+    got = conversion_time_quantiles(sf).to_pandas()
+    assert len(got) == 0
