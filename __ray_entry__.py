@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # funnel bounds + the exact-quantile rank pick
         "conversion_gaps": SQ.q_conversion_gaps,
         "conversion_time_quantiles": SQ.q_conversion_time_quantiles,
+        # round 3 (late): weekly cohort retention matrix
+        "cohort_retention": TM.q_cohort_retention,
     }
 
 
@@ -1171,5 +1173,22 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = c.c_custkey
             WHERE c.c_custkey IS NOT NULL
             GROUP BY c.c_custkey
+        """,
+        # weekly cohort retention: users by first-activity week, counted
+        # per week-offset of later activity; the (user, week) dedup
+        # makes COUNT(*) == COUNT(DISTINCT user) —
+        # pipelines.temporal.cohort_retention
+        "cohort_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS w
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            c AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id)
+            SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+                   CAST(uw.w - c.cw AS BIGINT) AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM uw JOIN c ON uw.user_id = c.user_id
+            GROUP BY c.cw, uw.w - c.cw
         """,
     }

@@ -55,14 +55,22 @@ def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
 
 
-def day_num_trunc(ts_us: np.ndarray) -> np.ndarray:
-    """Day bucket matching DuckDB's ``epoch_us(ts) // 86400000000``:
-    integer division with truncation TOWARD ZERO (``SELECT -7 // 2``
-    is -3 in DuckDB), not numpy's floor division (-7 // 2 = -4). The
-    two agree for post-1970 timestamps; pinning trunc semantics keeps
-    engine and oracle identical for pre-1970 rows too."""
-    q = np.abs(ts_us) // US_PER_DAY
+US_PER_WEEK = 7 * US_PER_DAY
+
+
+def epoch_div_trunc(ts_us: np.ndarray, unit_us: int) -> np.ndarray:
+    """Integer division matching DuckDB's ``//``: truncation TOWARD
+    ZERO (``SELECT -7 // 2`` is -3 in DuckDB), not numpy's floor
+    division (-7 // 2 = -4). The two agree for post-1970 timestamps;
+    pinning trunc semantics keeps engine and oracle identical for
+    pre-1970 rows too."""
+    q = np.abs(ts_us) // unit_us
     return np.where(ts_us >= 0, q, -q).astype(np.int64)
+
+
+def day_num_trunc(ts_us: np.ndarray) -> np.ndarray:
+    """Day bucket matching DuckDB's ``epoch_us(ts) // 86400000000``."""
+    return epoch_div_trunc(ts_us, US_PER_DAY)
 
 
 def _fold_bp(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -404,3 +412,63 @@ def rolling_active_users(sf_dir: str, window_days: int = ROLLING_DAYS,
 
 def q_rolling_active_users(sf_dir: str) -> rd.Dataset:
     return rolling_active_users(sf_dir)
+
+
+# ----------------------------------------------------------- cohort retention
+def cohort_retention(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Classic retention matrix: users grouped by their FIRST activity
+    week (the cohort), counted per week-offset of later activity —
+    (cohort_week, week_offset, n_users). A user active twice in a week
+    counts once (the (user, week) dedup), and each user contributes to
+    every offset they were active at.
+
+    Layout: per-batch (user, week) dedup bucketed on hash(user); each
+    bucket derives its users' cohort (min week) and emits partial
+    (cohort_week, week_offset) counts — the already-deduped pairs make
+    the per-user offsets distinct, so partial counts sum exactly; one
+    tiny cell-keyed merge (≤ weeks² cells) finishes. Weeks pin
+    DuckDB's trunc-toward-zero ``//`` via ``epoch_div_trunc``."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = _drop_null(t)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "week": epoch_div_trunc(_ts_us(t["ts"]), US_PER_WEEK),
+        }).drop_duplicates()
+        df["bucket"] = (hash_ints(df["user_id"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week"])
+        cw = g.groupby("user_id", sort=False)["week"].transform("min")
+        cells = pd.DataFrame({
+            "cohort_week": cw.to_numpy(np.int64),
+            "week_offset": (g["week"].to_numpy(np.int64)
+                            - cw.to_numpy(np.int64)),
+        })
+        out = (cells.groupby(["cohort_week", "week_offset"], sort=False)
+               .size().rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    partials = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(lambda g: cohort_bucket(
+                    g.drop(columns=["bucket"])), batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_week": np.array([g["cohort_week"].iloc[0]], np.int64),
+            "week_offset": np.array([g["week_offset"].iloc[0]], np.int64),
+            "n_users": np.array([g["n_users"].sum()], np.int64),
+        })
+
+    return (partials.groupby(["cohort_week", "week_offset"])
+            .map_groups(merge, batch_format="pandas"))
+
+
+def q_cohort_retention(sf_dir: str) -> rd.Dataset:
+    return cohort_retention(sf_dir)

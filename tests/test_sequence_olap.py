@@ -398,3 +398,30 @@ def test_conversion_quantiles_empty(ray_session, tmp_path):
     sf = _write_events(tmp_path, [(1, TS0, 1, "signup", 1.0, "k1")])
     got = conversion_time_quantiles(sf).to_pandas()
     assert len(got) == 0
+
+
+def test_cohort_retention_dedup_and_offsets(ray_session, tmp_path):
+    """A user active twice in one week counts once per (cohort,
+    offset); cohorts anchor at each user's FIRST week."""
+    from associationabacminer_ray.pipelines.temporal import cohort_retention
+
+    W = pd.Timedelta(days=7)
+    # epoch weeks are Thursday-aligned (1970-01-01); 2024-01-04 is a
+    # Thursday, so base and base+1day share a week
+    base = pd.Timestamp("2024-01-04")
+    sf = _write_events(tmp_path, [
+        # user 1: weeks 0 and 2 (twice in week 0)
+        (1, base, 1, "a", 1.0, "k1"),
+        (2, base + pd.Timedelta(days=1), 1, "a", 1.0, "k1"),
+        (3, base + 2 * W, 1, "a", 1.0, "k1"),
+        # user 2: joins a week later, active weeks 1 and 2
+        (4, base + W, 2, "a", 1.0, "k1"),
+        (5, base + 2 * W, 2, "a", 1.0, "k1"),
+    ])
+    got = (cohort_retention(sf).to_pandas()
+           .sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    w0 = int(got["cohort_week"].min())
+    rows = [(int(r.cohort_week) - w0, int(r.week_offset), int(r.n_users))
+            for r in got.itertuples()]
+    assert rows == [(0, 0, 1), (0, 2, 1), (1, 0, 1), (1, 1, 1)]
