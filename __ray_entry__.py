@@ -1152,15 +1152,16 @@ def oracle_sql() -> dict[str, str]:
                    JOIN s2 ON b.user_id = s2.user_id
                    WHERE b.event_type = 'purchase' AND b.ts > s2.t
                    GROUP BY b.user_id),
-            gaps AS (SELECT epoch_us(s3.t) - epoch_us(s1.t) AS gap
+            gaps AS (SELECT (epoch_us(s3.t) - epoch_us(s1.t)) // 1000000
+                         AS gap
                      FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
             n AS (SELECT COUNT(*) AS n FROM gaps),
             r AS (SELECT gap, ROW_NUMBER() OVER (ORDER BY gap) AS rn
                   FROM gaps),
             q(q_pct) AS (VALUES (25), (50), (75), (90), (99))
             SELECT CAST(q.q_pct AS INTEGER) AS q_pct,
-                   CAST(r.gap AS BIGINT) AS gap_us
-            FROM r, n JOIN q
+                   CAST(r.gap AS BIGINT) AS gap_s
+            FROM r CROSS JOIN n JOIN q
               ON r.rn = CAST(FLOOR(q.q_pct / 100.0 * (n.n - 1))
                              AS BIGINT) + 1
         """,

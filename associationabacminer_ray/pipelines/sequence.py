@@ -228,6 +228,39 @@ def q_type_transitions(sf_dir: str) -> rd.Dataset:
 FUNNEL_STEPS = ("signup", "view", "purchase")
 
 
+def _funnel_prep(t: pa.Table, steps: tuple[str, ...],
+                 num_buckets: int) -> pd.DataFrame:
+    """Shared funnel projection: null contract via ``_prep_events``,
+    then drop non-funnel types and the (null-checked but unused)
+    event_id BEFORE bucketing — only funnel-relevant rows shuffle."""
+    df = _prep_events(t, num_buckets, with_type=True)
+    df = df[df["event_type"].isin(steps)]
+    return df.drop(columns=["event_id"])
+
+
+def _step_bounds(g: pd.DataFrame,
+                 steps: tuple[str, ...]) -> list[pd.DataFrame]:
+    """THE greedy chain-walk (one copy for funnel_counts AND
+    user_conversion_gaps so the >-vs->= / null semantics cannot
+    drift): per step, the per-user earliest completion time given the
+    previous step's bound — step k counts only at ``ts`` STRICTLY
+    greater than the user's bound for step k-1. Returns one
+    (user_id, t) frame per step."""
+    bound = None
+    bounds = []
+    for step in steps:
+        rows = g[g["event_type"] == step]
+        if bound is not None:
+            rows = rows.merge(bound, on="user_id", how="inner",
+                              suffixes=("", "_prev"))
+            rows = rows[rows["ts_us"] > rows["t"]]
+            rows = rows[["user_id", "ts_us"]]
+        bound = (rows.groupby("user_id", sort=False)["ts_us"].min()
+                 .rename("t").reset_index())
+        bounds.append(bound)
+    return bounds
+
+
 def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
                   num_buckets: int = 16) -> rd.Dataset:
     """Ordered conversion funnel: for each step k, how many users
@@ -250,27 +283,14 @@ def funnel_counts(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
                          columns=["event_id", "user_id", "ts", "event_type"])
 
     def prep(t: pa.Table) -> pd.DataFrame:
-        df = _prep_events(t, num_buckets, with_type=True)
-        df = df[df["event_type"].isin(steps)]
-        return df.drop(columns=["event_id"])
+        return _funnel_prep(t, steps, num_buckets)
 
     def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # bound: per user, earliest completion time of the previous step
-        bound = None  # DataFrame(user_id, t)
-        counts = []
-        for step in steps:
-            rows = g[g["event_type"] == step]
-            if bound is not None:
-                rows = rows.merge(bound, on="user_id", how="inner")
-                rows = rows[rows["ts_us"] > rows["t"]]
-            t = (rows.groupby("user_id", sort=False)["ts_us"].min()
-                 .rename("t").reset_index())
-            counts.append(len(t))
-            bound = t
+        bounds = _step_bounds(g, steps)
         return pd.DataFrame({
             "step": np.arange(1, len(steps) + 1, dtype=np.int64),
             "step_type": np.array(steps, object),
-            "n_users": np.array(counts, np.int64),
+            "n_users": np.array([len(b) for b in bounds], np.int64),
         })
 
     seed = rd.from_pandas(pd.DataFrame({
@@ -312,24 +332,12 @@ def user_conversion_gaps(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS,
                          columns=["event_id", "user_id", "ts", "event_type"])
 
     def prep(t: pa.Table) -> pd.DataFrame:
-        df = _prep_events(t, num_buckets, with_type=True)
-        df = df[df["event_type"].isin(steps)]
-        return df.drop(columns=["event_id"])
+        return _funnel_prep(t, steps, num_buckets)
 
     def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        first = None  # per-user ts of step 1
-        bound = None
-        for step in steps:
-            rows = g[g["event_type"] == step]
-            if bound is not None:
-                rows = rows.merge(bound, on="user_id", how="inner")
-                rows = rows[rows["ts_us"] > rows["t"]]
-            t = (rows.groupby("user_id", sort=False)["ts_us"].min()
-                 .rename("t").reset_index())
-            if first is None:
-                first = t.rename(columns={"t": "t0"})
-            bound = t
-        done = bound.merge(first, on="user_id", how="inner")
+        bounds = _step_bounds(g, steps)
+        first = bounds[0].rename(columns={"t": "t0"})
+        done = bounds[-1].merge(first, on="user_id", how="inner")
         return pd.DataFrame({
             "user_id": done["user_id"].to_numpy(np.int64),
             "gap_us": (done["t"].to_numpy(np.int64)
@@ -352,26 +360,29 @@ CONV_QUANTILE_PCTS = (25, 50, 75, 90, 99)
 def conversion_time_quantiles(sf_dir: str,
                               pcts=CONV_QUANTILE_PCTS,
                               num_buckets: int = 16) -> rd.Dataset:
-    """Exact discrete quantiles of the conversion gap — the same
-    histogram-reduction + rank-pick layout as
-    ``temporal.exact_value_quantiles`` (rank = floor(q/100*(n-1))+1,
-    the identical float64 expression in numpy and SQL), composed on
-    top of ``user_conversion_gaps``. The shuffle after the per-batch
-    pre-count is bounded by distinct gap values, and the final pick
-    runs inside one map_groups over the merged histogram — no driver
-    materialization."""
+    """Exact discrete quantiles of the conversion gap in SECONDS —
+    the histogram-reduction layout of ``temporal.exact_value_quantiles``
+    with the shared ``temporal.quantile_rank_pick`` rule, composed on
+    top of ``user_conversion_gaps``. The gap is folded ``us // 1e6``
+    on BOTH sides (gaps are non-negative, so floor == trunc) — the
+    fold is what bounds the histogram: raw microsecond gaps are
+    near-unique per user, so without it the shuffle and the single
+    pick task would scale with converting users instead of with the
+    seconds domain."""
+    from .temporal import quantile_rank_pick
+
     gaps = user_conversion_gaps(sf_dir, num_buckets=num_buckets)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df["gap_us"].value_counts().rename_axis("gap_us")
-               .rename("cnt").reset_index())
+        out = ((df["gap_us"] // 1_000_000).value_counts()
+               .rename_axis("gap_s").rename("cnt").reset_index())
         out["cnt"] = out["cnt"].astype(np.int64)
-        out["bucket"] = (hash_ints(out["gap_us"]) %
+        out["bucket"] = (hash_ints(out["gap_s"]) %
                          np.uint64(num_buckets)).astype(np.int32)
         return out
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("gap_us", sort=False)["cnt"].sum().reset_index()
+        out = g.groupby("gap_s", sort=False)["cnt"].sum().reset_index()
         out["cnt"] = out["cnt"].astype(np.int64)
         out["all"] = np.int8(0)
         return out
@@ -384,14 +395,13 @@ def conversion_time_quantiles(sf_dir: str,
     pct_arr = np.array(pcts, np.int32)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("gap_us", kind="mergesort")
-        counts = g["cnt"].to_numpy(np.int64)
-        values = g["gap_us"].to_numpy(np.int64)
-        csum = np.cumsum(counts)
-        n = int(csum[-1])
-        ranks = np.floor(pct_arr / 100.0 * (n - 1)).astype(np.int64) + 1
-        idx = np.searchsorted(csum, ranks, side="left")
-        return pd.DataFrame({"q_pct": pct_arr, "gap_us": values[idx]})
+        g = g.sort_values("gap_s", kind="mergesort")
+        return pd.DataFrame({
+            "q_pct": pct_arr,
+            "gap_s": quantile_rank_pick(g["gap_s"].to_numpy(np.int64),
+                                        g["cnt"].to_numpy(np.int64),
+                                        pct_arr),
+        })
 
     return (hist.groupby("all")
             .map_groups(lambda g: pick(g.drop(columns=["all"])),

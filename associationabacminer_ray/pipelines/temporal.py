@@ -84,6 +84,20 @@ def _fold_bp(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return fold_bp_strict(col.to_numpy(zero_copy_only=False), name="value")
 
 
+def quantile_rank_pick(values: np.ndarray, counts: np.ndarray,
+                       pct_arr: np.ndarray) -> np.ndarray:
+    """THE discrete-quantile rank pick (one copy — exact_value_quantiles
+    AND sequence.conversion_time_quantiles both pin this rule against
+    their SQL oracles): over an ascending value histogram, the element
+    at 1-based rank ``floor(q/100*(n-1)) + 1`` — numpy and DuckDB run
+    the identical float64 expression, so the rank is bit-equal.
+    ``values`` must be sorted ascending with positive ``counts``."""
+    csum = np.cumsum(counts)
+    n = int(csum[-1])
+    ranks = np.floor(pct_arr / 100.0 * (n - 1)).astype(np.int64) + 1
+    return values[np.searchsorted(csum, ranks, side="left")]
+
+
 def _drop_null(t: pa.Table) -> pa.Table:
     """Drop rows with a NULL in ANY selected column. Every temporal
     operator's SQL oracle carries the matching IS NOT NULL predicates,
@@ -274,17 +288,12 @@ def exact_value_quantiles(sf_dir: str, pcts=QUANTILE_PCTS,
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("value_bp", kind="mergesort")
-        counts = g["cnt"].to_numpy(np.int64)
-        values = g["value_bp"].to_numpy(np.int64)
-        csum = np.cumsum(counts)
-        n = int(csum[-1])
-        # identical float64 expression to the SQL FLOOR(q/100.0*(n-1))+1
-        ranks = np.floor(pct_arr / 100.0 * (n - 1)).astype(np.int64) + 1
-        idx = np.searchsorted(csum, ranks, side="left")
         return pd.DataFrame({
             "event_type": np.repeat(g["event_type"].iloc[0], len(pct_arr)),
             "q_pct": pct_arr,
-            "value_bp": values[idx],
+            "value_bp": quantile_rank_pick(
+                g["value_bp"].to_numpy(np.int64),
+                g["cnt"].to_numpy(np.int64), pct_arr),
         })
 
     return hist.groupby("event_type").map_groups(pick, batch_format="pandas")

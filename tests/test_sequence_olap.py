@@ -386,7 +386,7 @@ def test_conversion_gaps_and_quantiles(ray_session, tmp_path):
     q = (conversion_time_quantiles(sf).to_pandas()
          .sort_values("q_pct").reset_index(drop=True))
     assert q["q_pct"].tolist() == [25, 50, 75, 90, 99]
-    assert set(q["gap_us"]) == {180_000_000}
+    assert set(q["gap_s"]) == {180}
 
 
 def test_conversion_quantiles_empty(ray_session, tmp_path):
