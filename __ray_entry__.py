@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the deterministic ones carry pinned golden oracles (r3)
         "sketch_topk_itemsets": S.q_sketch_topk_itemsets,
         "hll_role_convs": S.q_hll_role_convs,
+        "audience_overlap": S.q_audience_overlap,
         "value_quantiles": S.q_value_quantiles,
         "greedy_policy": S.q_greedy_policy,
         "windowed_mining": S.q_windowed_mining,
@@ -508,6 +509,31 @@ def oracle_sql() -> dict[str, str]:
 
     return GOLDEN_SQL | {
         "transcripts_view": TRANSCRIPTS_FROM_EVENTS_SQL,
+        # theta/KMV sketches run in the exact regime at gate scale
+        # (k=65536 > distinct users), so set-algebra results are exact
+        # integers; jaccard op sequence (divide → ×1e4 → +0.5 → floor)
+        # matches functions.scoring.fold_bp on the engine side
+        "audience_overlap": """
+            WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+            card AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+            inter AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                             COUNT(*) AS ni
+                      FROM tu a JOIN tu b USING (user_id)
+                      WHERE a.event_type < b.event_type
+                      GROUP BY a.event_type, b.event_type)
+            SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+                   CAST(COALESCE(inter.ni, 0) AS BIGINT) AS n_common_users,
+                   CAST(ca.n + cb.n - COALESCE(inter.ni, 0) AS BIGINT)
+                       AS n_union_users,
+                   CAST(ca.n - COALESCE(inter.ni, 0) AS BIGINT) AS n_only_a,
+                   CAST(FLOOR((CAST(COALESCE(inter.ni, 0) AS DOUBLE)
+                               / (ca.n + cb.n - COALESCE(inter.ni, 0)))
+                              * 10000.0 + 0.5) AS BIGINT) AS jaccard_bp
+            FROM card ca
+            JOIN card cb ON ca.event_type < cb.event_type
+            LEFT JOIN inter ON inter.ta = ca.event_type
+                           AND inter.tb = cb.event_type
+        """,
         "support_items": f"""
             WITH {_ITEMS_CTE}
             SELECT item, CAST(COUNT(*) AS BIGINT) AS support FROM t GROUP BY item

@@ -1,10 +1,11 @@
-"""Sketch-mode query pack (approximate — no SQL oracle; bounds are
-asserted in pytest against exact recomputation instead).
+"""Sketch-mode query pack (approximate — bounds asserted in pytest
+against exact recomputation; no SQL oracle except where a sketch runs
+in a provably exact regime, e.g. ``q_audience_overlap``).
 
 These are the scale-path twins of the exact queries in ``analytics``:
 heavy-hitter itemsets via CMS + space-saving, distinct conversations via
-HLL (grouped UDAF), value distributions via t-digest/KLL, and the
-greedy-cover policy miner.
+HLL (grouped UDAF), set algebra via theta/KMV, value distributions via
+t-digest/KLL, and the greedy-cover policy miner.
 """
 
 from __future__ import annotations
@@ -18,8 +19,9 @@ import ray.data as rd
 from ..functions.hashing import hash_any
 from ..pipelines.itemsets import sketched_itemset_supports, transactions
 from ..pipelines.rules import greedy_cover_ray
+from ..sketches import ThetaKMV
 from ..sources.transcripts import transcripts_from_events
-from ..udaf import HllAgg, KllAgg, TDigestAgg
+from ..udaf import HllAgg, KllAgg, TDigestAgg, ThetaAgg
 
 QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.99)
 
@@ -63,6 +65,52 @@ def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
             "kll": [kl["kll"][f"q{q}"] for q in QUANTILES],
         }
     )
+
+
+def q_audience_overlap(sf_dir: str, k: int = 1 << 16) -> pd.DataFrame:
+    """Pairwise audience overlap between event types via theta/KMV set
+    algebra (the EnvPolicyEvaluator hash-set-intersection analog,
+    ``src/eval/EnvPolicyEvaluator.py:192-199``, without driver-resident
+    sets): one grouped ThetaAgg shuffle builds a KB-scale sketch per
+    event_type, then every pair's intersection / difference / Jaccard
+    comes from sketch algebra on the driver — the corpus is scanned ONCE
+    regardless of the number of pairs (an exact SQL answer needs a
+    per-pair self-join).
+
+    DuckDB-oracle-able because ``k`` exceeds the distinct-user count at
+    gate scale, so the sketches are in the exact regime (theta untrimmed
+    ⇒ estimates are exact integers). At 100 TB the same pipeline
+    degrades gracefully to ±1/√(k−1) relative error."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.select(["event_type"]).append_column(
+            "user_hash", pa.array(hash_any(t["user_id"])))
+
+    blobs = (ds.map_batches(add_hash, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(ThetaAgg("user_hash", k=k, alias="sketch"))
+             .to_pandas())
+    sketches = {t: ThetaKMV.from_bytes(bytes(b))
+                for t, b in zip(blobs["event_type"], blobs["sketch"])}
+    rows = []
+    for ta, tb in ((a, b) for a in sorted(sketches) for b in sorted(sketches)
+                   if a < b):
+        sa, sb = sketches[ta], sketches[tb]
+        inter = sa.intersection_estimate(sb)
+        union = sa.union_estimate(sb)
+        rows.append({
+            "type_a": ta, "type_b": tb,
+            "n_common_users": np.int64(round(inter)),
+            "n_union_users": np.int64(round(union)),
+            "n_only_a": np.int64(round(sa.difference_estimate(sb))),
+            # op sequence pinned to the SQL oracle: divide, then fold
+            "jaccard_bp": _fold_bp_strict(
+                pd.Series([inter / union if union else 0.0],
+                          name="jaccard_bp"))[0],
+        })
+    return pd.DataFrame(rows)
 
 
 def q_greedy_policy(sf_dir: str) -> pd.DataFrame:

@@ -11,6 +11,7 @@ from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLL
 from .tdigest import TDigest
+from .theta import ThetaKMV
 from .topk import SpaceSaving
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "KLL",
     "SpaceSaving",
     "TDigest",
+    "ThetaKMV",
 ]

@@ -37,6 +37,7 @@ from .sketches import (
     Sketch,
     SpaceSaving,
     TDigest,
+    ThetaKMV,
 )
 
 
@@ -171,6 +172,23 @@ class TopKAgg(_SketchAgg):
         # pre-aggregate within the block: one dict op per DISTINCT key
         uniq, counts = np.unique(keys[mask], return_counts=True)
         return sk.update(uniq.tolist(), counts)
+
+
+class ThetaAgg(_SketchAgg):
+    """Theta/KMV sketch of a uint64 hash column — distinct counting that
+    also supports post-hoc set algebra (intersection / difference /
+    Jaccard between groups' sketches, ``sketches.theta``). Finalizes to
+    the blob by default so the driver can combine per-group sketches;
+    ``emit_blob=False`` emits the rounded cardinality estimate instead
+    (exact while distinct ≤ k)."""
+
+    def __init__(self, on: str, k: int = 4096, alias: str | None = None,
+                 emit_blob: bool = True):
+        fin = None if emit_blob else (lambda s: int(round(s.estimate())))
+        super().__init__(on, alias or f"theta({on})", lambda: ThetaKMV(k=k), fin)
+
+    def aggregate_block(self, block: Block) -> ThetaKMV:
+        return self._zero().update_hashed(_hash_column(block, self._target_col_name))
 
 
 class BloomAgg(_SketchAgg):

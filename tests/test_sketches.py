@@ -26,6 +26,7 @@ from associationabacminer_ray.sketches import (
     Sketch,
     SpaceSaving,
     TDigest,
+    ThetaKMV,
     sketch_from_bytes,
 )
 
@@ -285,6 +286,78 @@ def test_hll_intersection_estimate():
     # disjoint sets → ~0 (clamped)
     c = HyperLogLog(p=14).update_hashed(hash_ints(np.arange(200_000, 210_000)))
     assert hll_intersection_estimate(a, c) <= 4 * a.relative_error * 70_000 + 100
+
+
+# ---------------------------------------------------------------- theta/KMV
+class TestThetaKMV:
+    def test_exact_regime_all_ops(self):
+        """Below capacity the sketch holds every hash: cardinality and
+        set algebra are exactly the python-set answers."""
+        a_vals, b_vals = np.arange(3_000), np.arange(2_000, 4_500)
+        a = ThetaKMV(k=8192).update_hashed(hash_ints(a_vals))
+        b = ThetaKMV(k=8192).update_hashed(hash_ints(b_vals))
+        assert a.is_exact and b.is_exact
+        assert a.estimate() == 3_000
+        assert a.intersection_estimate(b) == 1_000
+        assert a.difference_estimate(b) == 2_000
+        assert b.difference_estimate(a) == 1_500
+        assert a.union_estimate(b) == 4_500
+        assert a.jaccard_estimate(b) == 1_000 / 4_500
+
+    @pytest.mark.parametrize("true_card", [1_000, 100_000, 1_000_000])
+    def test_cardinality_bound(self, true_card):
+        vals = np.arange(true_card, dtype=np.int64)
+        dup = np.concatenate([vals, vals[: true_card // 2]])
+        sk = ThetaKMV(k=4096).update_hashed(hash_ints(dup))
+        tol = 4 * sk.relative_error * true_card + 2
+        assert abs(sk.estimate() - true_card) <= tol
+
+    def test_intersection_bound_trimmed_regime(self):
+        n, overlap = 200_000, 60_000
+        a = ThetaKMV(k=4096).update_hashed(hash_ints(np.arange(n)))
+        b = ThetaKMV(k=4096).update_hashed(
+            hash_ints(np.arange(n - overlap, 2 * n - overlap)))
+        assert not a.is_exact
+        # intersection RSE degrades by √(union/intersection); 5σ slack
+        tol = 5 * a.relative_error * np.sqrt((2 * n - overlap) / overlap) * overlap
+        assert abs(a.intersection_estimate(b) - overlap) <= tol
+        assert abs(a.union_estimate(b) - (2 * n - overlap)) <= \
+            5 * a.relative_error * (2 * n - overlap)
+
+    def test_merge_bit_identical_across_splits(self):
+        """KMV trim-merge is exactly order independent: final state is
+        always (k smallest of the union, theta = (k+1)-th smallest) —
+        required for nondeterministic Ray tree merges."""
+        hashes = hash_ints(np.arange(50_000))
+        single = ThetaKMV(k=1024).update_hashed(hashes)
+        for k in (2, 3, 8, 17):
+            parts = split_parts(hashes, k, seed=k)
+            sks = [ThetaKMV(k=1024).update_hashed(p) for p in parts]
+            order = np.random.default_rng(k + 1).permutation(k)
+            merged = sks[order[0]]
+            for i in order[1:]:
+                merged.merge(sks[i])
+            assert merged.to_bytes() == single.to_bytes()
+
+    def test_merge_mixed_exact_and_trimmed(self):
+        big = ThetaKMV(k=512).update_hashed(hash_ints(np.arange(10_000)))
+        small = ThetaKMV(k=512).update_hashed(hash_ints(np.arange(100)))
+        ref = ThetaKMV(k=512).update_hashed(hash_ints(np.arange(10_000)))
+        assert big.merge(small).to_bytes() == ref.to_bytes()
+
+    def test_serialization_roundtrip_both_regimes(self):
+        exact = ThetaKMV(k=256).update_hashed(hash_ints(np.arange(10)))
+        trimmed = ThetaKMV(k=256).update_hashed(hash_ints(np.arange(5_000)))
+        for sk in (exact, trimmed):
+            back = sketch_from_bytes(sk.to_bytes())
+            assert isinstance(back, ThetaKMV)
+            assert back.to_bytes() == sk.to_bytes()
+            assert back.estimate() == sk.estimate()
+            assert back.theta == sk.theta
+
+    def test_param_mismatch_rejected(self):
+        with pytest.raises(ValueError):
+            ThetaKMV(k=256).merge(ThetaKMV(k=512))
 
 
 # ---------------------------------------------------------------- registry

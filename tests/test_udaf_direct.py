@@ -34,6 +34,27 @@ def test_cms_agg_global(hashed_ds):
     assert cms.total == len(df)
 
 
+def test_theta_agg_grouped_exact_regime(hashed_ds):
+    """Grouped ThetaAgg through a real multi-block Ray shuffle: below
+    capacity every per-group sketch is exact, and cross-group set
+    algebra matches python sets (the q_audience_overlap contract)."""
+    from associationabacminer_ray.udaf import ThetaAgg
+
+    ds, df = hashed_ds
+    out = (ds.repartition(8).groupby("group")
+           .aggregate(ThetaAgg("key_hash", k=2048, alias="blob"))).to_pandas()
+    sks = {g: Sketch.from_bytes(bytes(b))
+           for g, b in zip(out["group"], out["blob"])}
+    sets = {g: set(df.loc[df["group"] == g, "key"]) for g in sks}
+    for g, sk in sks.items():
+        assert sk.is_exact
+        assert sk.estimate() == len(sets[g])
+    # groups are key%3 → pairwise disjoint; union must be exact too
+    assert sks[0].intersection_estimate(sks[1]) == 0
+    assert sks[0].union_estimate(sks[1]) == len(sets[0] | sets[1])
+    assert sks[0].difference_estimate(sks[1]) == len(sets[0])
+
+
 def test_bloom_agg_global(hashed_ds):
     ds, df = hashed_ds
     out = ds.aggregate(BloomAgg("key_hash", num_bits=1 << 16, alias="blob"))
