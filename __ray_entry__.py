@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": R.q_top_orders,
         "lineitem_orders_join": R.q_lineitem_orders_join,
         "lineitem_orders_join_native": R.q_lineitem_orders_join_native,
+        "revenue_filter": R.q_revenue_filter,
+        "top_shipping": R.q_top_shipping,
+        "region_revenue": R.q_region_revenue,
         # text / dedup over documents (oracle-checked)
         "dedup_docs": T.q_dedup_docs,
         "doc_fingerprint": T.q_doc_fingerprint,
@@ -509,6 +512,60 @@ def oracle_sql() -> dict[str, str]:
 
     return GOLDEN_SQL | {
         "transcripts_view": TRANSCRIPTS_FROM_EVENTS_SQL,
+        # TPC-H-style pack: every money value folded to integer cents
+        # with the IDENTICAL op sequence as the engine (see
+        # functions.scoring.fold_bp convention); discount predicate on
+        # folded basis points so DOUBLE-vs-DECIMAL literals can't drift
+        "revenue_filter": """
+            SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 100.0
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND FLOOR(l_discount * 10000.0 + 0.5) BETWEEN 500 AND 700
+              AND l_quantity < 24
+        """,
+        "top_shipping": """
+            WITH bc AS (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING'),
+            o AS (SELECT o_orderkey, o_orderdate FROM orders
+                  JOIN bc ON o_custkey = c_custkey
+                  WHERE o_orderdate < TIMESTAMP '1998-06-01'),
+            l AS (SELECT l_orderkey,
+                         CAST(FLOOR((l_extendedprice * (1.0 - l_discount))
+                                    * 100.0 + 0.5) AS BIGINT) AS rc
+                  FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-01')
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(SUM(rc) AS BIGINT) AS revenue_cents
+            FROM l JOIN o ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "region_revenue": """
+            WITH nat AS (SELECT n_nationkey, n_name FROM nation
+                         JOIN region ON n_regionkey = r_regionkey
+                         WHERE r_name = 'ASIA'),
+            o AS (SELECT o_orderkey, c_nationkey AS cn FROM orders
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nat ON c_nationkey = n_nationkey
+                  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o_orderdate <  TIMESTAMP '1997-01-01'),
+            l AS (SELECT l_orderkey, s_nationkey AS sn,
+                         CAST(FLOOR((l_extendedprice * (1.0 - l_discount))
+                                    * 100.0 + 0.5) AS BIGINT) AS rc
+                  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nat ON s_nationkey = n_nationkey)
+            SELECT nat.n_name AS n_name,
+                   CAST(SUM(rc) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM l JOIN o ON l_orderkey = o_orderkey AND sn = cn
+            JOIN nat ON sn = n_nationkey
+            GROUP BY nat.n_name
+        """,
         # theta/KMV sketches run in the exact regime at gate scale
         # (k=65536 > distinct users), so set-algebra results are exact
         # integers; jaccard op sequence (divide → ×1e4 → +0.5 → floor)

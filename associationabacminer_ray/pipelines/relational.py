@@ -244,6 +244,213 @@ def q_lineitem_orders_join_native(sf_dir: str, num_partitions: int = 8):
     return bucketed_group_agg(joined, ["o_orderpriority"], agg, num_buckets=4)
 
 
+def q_revenue_filter(sf_dir: str):
+    """TPC-H Q6-style forecast-revenue: single-scan filter + global sum,
+    the cheapest possible shape (no shuffle at all — per-block partials
+    reduced by one tree aggregate). Predicates compare on folded integer
+    basis points so the float discount column can never straddle a
+    DECIMAL-vs-DOUBLE literal boundary between engine and oracle."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_discount", "l_quantity",
+                                  "l_extendedprice"])
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc_bp = pc.cast(pc.floor(pc.add(pc.multiply(
+            t["l_discount"], 10000.0), 0.5)), pa.int64())
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(pc.and_(pc.greater_equal(disc_bp, 500),
+                            pc.less_equal(disc_bp, 700)),
+                    pc.less(t["l_quantity"], 24.0)))
+        t = t.filter(mask)
+        rev = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"], t["l_discount"]), 100.0),
+            0.5)), pa.int64())
+        return pa.table({"revenue_cents": rev})
+
+    filtered = ds.map_batches(prep, batch_format="pyarrow")
+    res = filtered.aggregate(Sum("revenue_cents", alias_name="sum_revenue_cents"),
+                             Count(alias_name="n_items"))
+    return pd.DataFrame([{
+        "sum_revenue_cents": np.int64(res["sum_revenue_cents"] or 0),
+        "n_items": np.int64(res["n_items"]),
+    }])
+
+
+def q_top_shipping(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q3-style: segment-filtered customers (broadcast key set) ⋈
+    date-filtered orders ⋈ shipped lineitems, grouped per order, global
+    top-10 by revenue. The only all-to-all exchange is the
+    lineitem⋈orders hash join; the customer dimension ships once."""
+    import pyarrow.parquet as pq
+
+    cutoff = pa.scalar(np.datetime64("1998-06-01", "us"), pa.timestamp("us"))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    building = np.sort(cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_numpy())
+    bset_ref = ray.put(building)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    class _SegmentFilter:
+        def __init__(self, ref):
+            self._keys = ray.get(ref)  # sorted ndarray — np.isin is a search
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["o_orderdate"], cutoff))
+            mask = np.isin(t["o_custkey"].to_numpy(), self._keys)
+            return t.filter(pa.array(mask)).select(["o_orderkey", "o_orderdate"])
+
+    filtered_orders = orders.map_batches(
+        _SegmentFilter, batch_format="pyarrow",
+        fn_constructor_args=(bset_ref,), concurrency=auto_concurrency())
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+    ship_after = pa.scalar(np.datetime64("1997-06-01", "us"), pa.timestamp("us"))
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], ship_after))
+        rev = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100.0), 0.5)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_cents": rev})
+
+    joined = li.map_batches(prep_li, batch_format="pyarrow").join(
+        filtered_orders, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["l_orderkey", "o_orderdate"], sort=False).agg(
+            revenue_cents=("revenue_cents", "sum")).reset_index()
+        return out
+
+    from .analytics import bucketed_group_agg
+
+    per = bucketed_group_agg(joined, ["l_orderkey"], per_order, num_buckets=8)
+    top = (per.sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+           .limit(10).to_pandas())
+    return pd.DataFrame({
+        "o_orderkey": top["l_orderkey"].astype(np.int64),
+        "o_orderdate": pd.to_datetime(top["o_orderdate"]).dt.strftime("%Y-%m-%d"),
+        "revenue_cents": top["revenue_cents"].astype(np.int64),
+    })
+
+
+def q_region_revenue(sf_dir: str, region: str = "ASIA", num_partitions: int = 8):
+    """TPC-H Q5-style: revenue per nation for one region and year where
+    the supplying nation equals the customer nation. All four dimension
+    tables (region, nation, customer, supplier) collapse to two
+    broadcast key→nation maps; the single large-large exchange is the
+    lineitem⋈orders hash join, with the nation-equality filter applied
+    in the join output before the tiny per-nation aggregate."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"][0].as_py()
+    nat = nation.filter(pc.equal(nation["n_regionkey"], rkey))
+    nat_keys = set(nat["n_nationkey"].to_pylist())
+    nat_names = dict(zip(nat["n_nationkey"].to_pylist(),
+                         nat["n_name"].to_pylist()))
+
+    def nation_lut(table, key_col, nat_col):
+        """Dense key→nationkey int array (-1 = absent / outside region):
+        TPC-H keys are small contiguous ints, so a direct-indexed array
+        beats a hash map and keeps the batch lookup fully vectorized."""
+        keys = table[key_col].to_numpy()
+        nats = table[nat_col].to_numpy().astype(np.int64)
+        lut = np.full(int(keys.max()) + 1, -1, dtype=np.int64)
+        in_region = np.isin(nats, np.fromiter(nat_keys, dtype=np.int64))
+        lut[keys[in_region]] = nats[in_region]
+        return lut
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    cust_ref = ray.put(nation_lut(cust, "c_custkey", "c_nationkey"))
+    supp_ref = ray.put(nation_lut(supp, "s_suppkey", "s_nationkey"))
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def lut_lookup(lut: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        out = np.full(keys.shape, -1, dtype=np.int64)
+        ok = (keys >= 0) & (keys < lut.size)
+        out[ok] = lut[keys[ok]]
+        return out
+
+    class _CustNation:
+        def __init__(self, ref):
+            self._lut = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                 pc.less(t["o_orderdate"], hi)))
+            nk = lut_lookup(self._lut, t["o_custkey"].to_numpy())
+            t = t.append_column("cust_nation", pa.array(nk))
+            return t.filter(pc.greater_equal(t["cust_nation"], 0)).select(
+                ["o_orderkey", "cust_nation"])
+
+    class _SuppNation:
+        def __init__(self, ref):
+            self._lut = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = lut_lookup(self._lut, t["l_suppkey"].to_numpy())
+            rev = pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                100.0), 0.5)), pa.int64())
+            t = pa.table({"l_orderkey": t["l_orderkey"],
+                          "supp_nation": pa.array(nk),
+                          "revenue_cents": rev})
+            return t.filter(pc.greater_equal(t["supp_nation"], 0))
+
+    forders = orders.map_batches(_CustNation, batch_format="pyarrow",
+                                 fn_constructor_args=(cust_ref,),
+                                 concurrency=auto_concurrency())
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    fli = li.map_batches(_SuppNation, batch_format="pyarrow",
+                         fn_constructor_args=(supp_ref,),
+                         concurrency=auto_concurrency())
+    joined = fli.join(forders, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["supp_nation"] == g["cust_nation"]]
+        if g.empty:
+            return pd.DataFrame({"supp_nation": pd.Series(dtype=np.int64),
+                                 "revenue_cents": pd.Series(dtype=np.int64),
+                                 "n_items": pd.Series(dtype=np.int64)})
+        return g.groupby("supp_nation", sort=False).agg(
+            revenue_cents=("revenue_cents", "sum"),
+            n_items=("revenue_cents", "size")).reset_index()
+
+    from .analytics import bucketed_group_agg
+
+    out = bucketed_group_agg(joined, ["supp_nation"], per_nation,
+                             num_buckets=4).to_pandas()
+    return pd.DataFrame({
+        "n_name": out["supp_nation"].map(nat_names),
+        "revenue_cents": out["revenue_cents"].astype(np.int64),
+        "n_items": out["n_items"].astype(np.int64),
+    })
+
+
 def q_part_brand_stats(sf_dir: str):
     """Filter + project + grouped aggregate with pruning at the read."""
     ds = rd.read_parquet(f"{sf_dir}/part.parquet",
