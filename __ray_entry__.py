@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import features as F
     from associationabacminer_ray.pipelines import relational as R
     from associationabacminer_ray.pipelines import sketch_queries as S
+    from associationabacminer_ray.pipelines import stats as ST
     from associationabacminer_ray.pipelines import olap as O
     from associationabacminer_ray.pipelines import sequence as SQ
     from associationabacminer_ray.pipelines import temporal as TM
@@ -75,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_filter": R.q_revenue_filter,
         "top_shipping": R.q_top_shipping,
         "region_revenue": R.q_region_revenue,
+        "customer_ntile": ST.q_customer_ntile,
+        "moment_stats": ST.q_moment_stats,
+        "price_histogram": ST.q_price_histogram,
         # text / dedup over documents (oracle-checked)
         "dedup_docs": T.q_dedup_docs,
         "doc_fingerprint": T.q_doc_fingerprint,
@@ -565,6 +569,50 @@ def oracle_sql() -> dict[str, str]:
             FROM l JOIN o ON l_orderkey = o_orderkey AND sn = cn
             JOIN nat ON sn = n_nationkey
             GROUP BY nat.n_name
+        """,
+        # stats pack: int64 moments (no float sums → merge-order-proof),
+        # RANK-based k-tile closed form pinned on both sides, nonneg
+        # integer division (numpy floor == DuckDB // truncation)
+        "customer_ntile": """
+            WITH spend AS (
+                SELECT o_custkey AS c_custkey,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS spend_cents
+                FROM orders GROUP BY o_custkey),
+            r AS (SELECT c_custkey, spend_cents,
+                         RANK() OVER (ORDER BY spend_cents DESC) AS rk,
+                         COUNT(*) OVER () AS n
+                  FROM spend)
+            SELECT c_custkey, spend_cents,
+                   CAST(rk AS BIGINT) AS spend_rank,
+                   CAST(((rk - 1) * 4) // n + 1 AS BIGINT) AS quartile
+            FROM r
+        """,
+        "moment_stats": """
+            WITH t AS (SELECT l_returnflag,
+                              CAST(l_quantity AS BIGINT) AS q,
+                              CAST(FLOOR(l_discount * 10000.0 + 0.5)
+                                   AS BIGINT) AS d
+                       FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sum_qty,
+                   CAST(SUM(d) AS BIGINT) AS sum_disc_bp,
+                   CAST(SUM(q * d) AS BIGINT) AS sum_qty_disc,
+                   CAST(COUNT(*) * SUM(q * d) - SUM(q) * SUM(d) AS BIGINT)
+                       AS cov_num
+            FROM t GROUP BY l_returnflag
+        """,
+        "price_histogram": """
+            WITH t AS (SELECT c, c // 5000000 AS b FROM (
+                           SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                       AS BIGINT) AS c FROM orders))
+            SELECT CAST(b AS BIGINT) AS bin_id,
+                   CAST(b * 5000000 AS BIGINT) AS lo_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(MIN(c) AS BIGINT) AS min_cents,
+                   CAST(MAX(c) AS BIGINT) AS max_cents
+            FROM t GROUP BY b
         """,
         # theta/KMV sketches run in the exact regime at gate scale
         # (k=65536 > distinct users), so set-algebra results are exact

@@ -1,0 +1,157 @@
+"""Distributed statistics primitives with integer-exact gate outputs:
+global NTILE-style bucketing via a broadcast rank histogram, grouped
+moment sums (the covariance/correlation building blocks), and an
+equi-width histogram.
+
+Reference analogs: the per-user mean/stddev activity stats
+(``src/util/user_table_generator.py:19-47``) are grouped moments; the
+hour histogram (``src/util/EventTimeBucketCounter.py:37-60``) is the
+1-D histogram special case; ranking/quartiles extend the score-sort
+selection (``src/EnvAbacRuleMiner.py:107-122``) to a whole-population
+statistic.
+
+Gate conventions: money folds through the shared cents/bp op sequence
+(``functions.scoring.fold_bp``), moments stay int64 end to end (no
+float sums → no order sensitivity), integer division is pinned to
+truncation on both sides (values are non-negative, so numpy floor
+division equals DuckDB ``//`` truncation — see
+``temporal.epoch_div_trunc`` for the signed-case discussion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from .analytics import bucketed_group_agg
+from .relational import _cents
+
+PRICE_BIN_CENTS = 5_000_000  # $50k equi-width bins over o_totalprice
+NTILE_K = 4
+
+
+def customer_spend(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """Per-customer total order value in integer cents (bucketed sum)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t["o_custkey"],
+                         "spend_cents": _cents(t["o_totalprice"])})
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("c_custkey", sort=False).agg(
+            spend_cents=("spend_cents", "sum")).reset_index()
+        out["spend_cents"] = out["spend_cents"].astype(np.int64)
+        return out
+
+    return bucketed_group_agg(ds.map_batches(cents, batch_format="pyarrow"),
+                              ["c_custkey"], per_cust,
+                              num_buckets=num_buckets)
+
+
+def q_customer_ntile(sf_dir: str, k: int = NTILE_K) -> rd.Dataset:
+    """Global rank + ``k``-tile label per customer by total spend,
+    WITHOUT a global sort: pass 1 reduces spend to a (distinct spend →
+    count) histogram (bounded by the distinct-cents domain, a
+    documented small-side broadcast); pass 2 is a stateless map that
+    looks up rank = 1 + Σ counts of strictly-greater cells.
+
+    Tie semantics are RANK() (min rank shared by ties), and the tile is
+    the rank-based closed form ``((rank−1)·k)//n + 1`` — deterministic
+    under ties with NO row-order dependence, unlike ROW_NUMBER NTILE
+    (both sides pin this exact formula)."""
+    spend = customer_spend(sf_dir).materialize()
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["spend_cents"].value_counts()
+        return pd.DataFrame({"spend_cents": h.index.to_numpy(np.int64),
+                             "cnt": h.to_numpy(np.int64)})
+
+    hist = (spend.map_batches(hist_partial, batch_format="pandas")
+            .to_pandas().groupby("spend_cents", sort=True)["cnt"].sum())
+    vals = hist.index.to_numpy(np.int64)          # ascending distinct cents
+    cnts = hist.to_numpy(np.int64)
+    n_total = int(cnts.sum())
+    # greater[i] = number of customers with spend strictly > vals[i]
+    greater = np.r_[np.cumsum(cnts[::-1])[::-1][1:], np.int64(0)]
+    lut_ref = ray.put((vals, greater, n_total))
+
+    def rank_batch(b: pd.DataFrame) -> pd.DataFrame:
+        v, g, n = ray.get(lut_ref)
+        idx = np.searchsorted(v, b["spend_cents"].to_numpy(np.int64))
+        rank = g[idx] + 1
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"].astype(np.int64),
+            "spend_cents": b["spend_cents"].astype(np.int64),
+            "spend_rank": rank,
+            "quartile": ((rank - 1) * k) // n + 1,
+        })
+
+    return spend.map_batches(rank_batch, batch_format="pandas")
+
+
+def q_moment_stats(sf_dir: str) -> rd.Dataset:
+    """Per returnflag: exact integer moment sums over (quantity,
+    discount-bp) pairs — n, Σx, Σy, Σxy and the covariance numerator
+    n·Σxy − Σx·Σy. Everything stays int64 so the distributed sum is
+    order-independent and bit-exact (float covariance would carry the
+    info_gain-style merge-order flake the gate conventions forbid);
+    callers derive covariance/correlation by dividing on the driver."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pc.cast(pc.floor(pc.add(pc.multiply(
+            t["l_discount"], 10000.0), 0.5)), pa.int64()).to_numpy()
+        df = pd.DataFrame({"l_returnflag":
+                           t["l_returnflag"].to_numpy(zero_copy_only=False),
+                           "n": np.int64(1), "sum_qty": q, "sum_disc_bp": d,
+                           "sum_qty_disc": q * d})
+        return df.groupby("l_returnflag", sort=False).sum().reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_returnflag", sort=False).sum().reset_index()
+        for c in ("n", "sum_qty", "sum_disc_bp", "sum_qty_disc"):
+            out[c] = out[c].astype(np.int64)
+        out["cov_num"] = (out["n"] * out["sum_qty_disc"]
+                          - out["sum_qty"] * out["sum_disc_bp"])
+        return out
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"], final, num_buckets=4)
+
+
+def q_price_histogram(sf_dir: str,
+                      bin_cents: int = PRICE_BIN_CENTS) -> rd.Dataset:
+    """Equi-width histogram of order totals: per-batch (bin → count,
+    min, max) partials, merged in one tiny bin-keyed reduce — the
+    histogram never sees row-level data after the first map."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        c = _cents(t["o_totalprice"]).to_numpy()
+        df = pd.DataFrame({"bin_id": c // bin_cents, "n_orders": np.int64(1),
+                           "min_cents": c, "max_cents": c})
+        return df.groupby("bin_id", sort=False).agg(
+            n_orders=("n_orders", "sum"), min_cents=("min_cents", "min"),
+            max_cents=("max_cents", "max")).reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bin_id", sort=False).agg(
+            n_orders=("n_orders", "sum"), min_cents=("min_cents", "min"),
+            max_cents=("max_cents", "max")).reset_index()
+        out.insert(1, "lo_cents", out["bin_id"] * bin_cents)
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucketed_group_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                              ["bin_id"], final, num_buckets=2)
