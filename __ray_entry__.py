@@ -521,9 +521,9 @@ def oracle_sql() -> dict[str, str]:
         # functions.scoring.fold_bp convention); discount predicate on
         # folded basis points so DOUBLE-vs-DECIMAL literals can't drift
         "revenue_filter": """
-            SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 100.0
-                                       + 0.5) AS BIGINT)) AS BIGINT)
-                       AS sum_revenue_cents,
+            SELECT CAST(COALESCE(SUM(CAST(FLOOR((l_extendedprice * l_discount)
+                                              * 100.0 + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS sum_revenue_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_items
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'

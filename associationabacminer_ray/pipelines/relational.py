@@ -26,6 +26,14 @@ def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
 
 
+def _revenue_cents(t: pa.Table) -> pa.ChunkedArray:
+    """price·(1−discount) folded to cents — ONE implementation so the
+    op sequence can never drift between the join/TPC-H queries and
+    their oracles (gate convention, see functions.scoring.fold_bp)."""
+    return _cents(pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), t["l_discount"])))
+
+
 def q1_lineitem(sf_dir: str):
     """TPC-H Q1-style pricing summary (integer-exact columns)."""
     ds = rd.read_parquet(
@@ -149,13 +157,8 @@ def q_lineitem_orders_join(sf_dir: str, num_buckets: int = 16):
                              columns=["o_orderkey", "o_orderpriority"])
 
     def prep_li(t: pa.Table) -> pd.DataFrame:
-        revenue_cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(
-                pc.multiply(t["l_extendedprice"],
-                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
-                100.0), 0.5)), pa.int64())
         df = pd.DataFrame({"key": t["l_orderkey"].to_numpy(),
-                           "revenue_cents": revenue_cents.to_numpy()})
+                           "revenue_cents": _revenue_cents(t).to_numpy()})
         df["side"] = "L"
         df["priority"] = ""
         return df
@@ -219,12 +222,8 @@ def q_lineitem_orders_join_native(sf_dir: str, num_partitions: int = 8):
                              columns=["o_orderkey", "o_orderpriority"])
 
     def revenue(t: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(
-                pc.multiply(t["l_extendedprice"],
-                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
-                100.0), 0.5)), pa.int64())
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_cents": cents})
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "revenue_cents": _revenue_cents(t)})
 
     joined = li.map_batches(revenue, batch_format="pyarrow").join(
         orders, join_type="inner", num_partitions=num_partitions,
@@ -266,9 +265,7 @@ def q_revenue_filter(sf_dir: str):
                             pc.less_equal(disc_bp, 700)),
                     pc.less(t["l_quantity"], 24.0)))
         t = t.filter(mask)
-        rev = pc.cast(pc.floor(pc.add(pc.multiply(
-            pc.multiply(t["l_extendedprice"], t["l_discount"]), 100.0),
-            0.5)), pa.int64())
+        rev = _cents(pc.multiply(t["l_extendedprice"], t["l_discount"]))
         return pa.table({"revenue_cents": rev})
 
     filtered = ds.map_batches(prep, batch_format="pyarrow")
@@ -317,11 +314,8 @@ def q_top_shipping(sf_dir: str, num_partitions: int = 8):
 
     def prep_li(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], ship_after))
-        rev = pc.cast(pc.floor(pc.add(pc.multiply(
-            pc.multiply(t["l_extendedprice"],
-                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
-            100.0), 0.5)), pa.int64())
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_cents": rev})
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "revenue_cents": _revenue_cents(t)})
 
     joined = li.map_batches(prep_li, batch_format="pyarrow").join(
         filtered_orders, join_type="inner", num_partitions=num_partitions,
@@ -408,13 +402,9 @@ def q_region_revenue(sf_dir: str, region: str = "ASIA", num_partitions: int = 8)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             nk = lut_lookup(self._lut, t["l_suppkey"].to_numpy())
-            rev = pc.cast(pc.floor(pc.add(pc.multiply(
-                pc.multiply(t["l_extendedprice"],
-                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
-                100.0), 0.5)), pa.int64())
             t = pa.table({"l_orderkey": t["l_orderkey"],
                           "supp_nation": pa.array(nk),
-                          "revenue_cents": rev})
+                          "revenue_cents": _revenue_cents(t)})
             return t.filter(pc.greater_equal(t["supp_nation"], 0))
 
     forders = orders.map_batches(_CustNation, batch_format="pyarrow",

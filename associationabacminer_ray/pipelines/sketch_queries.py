@@ -94,7 +94,9 @@ def q_audience_overlap(sf_dir: str, k: int = 1 << 16) -> pd.DataFrame:
              .to_pandas())
     sketches = {t: ThetaKMV.from_bytes(bytes(b))
                 for t, b in zip(blobs["event_type"], blobs["sketch"])}
-    rows = []
+    cols = ("type_a", "type_b", "n_common_users", "n_union_users",
+            "n_only_a")
+    rows, jaccards = [], []
     for ta, tb in ((a, b) for a in sorted(sketches) for b in sorted(sketches)
                    if a < b):
         sa, sb = sketches[ta], sketches[tb]
@@ -105,12 +107,13 @@ def q_audience_overlap(sf_dir: str, k: int = 1 << 16) -> pd.DataFrame:
             "n_common_users": np.int64(round(inter)),
             "n_union_users": np.int64(round(union)),
             "n_only_a": np.int64(round(sa.difference_estimate(sb))),
-            # op sequence pinned to the SQL oracle: divide, then fold
-            "jaccard_bp": _fold_bp_strict(
-                pd.Series([inter / union if union else 0.0],
-                          name="jaccard_bp"))[0],
         })
-    return pd.DataFrame(rows)
+        # op sequence pinned to the SQL oracle: divide, then fold
+        jaccards.append(inter / union if union else 0.0)
+    out = pd.DataFrame(rows, columns=cols)  # typed empty frame if < 2 types
+    out["jaccard_bp"] = _fold_bp_strict(pd.Series(jaccards, dtype=float,
+                                                  name="jaccard_bp"))
+    return out
 
 
 def q_greedy_policy(sf_dir: str) -> pd.DataFrame:
