@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_topk_itemsets": S.q_sketch_topk_itemsets,
         "hll_role_convs": S.q_hll_role_convs,
         "audience_overlap": S.q_audience_overlap,
+        "rule_audience_overlap": S.q_rule_audience_overlap,
         "value_quantiles": S.q_value_quantiles,
         "greedy_policy": S.q_greedy_policy,
         "windowed_mining": S.q_windowed_mining,
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": TR.q_top_terms,
         "user_event_mode": TR.q_user_event_mode,
         "value_rank": TM.q_value_rank,
+        "value_percent_rank": TM.q_value_percent_rank,
         # round 3 (late): ordered-sequence family — LAG gaps, trajectory
         # strings, trajectory-prefix frequency
         "user_event_gaps": SQ.q_user_event_gaps,
@@ -1049,6 +1051,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(RANK() OVER (PARTITION BY event_type
                         ORDER BY CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
                         AS BIGINT) AS value_rank
+            FROM events
+            WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+              AND value IS NOT NULL
+        """,
+        # PERCENT_RANK twin of value_rank: (rank-1)/(n-1) is a division
+        # of exact integers (correctly-rounded double on both sides),
+        # folded via the shared bp op sequence; 1-row partitions are 0
+        "value_percent_rank": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY event_type
+                        ORDER BY CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+                        * 10000 + 0.5) AS BIGINT) AS pct_rank_bp
             FROM events
             WHERE event_id IS NOT NULL AND event_type IS NOT NULL
               AND value IS NOT NULL

@@ -116,6 +116,85 @@ def q_audience_overlap(sf_dir: str, k: int = 1 << 16) -> pd.DataFrame:
     return out
 
 
+def q_rule_audience_overlap(sf_dir: str, n_rules: int = 5,
+                            k: int = 1 << 16) -> pd.DataFrame:
+    """Theta set algebra inside the MINING flagship: the top mined
+    rules' audiences (distinct conversations matching a rule's full
+    item set) become per-rule theta sketches in ONE grouped shuffle,
+    then every pair's overlap / Jaccard comes from sketch algebra — the
+    reference's per-rule ES count queries + driver hash-set
+    intersections (``EnvOverassignmentCalculator.py:59-106``,
+    ``EnvPolicyEvaluator.py:192-199``) with O(KB) state per rule.
+
+    Deterministic (exact regime at gate scale, merge-order-exact trim
+    merge) → pinned-golden oracle; at 100 TB the same pipeline holds
+    ±1/√(k−1)."""
+    from ..functions.hashing import hash_any as _hash_any
+    from ..stages.transactionize import ITEM_SEP
+    from .evaluate import _rule_matches
+    from .itemsets import exact_itemset_supports, split_tx_count
+    from .rules import rules_from_supports
+
+    ds = transcripts_from_events(f"{sf_dir}/events.parquet")
+    tx = transactions(ds, num_buckets=16)
+    supports, n_tx = split_tx_count(
+        exact_itemset_supports(ds, max_k=2, num_buckets=16, min_support=2,
+                               include_tx_count=True).to_pandas())
+    rules = rules_from_supports(supports, n_transactions=n_tx, min_support=2)
+    rules = rules.assign(cscore_bp=_fold_bp_strict(rules["cscore"]))
+    rules = rules.sort_values(["cscore_bp", "antecedent", "consequent"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(n_rules)
+    rule_items = [
+        (i, r["antecedent"] + ITEM_SEP + r["consequent"],
+         sorted(set(r["antecedent"].split(ITEM_SEP)
+                    + r["consequent"].split(ITEM_SEP))))
+        for i, (_, r) in enumerate(rules.iterrows())
+    ]
+    import ray
+
+    rules_ref = ray.put(rule_items)
+
+    def audiences(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for rid, _, items in ray.get(rules_ref):
+            m = _rule_matches(b["items"].reset_index(drop=True), items)
+            if m.any():
+                frames.append(pd.DataFrame({
+                    "rule_id": np.int64(rid),
+                    "conv_hash": _hash_any(
+                        b.loc[np.asarray(m), "conv_id"].to_numpy()),
+                }))
+        if not frames:
+            return pd.DataFrame({"rule_id": pd.Series(dtype=np.int64),
+                                 "conv_hash": pd.Series(dtype=np.uint64)})
+        return pd.concat(frames, ignore_index=True)
+
+    blobs = (tx.map_batches(audiences, batch_format="pandas")
+             .groupby("rule_id")
+             .aggregate(ThetaAgg("conv_hash", k=k, alias="sketch"))
+             .to_pandas())
+    sketches = {int(r): ThetaKMV.from_bytes(bytes(b))
+                for r, b in zip(blobs["rule_id"], blobs["sketch"])}
+    labels = {rid: lbl for rid, lbl, _ in rule_items}
+    cols = ("rule_a", "rule_b", "common_convs", "union_convs", "jaccard_bp")
+    rows, jaccards = [], []
+    for ra in sorted(sketches):
+        for rb in sorted(sketches):
+            if ra >= rb:
+                continue
+            sa, sb = sketches[ra], sketches[rb]
+            inter, union = sa.intersection_estimate(sb), sa.union_estimate(sb)
+            rows.append({"rule_a": labels[ra], "rule_b": labels[rb],
+                         "common_convs": np.int64(round(inter)),
+                         "union_convs": np.int64(round(union))})
+            jaccards.append(inter / union if union else 0.0)
+    out = pd.DataFrame(rows, columns=cols)
+    out["jaccard_bp"] = _fold_bp_strict(pd.Series(jaccards, dtype=float,
+                                                  name="jaccard_bp"))
+    return out
+
+
 def q_greedy_policy(sf_dir: str) -> pd.DataFrame:
     """Greedy set-cover policy over conversation transactions — the
     EnvFlatAbacRuleMiner flagship analog (Bloom-based covered removal).

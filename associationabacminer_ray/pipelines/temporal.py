@@ -304,6 +304,23 @@ def q_value_quantiles_exact(sf_dir: str) -> rd.Dataset:
 
 
 # ------------------------------------------------------- per-row value rank
+def _rank_lut_ref(sf_dir: str, num_buckets: int):
+    """Shared pass-1 for the rank queries: the merged value histogram
+    as {event_type: (ascending distinct value_bp, counts-below, n)},
+    ``ray.put`` once (histogram-cell-sized broadcast)."""
+    import ray
+
+    hist = value_histogram(sf_dir, num_buckets=num_buckets).to_pandas()
+    lut = {}
+    for etype, g in hist.groupby("event_type", sort=False):
+        g = g.sort_values("value_bp", kind="mergesort")
+        vals = g["value_bp"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        below = np.r_[np.int64(0), np.cumsum(cnts)][:-1]
+        lut[str(etype)] = (vals, below, int(cnts.sum()))
+    return ray.put(lut)
+
+
 def value_ranks(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     """Per event: its RANK() among same-type events by folded value
     (ties share the minimum rank) — the classic two-pass distributed
@@ -316,15 +333,7 @@ def value_ranks(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     anywhere."""
     import ray
 
-    hist = value_histogram(sf_dir, num_buckets=num_buckets).to_pandas()
-    lut = {}
-    for etype, g in hist.groupby("event_type", sort=False):
-        g = g.sort_values("value_bp", kind="mergesort")
-        vals = g["value_bp"].to_numpy(np.int64)
-        below = np.r_[np.int64(0),
-                      np.cumsum(g["cnt"].to_numpy(np.int64))][:-1]
-        lut[str(etype)] = (vals, below)
-    lut_ref = ray.put(lut)
+    lut_ref = _rank_lut_ref(sf_dir, num_buckets)
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "value"])
@@ -337,7 +346,7 @@ def value_ranks(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         out = np.empty(len(bp), np.int64)
         for etype in pd.unique(etypes):
             m = etypes == etype
-            vals, below = table[str(etype)]
+            vals, below, _n = table[str(etype)]
             idx = np.searchsorted(vals, bp[m], side="left")
             out[m] = below[idx] + 1
         return pd.DataFrame({
@@ -351,6 +360,48 @@ def value_ranks(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
 def q_value_rank(sf_dir: str) -> rd.Dataset:
     return value_ranks(sf_dir)
+
+
+def value_percent_ranks(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Per event: PERCENT_RANK() among same-type events by folded value
+    — (rank−1)/(n−1) folded to basis points, 0 for a single-row
+    partition (the SQL definition). (rank−1) and (n−1) are exact
+    integers ≤ 2⁵³, so the double division is correctly rounded and
+    bit-identical to DuckDB's window function; the fold then follows
+    the shared op sequence. Same two-pass broadcast-histogram shape as
+    ``value_ranks`` — no global sort, no per-partition window state."""
+    import ray
+
+    from ..functions.scoring import fold_bp
+
+    lut_ref = _rank_lut_ref(sf_dir, num_buckets)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def pct_batch(t: pa.Table) -> pd.DataFrame:
+        t = _drop_null(t)
+        table = ray.get(lut_ref)
+        etypes = t["event_type"].to_numpy(zero_copy_only=False)
+        bp = _fold_bp(t["value"])
+        pct = np.zeros(len(bp), np.float64)
+        for etype in pd.unique(etypes):
+            m = etypes == etype
+            vals, below, n = table[str(etype)]
+            if n <= 1:
+                continue  # PERCENT_RANK of a 1-row partition is 0
+            idx = np.searchsorted(vals, bp[m], side="left")
+            pct[m] = below[idx] / np.float64(n - 1)
+        return pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "pct_rank_bp": fold_bp(pct),
+        })
+
+    return ev.map_batches(pct_batch, batch_format="pyarrow")
+
+
+def q_value_percent_rank(sf_dir: str) -> rd.Dataset:
+    return value_percent_ranks(sf_dir)
 
 
 # ------------------------------------------------- rolling distinct (7d MAU)

@@ -45,6 +45,10 @@ GOLDEN = [
     "policy_scores_universe",
     "hll_role_convs",
     "crosscorpus_dedup",
+    # theta/KMV exact-regime audience overlaps: trim-merge is exactly
+    # merge-order independent (bit-identical property test), validated
+    # at 3/8/16 CPUs at both sf levels
+    "rule_audience_overlap",
     # NOT pinnable: pfa_features (gram-matrix float partials depend on
     # batch boundaries, so results shift with num_cpus; pytest checks it
     # against direct numpy instead), sketch_topk/value_quantiles
