@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import features as F
     from associationabacminer_ray.pipelines import relational as R
     from associationabacminer_ray.pipelines import sketch_queries as S
+    from associationabacminer_ray.pipelines import joins as J
     from associationabacminer_ray.pipelines import stats as ST
     from associationabacminer_ray.pipelines import olap as O
     from associationabacminer_ray.pipelines import sequence as SQ
@@ -76,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_filter": R.q_revenue_filter,
         "top_shipping": R.q_top_shipping,
         "region_revenue": R.q_region_revenue,
+        "user_segment_activity": J.q_user_segment_activity,
         "customer_ntile": ST.q_customer_ntile,
         "moment_stats": ST.q_moment_stats,
         "price_histogram": ST.q_price_histogram,
@@ -571,6 +573,15 @@ def oracle_sql() -> dict[str, str]:
             FROM l JOIN o ON l_orderkey = o_orderkey AND sn = cn
             JOIN nat ON sn = n_nationkey
             GROUP BY nat.n_name
+        """,
+        # salted-join demo: result must equal the plain inner join
+        "user_segment_activity": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_bp
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
         """,
         # stats pack: int64 moments (no float sums → merge-order-proof),
         # RANK-based k-tile closed form pinned on both sides, nonneg
