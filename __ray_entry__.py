@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_mode": TR.q_user_event_mode,
         "value_rank": TM.q_value_rank,
         "value_percent_rank": TM.q_value_percent_rank,
+        "value_mad": TM.q_value_mad,
         # round 3 (late): ordered-sequence family — LAG gaps, trajectory
         # strings, trajectory-prefix frequency
         "user_event_gaps": SQ.q_user_event_gaps,
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": O.q_inactive_customers,
         "daily_rollup": O.q_daily_rollup,
         "user_set_diff": O.q_user_set_diff,
+        "customer_order_span": O.q_customer_order_span,
         # round 3 (late): sequence bigrams, text bigrams, rolling
         # distinct (7-day active users)
         "type_transitions": SQ.q_type_transitions,
@@ -573,6 +575,27 @@ def oracle_sql() -> dict[str, str]:
             FROM l JOIN o ON l_orderkey = o_orderkey AND sn = cn
             JOIN nat ON sn = n_nationkey
             GROUP BY nat.n_name
+        """,
+        # distributed argmin/argmax with a pinned tie-break (MIN
+        # orderkey at the MIN date — SQL arg_min tie order is
+        # unspecified, so the oracle derives it with a self-join)
+        "customer_order_span": """
+            WITH m AS (SELECT o_custkey, COUNT(*) AS n,
+                              MIN(o_orderdate) AS fd, MAX(o_orderdate) AS ld,
+                              SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                       AS BIGINT)) AS spend
+                       FROM orders GROUP BY o_custkey),
+            fk AS (SELECT o.o_custkey, MIN(o.o_orderkey) AS first_key
+                   FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+                                       AND o.o_orderdate = m.fd
+                   GROUP BY o.o_custkey)
+            SELECT m.o_custkey AS c_custkey,
+                   CAST(n AS BIGINT) AS n_orders,
+                   strftime(fd, '%Y-%m-%d') AS first_date,
+                   strftime(ld, '%Y-%m-%d') AS last_date,
+                   CAST(first_key AS BIGINT) AS first_orderkey,
+                   CAST(spend AS BIGINT) AS spend_cents
+            FROM m JOIN fk ON m.o_custkey = fk.o_custkey
         """,
         # salted-join demo: result must equal the plain inner join
         "user_segment_activity": """
@@ -1015,6 +1038,30 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN n USING (event_type)
             JOIN q ON r.rn = CAST(FLOOR(q.q_pct / 100.0 * (n.n - 1))
                                   AS BIGINT) + 1
+        """,
+        # MAD: both picks use the shared rank rule; the deviation
+        # histogram derives from the value histogram (one scan)
+        "value_mad": """
+            WITH f AS (SELECT event_type,
+                              CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+                       FROM events
+                       WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            n AS (SELECT event_type, COUNT(*) AS n FROM f GROUP BY event_type),
+            r AS (SELECT event_type, v, ROW_NUMBER() OVER (
+                      PARTITION BY event_type ORDER BY v) AS rn FROM f),
+            med AS (SELECT r.event_type, r.v AS median_bp
+                    FROM r JOIN n USING (event_type)
+                    WHERE r.rn = CAST(FLOOR(50 / 100.0 * (n.n - 1))
+                                      AS BIGINT) + 1),
+            d AS (SELECT f.event_type, ABS(f.v - med.median_bp) AS dv
+                  FROM f JOIN med USING (event_type)),
+            r2 AS (SELECT event_type, dv, ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY dv) AS rn FROM d)
+            SELECT r2.event_type AS event_type,
+                   CAST(med.median_bp AS BIGINT) AS median_bp,
+                   CAST(r2.dv AS BIGINT) AS mad_bp
+            FROM r2 JOIN n USING (event_type) JOIN med USING (event_type)
+            WHERE r2.rn = CAST(FLOOR(50 / 100.0 * (n.n - 1)) AS BIGINT) + 1
         """,
         # per-doc distinctive terms: integer-exact (tf DESC, df ASC,
         # term ASC) ranking — see pipelines.terms for why not float

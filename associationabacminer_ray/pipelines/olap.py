@@ -307,6 +307,67 @@ def q_user_set_diff(sf_dir: str) -> rd.Dataset:
     return user_set_diff(sf_dir)
 
 
+# ------------------------------------------------------- argmin / argmax
+def customer_order_span(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Per customer: order count, first/last order date, the orderkey
+    of the FIRST order (ties on date broken by MIN orderkey — pinned,
+    since SQL ``arg_min`` tie-breaks are unspecified), and total spend
+    — the distributed argmin/argmax pattern. Each batch reduces to one
+    partial row per (customer, batch); partials combine by
+    lexicographic (date, orderkey) sort inside the bucketed merge, so
+    the shuffle never carries raw orders."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "c_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+            "key": t["o_orderkey"].to_numpy(zero_copy_only=False),
+            "day": day_num_trunc(_ts_us(t["o_orderdate"])),
+            "spend": _cents(t["o_totalprice"]).to_numpy(),
+        }).sort_values(["c_custkey", "day", "key"], kind="mergesort")
+        g = df.groupby("c_custkey", sort=False)
+        out = pd.DataFrame({
+            "n_orders": g.size(),
+            "first_day": g["day"].min(),
+            "last_day": g["day"].max(),
+            "first_key": g["key"].first(),  # min key at min day (sorted)
+            "spend_cents": g["spend"].sum(),
+        }).reset_index()
+        out["bucket"] = (hash_ints(out["c_custkey"]) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_custkey", "first_day", "first_key"],
+                          kind="mergesort")
+        gg = g.groupby("c_custkey", sort=False)
+        out = pd.DataFrame({
+            "n_orders": gg["n_orders"].sum().astype(np.int64),
+            "first_day": gg["first_day"].min(),
+            "last_day": gg["last_day"].max(),
+            "first_orderkey": gg["first_key"].first().astype(np.int64),
+            "spend_cents": gg["spend_cents"].sum().astype(np.int64),
+        }).reset_index()
+        epoch = np.datetime64("1970-01-01", "D")
+        for c in ("first_day", "last_day"):
+            days = (epoch + out.pop(c).to_numpy(np.int64)).astype("datetime64[D]")
+            name = c.replace("_day", "_date")
+            out[name] = np.datetime_as_string(days, unit="D")
+        return out[["c_custkey", "n_orders", "first_date", "last_date",
+                    "first_orderkey", "spend_cents"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: merge_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_customer_order_span(sf_dir: str) -> rd.Dataset:
+    return customer_order_span(sf_dir)
+
+
 # -------------------------------------------------------- left join aggregate
 def customer_order_counts(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     """customer LEFT JOIN orders, aggregated: per customer the order

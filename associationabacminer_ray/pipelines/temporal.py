@@ -404,6 +404,31 @@ def q_value_percent_rank(sf_dir: str) -> rd.Dataset:
     return value_percent_ranks(sf_dir)
 
 
+def q_value_mad(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Median absolute deviation per event_type — the robust-stats
+    twin of the exact quantiles. ONE corpus scan: both the median and
+    the MAD come from the same merged value histogram (the |v − median|
+    histogram is a cell-level transform of it, counts carried over), so
+    the second 'pass' costs histogram cells, not rows. Both picks use
+    the shared ``quantile_rank_pick`` rule mirrored in the oracle."""
+    hist = value_histogram(sf_dir, num_buckets=num_buckets)
+    p50 = np.array([50], np.int32)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_bp", kind="mergesort")
+        vals = g["value_bp"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        med = quantile_rank_pick(vals, cnts, p50)[0]
+        dv = np.abs(vals - med)
+        order = np.argsort(dv, kind="stable")
+        mad = quantile_rank_pick(dv[order], cnts[order], p50)[0]
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "median_bp": [np.int64(med)],
+                             "mad_bp": [np.int64(mad)]})
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
 # ------------------------------------------------- rolling distinct (7d MAU)
 def rolling_active_users(sf_dir: str, window_days: int = ROLLING_DAYS,
                          num_buckets: int = 16) -> rd.Dataset:
