@@ -604,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_value_bp
             FROM events JOIN customer ON user_id = c_custkey
+            WHERE user_id IS NOT NULL AND value IS NOT NULL
             GROUP BY c_mktsegment
         """,
         # stats pack: int64 moments (no float sums → merge-order-proof),

@@ -47,7 +47,8 @@ def detect_hot_keys(ds: rd.Dataset, key: str, sample_frac: float = 0.05,
     if not total:
         return np.empty(0, dtype=np.int64)
     hot = [k for k, n in counts.items() if n / total >= hot_fraction]
-    hot = sorted(hot, key=lambda k: -counts[k])[:max_keys]
+    # key tie-break so the cutoff is deterministic across block orders
+    hot = sorted(hot, key=lambda k: (-counts[k], k))[:max_keys]
     return np.sort(np.asarray(hot, dtype=np.int64))
 
 
@@ -106,10 +107,11 @@ def q_user_segment_activity(sf_dir: str) -> pd.DataFrame:
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "value"])
 
-    from .temporal import _fold_bp
+    from .temporal import _drop_null, _fold_bp
 
     def fold(t: pa.Table) -> pa.Table:
-        return pa.table({"user_id": t["user_id"],
+        t = _drop_null(t)  # NULL contract mirrored by the oracle's
+        return pa.table({"user_id": t["user_id"],  # IS NOT NULL preds
                          "value_bp": pa.array(_fold_bp(t["value"]))})
 
     ev = ev.map_batches(fold, batch_format="pyarrow").materialize()

@@ -321,18 +321,21 @@ def customer_order_span(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
                                   "o_totalprice"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        # tie-break pool is the exact MIN TIMESTAMP (matching the
+        # oracle's self-join on o_orderdate = MIN(o_orderdate)), not
+        # the min day — dates are derived only at the very end
         df = pd.DataFrame({
             "c_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
             "key": t["o_orderkey"].to_numpy(zero_copy_only=False),
-            "day": day_num_trunc(_ts_us(t["o_orderdate"])),
+            "ts": _ts_us(t["o_orderdate"]),
             "spend": _cents(t["o_totalprice"]).to_numpy(),
-        }).sort_values(["c_custkey", "day", "key"], kind="mergesort")
+        }).sort_values(["c_custkey", "ts", "key"], kind="mergesort")
         g = df.groupby("c_custkey", sort=False)
         out = pd.DataFrame({
             "n_orders": g.size(),
-            "first_day": g["day"].min(),
-            "last_day": g["day"].max(),
-            "first_key": g["key"].first(),  # min key at min day (sorted)
+            "first_ts": g["ts"].min(),
+            "last_ts": g["ts"].max(),
+            "first_key": g["key"].first(),  # min key at min ts (sorted)
             "spend_cents": g["spend"].sum(),
         }).reset_index()
         out["bucket"] = (hash_ints(out["c_custkey"]) %
@@ -340,20 +343,20 @@ def customer_order_span(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         return out
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["c_custkey", "first_day", "first_key"],
+        g = g.sort_values(["c_custkey", "first_ts", "first_key"],
                           kind="mergesort")
         gg = g.groupby("c_custkey", sort=False)
         out = pd.DataFrame({
             "n_orders": gg["n_orders"].sum().astype(np.int64),
-            "first_day": gg["first_day"].min(),
-            "last_day": gg["last_day"].max(),
+            "first_ts": gg["first_ts"].min(),
+            "last_ts": gg["last_ts"].max(),
             "first_orderkey": gg["first_key"].first().astype(np.int64),
             "spend_cents": gg["spend_cents"].sum().astype(np.int64),
         }).reset_index()
         epoch = np.datetime64("1970-01-01", "D")
-        for c in ("first_day", "last_day"):
-            days = (epoch + out.pop(c).to_numpy(np.int64)).astype("datetime64[D]")
-            name = c.replace("_day", "_date")
+        for c, name in (("first_ts", "first_date"), ("last_ts", "last_date")):
+            days = (epoch + day_num_trunc(out.pop(c).to_numpy(np.int64))
+                    ).astype("datetime64[D]")
             out[name] = np.datetime_as_string(days, unit="D")
         return out[["c_custkey", "n_orders", "first_date", "last_date",
                     "first_orderkey", "spend_cents"]]

@@ -67,6 +67,36 @@ def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _pairwise_overlaps(sketches: dict, labels: dict | None,
+                       cols: tuple[str, str, str, str],
+                       with_difference: str | None = None) -> pd.DataFrame:
+    """Shared pairwise theta-algebra tail for the overlap queries: the
+    op-sequence-pinned jaccard ('divide, then fold') lives HERE only,
+    so the two oracles can never drift from two hand-edited copies."""
+    ca, cb, c_common, c_union = cols
+    out_cols = list(cols) + ([with_difference] if with_difference else [])
+    rows, jaccards = [], []
+    for ka in sorted(sketches):
+        for kb in sorted(sketches):
+            if not ka < kb:
+                continue
+            sa, sb = sketches[ka], sketches[kb]
+            inter, union = sa.intersection_estimate(sb), sa.union_estimate(sb)
+            row = {ca: labels[ka] if labels else ka,
+                   cb: labels[kb] if labels else kb,
+                   c_common: np.int64(round(inter)),
+                   c_union: np.int64(round(union))}
+            if with_difference:
+                row[with_difference] = np.int64(
+                    round(sa.difference_estimate(sb)))
+            rows.append(row)
+            jaccards.append(inter / union if union else 0.0)
+    out = pd.DataFrame(rows, columns=out_cols)  # typed empty if < 2 keys
+    out["jaccard_bp"] = _fold_bp_strict(pd.Series(jaccards, dtype=float,
+                                                  name="jaccard_bp"))
+    return out
+
+
 def q_audience_overlap(sf_dir: str, k: int = 1 << 16) -> pd.DataFrame:
     """Pairwise audience overlap between event types via theta/KMV set
     algebra (the EnvPolicyEvaluator hash-set-intersection analog,
@@ -94,26 +124,10 @@ def q_audience_overlap(sf_dir: str, k: int = 1 << 16) -> pd.DataFrame:
              .to_pandas())
     sketches = {t: ThetaKMV.from_bytes(bytes(b))
                 for t, b in zip(blobs["event_type"], blobs["sketch"])}
-    cols = ("type_a", "type_b", "n_common_users", "n_union_users",
-            "n_only_a")
-    rows, jaccards = [], []
-    for ta, tb in ((a, b) for a in sorted(sketches) for b in sorted(sketches)
-                   if a < b):
-        sa, sb = sketches[ta], sketches[tb]
-        inter = sa.intersection_estimate(sb)
-        union = sa.union_estimate(sb)
-        rows.append({
-            "type_a": ta, "type_b": tb,
-            "n_common_users": np.int64(round(inter)),
-            "n_union_users": np.int64(round(union)),
-            "n_only_a": np.int64(round(sa.difference_estimate(sb))),
-        })
-        # op sequence pinned to the SQL oracle: divide, then fold
-        jaccards.append(inter / union if union else 0.0)
-    out = pd.DataFrame(rows, columns=cols)  # typed empty frame if < 2 types
-    out["jaccard_bp"] = _fold_bp_strict(pd.Series(jaccards, dtype=float,
-                                                  name="jaccard_bp"))
-    return out
+    return _pairwise_overlaps(
+        sketches, labels=None,
+        cols=("type_a", "type_b", "n_common_users", "n_union_users"),
+        with_difference="n_only_a")
 
 
 def q_rule_audience_overlap(sf_dir: str, n_rules: int = 5,
@@ -135,10 +149,14 @@ def q_rule_audience_overlap(sf_dir: str, n_rules: int = 5,
     from .itemsets import exact_itemset_supports, split_tx_count
     from .rules import rules_from_supports
 
-    ds = transcripts_from_events(f"{sf_dir}/events.parquet")
+    # materialize once: supports and audiences must see the SAME
+    # corpus (and one scan, not two); gate convention: transactions
+    # untruncated (max_transaction_items=None)
+    ds = transcripts_from_events(f"{sf_dir}/events.parquet").materialize()
     tx = transactions(ds, num_buckets=16)
     supports, n_tx = split_tx_count(
         exact_itemset_supports(ds, max_k=2, num_buckets=16, min_support=2,
+                               max_transaction_items=None,
                                include_tx_count=True).to_pandas())
     rules = rules_from_supports(supports, n_transactions=n_tx, min_support=2)
     rules = rules.assign(cscore_bp=_fold_bp_strict(rules["cscore"]))
@@ -177,22 +195,9 @@ def q_rule_audience_overlap(sf_dir: str, n_rules: int = 5,
     sketches = {int(r): ThetaKMV.from_bytes(bytes(b))
                 for r, b in zip(blobs["rule_id"], blobs["sketch"])}
     labels = {rid: lbl for rid, lbl, _ in rule_items}
-    cols = ("rule_a", "rule_b", "common_convs", "union_convs", "jaccard_bp")
-    rows, jaccards = [], []
-    for ra in sorted(sketches):
-        for rb in sorted(sketches):
-            if ra >= rb:
-                continue
-            sa, sb = sketches[ra], sketches[rb]
-            inter, union = sa.intersection_estimate(sb), sa.union_estimate(sb)
-            rows.append({"rule_a": labels[ra], "rule_b": labels[rb],
-                         "common_convs": np.int64(round(inter)),
-                         "union_convs": np.int64(round(union))})
-            jaccards.append(inter / union if union else 0.0)
-    out = pd.DataFrame(rows, columns=cols)
-    out["jaccard_bp"] = _fold_bp_strict(pd.Series(jaccards, dtype=float,
-                                                  name="jaccard_bp"))
-    return out
+    return _pairwise_overlaps(
+        sketches, labels=labels,
+        cols=("rule_a", "rule_b", "common_convs", "union_convs"))
 
 
 def q_greedy_policy(sf_dir: str) -> pd.DataFrame:
