@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_rank": TM.q_value_rank,
         "value_percent_rank": TM.q_value_percent_rank,
         "value_mad": TM.q_value_mad,
+        "trimmed_mean": TM.q_trimmed_mean,
         # round 3 (late): ordered-sequence family — LAG gaps, trajectory
         # strings, trajectory-prefix frequency
         "user_event_gaps": SQ.q_user_event_gaps,
@@ -1063,6 +1064,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r2.dv AS BIGINT) AS mad_bp
             FROM r2 JOIN n USING (event_type) JOIN med USING (event_type)
             WHERE r2.rn = CAST(FLOOR(50 / 100.0 * (n.n - 1)) AS BIGINT) + 1
+        """,
+        # trimmed mean: thresholds from the shared rank rule, kept-sum
+        # int64, mean = exact-integer division folded to nearest bp
+        "trimmed_mean": """
+            WITH f AS (SELECT event_type,
+                              CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+                       FROM events
+                       WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            n AS (SELECT event_type, COUNT(*) AS n FROM f GROUP BY event_type),
+            r AS (SELECT event_type, v, ROW_NUMBER() OVER (
+                      PARTITION BY event_type ORDER BY v) AS rn FROM f),
+            lo AS (SELECT r.event_type, r.v AS lo_v
+                   FROM r JOIN n USING (event_type)
+                   WHERE r.rn = CAST(FLOOR(5 / 100.0 * (n.n - 1))
+                                     AS BIGINT) + 1),
+            hi AS (SELECT r.event_type, r.v AS hi_v
+                   FROM r JOIN n USING (event_type)
+                   WHERE r.rn = CAST(FLOOR(95 / 100.0 * (n.n - 1))
+                                     AS BIGINT) + 1),
+            t AS (SELECT f.event_type, f.v
+                  FROM f JOIN lo USING (event_type) JOIN hi USING (event_type)
+                  WHERE f.v >= lo.lo_v AND f.v <= hi.hi_v)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS trimmed_n,
+                   CAST(SUM(v) AS BIGINT) AS trimmed_sum_bp,
+                   CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.5)
+                        AS BIGINT) AS trimmed_mean_bp
+            FROM t GROUP BY event_type
         """,
         # per-doc distinctive terms: integer-exact (tf DESC, df ASC,
         # term ASC) ranking — see pipelines.terms for why not float

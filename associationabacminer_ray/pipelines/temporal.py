@@ -429,6 +429,37 @@ def q_value_mad(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
 
 
+def q_trimmed_mean(sf_dir: str, lo_pct: int = 5, hi_pct: int = 95,
+                   num_buckets: int = 16) -> rd.Dataset:
+    """Trimmed mean per event_type: the mean of values inside the
+    [p5, p95] VALUE thresholds (threshold-based trim — tie cells at
+    the boundary stay in on both sides, unlike a rank-based trim whose
+    tie handling SQL can't pin). Thresholds come from the shared
+    ``quantile_rank_pick`` rule; the kept-sum stays int64 and the mean
+    is one exact-integer division folded to the nearest bp
+    (``floor(sum/n + 0.5)`` — identical IEEE sequence in the oracle).
+    Same one-histogram-scan shape as ``q_value_mad``."""
+    hist = value_histogram(sf_dir, num_buckets=num_buckets)
+    pcts = np.array([lo_pct, hi_pct], np.int32)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_bp", kind="mergesort")
+        vals = g["value_bp"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        lo, hi = quantile_rank_pick(vals, cnts, pcts)
+        m = (vals >= lo) & (vals <= hi)
+        n_kept = int(cnts[m].sum())
+        s = int((vals[m] * cnts[m]).sum())
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "trimmed_n": [np.int64(n_kept)],
+            "trimmed_sum_bp": [np.int64(s)],
+            "trimmed_mean_bp": [np.int64(np.floor(s / n_kept + 0.5))],
+        })
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
 # ------------------------------------------------- rolling distinct (7d MAU)
 def rolling_active_users(sf_dir: str, window_days: int = ROLLING_DAYS,
                          num_buckets: int = 16) -> rd.Dataset:
