@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": TM.q_value_percent_rank,
         "value_mad": TM.q_value_mad,
         "trimmed_mean": TM.q_trimmed_mean,
+        "value_quantiles_interp": TM.q_value_quantiles_interp,
         # round 3 (late): ordered-sequence family — LAG gaps, trajectory
         # strings, trajectory-prefix frequency
         "user_event_gaps": SQ.q_user_event_gaps,
@@ -1064,6 +1065,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r2.dv AS BIGINT) AS mad_bp
             FROM r2 JOIN n USING (event_type) JOIN med USING (event_type)
             WHERE r2.rn = CAST(FLOOR(50 / 100.0 * (n.n - 1)) AS BIGINT) + 1
+        """,
+        # PERCENTILE_CONT closed form spelled out (NOT quantile_cont —
+        # its internal association order is not contractual): pos =
+        # pct/100*(n-1), v_lo + (v_hi-v_lo)*frac, folded to centi-bp
+        "value_quantiles_interp": """
+            WITH f AS (SELECT event_type,
+                              CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+                       FROM events
+                       WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            n AS (SELECT event_type, COUNT(*) AS n FROM f GROUP BY event_type),
+            r AS (SELECT event_type, v, ROW_NUMBER() OVER (
+                      PARTITION BY event_type ORDER BY v) AS rn FROM f),
+            q(q_pct) AS (VALUES (25), (50), (75), (90), (99)),
+            p AS (SELECT n.event_type, q.q_pct,
+                         q.q_pct / 100.0 * (n.n - 1) AS pos, n.n AS n
+                  FROM n CROSS JOIN q),
+            k AS (SELECT event_type, q_pct, pos, n,
+                         CAST(FLOOR(pos) AS BIGINT) AS k FROM p),
+            a AS (SELECT k.event_type, k.q_pct, k.pos, k.k, k.n,
+                         r.v AS v_lo
+                  FROM k JOIN r ON r.event_type = k.event_type
+                               AND r.rn = k.k + 1),
+            b AS (SELECT k.event_type, k.q_pct, r.v AS v_hi
+                  FROM k JOIN r ON r.event_type = k.event_type
+                               AND r.rn = LEAST(k.k + 2, k.n))
+            SELECT a.event_type AS event_type,
+                   CAST(a.q_pct AS INTEGER) AS q_pct,
+                   CAST(FLOOR((a.v_lo + (b.v_hi - a.v_lo) * (a.pos - a.k))
+                              * 100 + 0.5) AS BIGINT) AS value_cbp
+            FROM a JOIN b ON a.event_type = b.event_type
+                         AND a.q_pct = b.q_pct
         """,
         # trimmed mean: thresholds from the shared rank rule, kept-sum
         # int64, mean = exact-integer division folded to nearest bp

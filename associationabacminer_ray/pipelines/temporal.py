@@ -303,6 +303,37 @@ def q_value_quantiles_exact(sf_dir: str) -> rd.Dataset:
     return exact_value_quantiles(sf_dir)
 
 
+def q_value_quantiles_interp(sf_dir: str, pcts=QUANTILE_PCTS,
+                             num_buckets: int = 16) -> rd.Dataset:
+    """PERCENTILE_CONT semantics as a pinned closed form: position
+    ``pct/100·(n−1)``, linear interpolation ``v_lo + (v_hi−v_lo)·frac``
+    between the neighboring order statistics, folded to centi-bp. The
+    oracle spells out the SAME arithmetic instead of calling DuckDB's
+    ``quantile_cont`` (whose internal association order is not
+    contractual). Built on the shared histogram reduction — neighbors
+    come from two csum lookups, no global sort."""
+    hist = value_histogram(sf_dir, num_buckets=num_buckets)
+    pct_arr = np.array(pcts, np.int64)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_bp", kind="mergesort")
+        vals = g["value_bp"].to_numpy(np.int64)
+        csum = np.cumsum(g["cnt"].to_numpy(np.int64))
+        n = int(csum[-1])
+        pos = pct_arr / 100.0 * (n - 1)
+        k = np.floor(pos).astype(np.int64)
+        v_lo = vals[np.searchsorted(csum, k + 1, side="left")]
+        v_hi = vals[np.searchsorted(csum, np.minimum(k + 2, n), side="left")]
+        res = v_lo + (v_hi - v_lo) * (pos - k)
+        return pd.DataFrame({
+            "event_type": np.repeat(g["event_type"].iloc[0], len(pct_arr)),
+            "q_pct": pct_arr.astype(np.int32),
+            "value_cbp": np.floor(res * 100 + 0.5).astype(np.int64),
+        })
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
 # ------------------------------------------------------- per-row value rank
 def _rank_lut_ref(sf_dir: str, num_buckets: int):
     """Shared pass-1 for the rank queries: the merged value histogram
