@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_ntile": ST.q_customer_ntile,
         "moment_stats": ST.q_moment_stats,
         "price_histogram": ST.q_price_histogram,
+        "f2_moment": ST.q_f2_moment,
         # text / dedup over documents (oracle-checked)
         "dedup_docs": T.q_dedup_docs,
         "doc_fingerprint": T.q_doc_fingerprint,
@@ -96,6 +97,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap": S.q_audience_overlap,
         "rule_audience_overlap": S.q_rule_audience_overlap,
         "value_quantiles": S.q_value_quantiles,
+        # merge-order-EXACT sketch twins (pinned golden, r3 second half):
+        # DDSketch integer-bucket quantiles; AMS/count-sketch F2
+        "value_quantiles_dd": S.q_value_quantiles_dd,
+        "f2_moment_sketch": S.q_f2_moment_sketch,
         "greedy_policy": S.q_greedy_policy,
         "windowed_mining": S.q_windowed_mining,
         "windowed_sketch_sweep": S.q_windowed_sketch_sweep,
@@ -641,6 +646,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) * SUM(q * d) - SUM(q) * SUM(d) AS BIGINT)
                        AS cov_num
             FROM t GROUP BY l_returnflag
+        """,
+        "f2_moment": """
+            SELECT CAST(SUM(c * c) AS BIGINT) AS f2,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(c) AS BIGINT) AS n_rows
+            FROM (SELECT COUNT(*) AS c FROM events
+                  GROUP BY user_id, event_type)
         """,
         "price_histogram": """
             WITH t AS (SELECT c, c // 5000000 AS b FROM (

@@ -19,9 +19,16 @@ import ray.data as rd
 from ..functions.hashing import hash_any
 from ..pipelines.itemsets import sketched_itemset_supports, transactions
 from ..pipelines.rules import greedy_cover_ray
-from ..sketches import ThetaKMV
+from ..sketches import CountSketch, ThetaKMV
 from ..sources.transcripts import transcripts_from_events
-from ..udaf import HllAgg, KllAgg, TDigestAgg, ThetaAgg
+from ..udaf import (
+    CountSketchAgg,
+    DDSketchAgg,
+    HllAgg,
+    KllAgg,
+    TDigestAgg,
+    ThetaAgg,
+)
 
 QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.99)
 
@@ -65,6 +72,55 @@ def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
             "kll": [kl["kll"][f"q{q}"] for q in QUANTILES],
         }
     )
+
+
+def q_value_quantiles_dd(sf_dir: str, alpha: float = 0.01) -> pd.DataFrame:
+    """DDSketch quantiles of events.value — the merge-order-EXACT
+    quantile sketch (integer geometric-bucket counts; Masson et al.,
+    VLDB 2019).  Unlike ``value_quantiles`` (t-digest/KLL — ``no_oracle``
+    because compaction is merge-order sensitive), DDSketch merges by
+    per-bucket addition, so the finalized quantiles are bit-identical
+    across arbitrary partition splits → pinned-golden oracle,
+    cross-CPU validated.  Relative error ≤ alpha vs the exact
+    nearest-rank quantile is asserted in pytest."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    res = ds.aggregate(DDSketchAgg("value", alpha=alpha,
+                                   finalize_quantiles=QUANTILES, alias="dd"))
+    est = pd.Series([res["dd"][f"q{q}"] for q in QUANTILES],
+                    dtype=float, name="est_value_bp")
+    return pd.DataFrame({
+        "q_bp": np.array([int(round(q * 10000)) for q in QUANTILES], np.int64),
+        "est_value_bp": _fold_bp_strict(est),
+    })
+
+
+def q_f2_moment_sketch(sf_dir: str, width: int = 1 << 14,
+                       depth: int = 5) -> pd.DataFrame:
+    """AMS second-moment estimate of the (user_id, event_type) key
+    distribution with NO shuffle at all: per-batch combiner → ONE global
+    CountSketchAgg whose merge is element-wise int64 addition —
+    bit-identical across partition splits → pinned-golden oracle,
+    cross-CPU validated.  The exact twin (``stats.q_f2_moment``, one
+    bucketed count shuffle) bounds it in pytest: |est − F2| ≤
+    √(2/width)·F2 with high probability (observed ≪ the bound)."""
+    from ..functions.hashing import hash_strings
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["user_id"].astype(str) + "\x1f" + b["event_type"].astype(str)
+        g = (pd.DataFrame({"_key": key}).groupby("_key", sort=False)
+             .size().reset_index(name="_c"))
+        return pd.DataFrame({"_kh": hash_strings(g["_key"].to_numpy()),
+                             "_c": g["_c"].astype(np.int64)})
+
+    agg = ds.map_batches(combine, batch_format="pandas").aggregate(
+        CountSketchAgg("_kh", width=width, depth=depth, weight_col="_c",
+                       alias="cs"))
+    sk = CountSketch.from_bytes(bytes(agg["cs"]))
+    return pd.DataFrame({"est_f2": [np.int64(sk.f2_estimate())],
+                         "n_rows": [np.int64(sk.total)]})
 
 
 def _pairwise_overlaps(sketches: dict, labels: dict | None,

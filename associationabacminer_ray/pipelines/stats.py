@@ -155,3 +155,42 @@ def q_price_histogram(sf_dir: str,
 
     return bucketed_group_agg(ds.map_batches(partial, batch_format="pyarrow"),
                               ["bin_id"], final, num_buckets=2)
+
+
+def q_f2_moment(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
+    """Second frequency moment F2 = Σ c(k)² of the (user_id, event_type)
+    key distribution — the self-join size / key-concentration statistic
+    that tells a planner how badly a hash partition on this key will
+    skew (AMS 1996).  Exact path: per-batch combiner (one row per
+    DISTINCT key per block) → ONE bucketed count shuffle → per-block
+    Σ c² partials → driver sum over one tiny row per block.  c² sums
+    are int64 (exact up to per-key counts ~3·10⁹); past that regime the
+    sketch twin is the answer anyway
+    (``sketch_queries.q_f2_moment_sketch`` — NO shuffle, √(2/width)
+    relative error).  Oracle: SUM(c*c) over a GROUP BY subquery."""
+    from .itemsets import sum_by_key_bucketed
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["user_id"].astype(str) + "\x1f" + b["event_type"].astype(str)
+        out = (pd.DataFrame({"_key": key}).groupby("_key", sort=False)
+               .size().reset_index(name="_c"))
+        out["_c"] = out["_c"].astype(np.int64)
+        return out
+
+    counts = sum_by_key_bucketed(
+        ds.map_batches(combine, batch_format="pandas"),
+        "_key", "_c", num_buckets=num_buckets)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["_c"].to_numpy(np.int64)
+        return pd.DataFrame({"f2": [np.int64((c * c).sum())],
+                             "n_keys": [np.int64(c.size)],
+                             "n_rows": [np.int64(c.sum())]})
+
+    parts = counts.map_batches(partials, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"f2": [np.int64(parts["f2"].sum())],
+                         "n_keys": [np.int64(parts["n_keys"].sum())],
+                         "n_rows": [np.int64(parts["n_rows"].sum())]})

@@ -8,6 +8,8 @@ shuffles, and checkpoints to parquet.
 from .base import Sketch, sketch_from_bytes
 from .bloom import BloomFilter
 from .cms import CountMinSketch
+from .countsketch import CountSketch
+from .ddsketch import DDSketch
 from .hll import HyperLogLog
 from .kll import KLL
 from .tdigest import TDigest
@@ -19,6 +21,8 @@ __all__ = [
     "sketch_from_bytes",
     "BloomFilter",
     "CountMinSketch",
+    "CountSketch",
+    "DDSketch",
     "HyperLogLog",
     "KLL",
     "SpaceSaving",

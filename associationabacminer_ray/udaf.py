@@ -32,6 +32,8 @@ from ray.data.block import Block
 from .sketches import (
     BloomFilter,
     CountMinSketch,
+    CountSketch,
+    DDSketch,
     HyperLogLog,
     KLL,
     Sketch,
@@ -189,6 +191,57 @@ class ThetaAgg(_SketchAgg):
 
     def aggregate_block(self, block: Block) -> ThetaKMV:
         return self._zero().update_hashed(_hash_column(block, self._target_col_name))
+
+
+class CountSketchAgg(_SketchAgg):
+    """Count sketch (signed AMS) over a uint64 hash column — unbiased
+    point counts plus the F2 second frequency moment (self-join size /
+    key concentration) in one pass with NO groupby shuffle. Optional
+    ``weight_col`` takes pre-aggregated (hash, count) rows like CmsAgg.
+    Finalizes to the blob by default; ``finalize_f2=True`` emits the
+    int64 AMS F2 estimate instead (merge-order-exact, hence pinnable)."""
+
+    def __init__(self, on: str, width: int = 1 << 14, depth: int = 5, seed: int = 19,
+                 weight_col: str | None = None, alias: str | None = None,
+                 finalize_f2: bool = False):
+        self._weight_col = weight_col
+        self._key_col = on
+        fin = (lambda s: np.int64(s.f2_estimate())) if finalize_f2 else None
+        # weighted aggs need two columns; on=None disables block pruning
+        super().__init__(None if weight_col else on, alias or f"countsketch({on})",
+                         lambda: CountSketch(width=width, depth=depth, seed=seed),
+                         fin)
+
+    def aggregate_block(self, block: Block) -> CountSketch:
+        sk = self._zero()
+        if self._weight_col:
+            h = block_column(block, self._key_col)
+            if h.dtype.kind == "f":
+                raise ValueError("CountSketchAgg: null-bearing hash column "
+                                 "with weights — drop nulls upstream")
+            w = _check_integral_weights(
+                block_column(block, self._weight_col), "CountSketchAgg")
+            return sk.update_hashed(h.astype(np.uint64, copy=False), w)
+        return sk.update_hashed(_hash_column(block, self._target_col_name))
+
+
+class DDSketchAgg(_SketchAgg):
+    """DDSketch over a numeric column — relative-error quantiles whose
+    merge is EXACTLY order-independent (integer bucket counts), so
+    finalized quantiles are bit-identical across partition splits: the
+    pinnable twin of TDigestAgg/KllAgg. Same finalize contract."""
+
+    def __init__(self, on: str, alpha: float = 0.01,
+                 finalize_quantiles: tuple[float, ...] | None = None,
+                 alias: str | None = None):
+        fin = None
+        if finalize_quantiles is not None:
+            qs = tuple(finalize_quantiles)
+            fin = lambda s: {f"q{q}": float(s.quantile(q)) for q in qs}  # noqa: E731
+        super().__init__(on, alias or f"ddsketch({on})", lambda: DDSketch(alpha=alpha), fin)
+
+    def _update(self, sketch: DDSketch, values: np.ndarray) -> DDSketch:
+        return sketch.update(values.astype(np.float64, copy=False))
 
 
 class BloomAgg(_SketchAgg):

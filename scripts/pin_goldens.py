@@ -49,6 +49,12 @@ GOLDEN = [
     # merge-order independent (bit-identical property test), validated
     # at 3/8/16 CPUs at both sf levels
     "rule_audience_overlap",
+    # merge-order-EXACT sketch twins (r3 second half): DDSketch buckets
+    # are integer counts (per-bucket addition), count-sketch cells are
+    # int64 sums — both bit-identical across partition splits, outputs
+    # integer-folded; bounds vs exact asserted in test_sketches
+    "value_quantiles_dd",
+    "f2_moment_sketch",
     # NOT pinnable: pfa_features (gram-matrix float partials depend on
     # batch boundaries, so results shift with num_cpus; pytest checks it
     # against direct numpy instead), sketch_topk/value_quantiles

@@ -368,3 +368,168 @@ def test_registry_dispatch_and_type_guard():
         HyperLogLog.from_bytes(cms.to_bytes())
     with pytest.raises(ValueError):
         sketch_from_bytes(b"XXXX\x01garbage")
+
+
+# ------------------------------------------------------------ count sketch
+class TestCountSketch:
+    def test_point_estimates_near_exact_on_zipf(self):
+        from associationabacminer_ray.sketches import CountSketch
+
+        keys = zipf_keys(n=200_000, vocab=5_000, seed=3)
+        h = hash_ints(keys)
+        sk = CountSketch(width=1 << 14, depth=5).update_hashed(h)
+        uniq, cnt = np.unique(keys, return_counts=True)
+        # noise per row is ~ sqrt(F2/width); check the heavy head exactly
+        # matches and the tail stays within 4·sqrt(F2/width)
+        f2 = float((cnt.astype(np.float64) ** 2).sum())
+        bound = 4.0 * np.sqrt(f2 / (1 << 14))
+        est = sk.estimate_hashed(hash_ints(uniq))
+        # unbiased signed noise: every key within the 4σ bound, and the
+        # heavy head essentially exact (tiny relative error)
+        head = np.argsort(cnt)[-20:]
+        assert np.abs(est[head] - cnt[head]).max() <= 0.01 * cnt[head].min()
+        assert np.abs(est - cnt).max() <= bound
+
+    def test_f2_estimate_within_bound(self):
+        from associationabacminer_ray.sketches import CountSketch
+
+        keys = zipf_keys(n=150_000, vocab=20_000, seed=5)
+        _, cnt = np.unique(keys, return_counts=True)
+        f2 = int((cnt.astype(object) ** 2).sum())
+        sk = CountSketch(width=1 << 14, depth=5).update_hashed(hash_ints(keys))
+        est = sk.f2_estimate()
+        # median-of-rows: allow 4 std-devs of the per-row estimator
+        assert abs(est - f2) <= 4.0 * sk.f2_relative_error * f2
+        assert sk.total == len(keys)
+
+    def test_weighted_equals_unweighted(self):
+        from associationabacminer_ray.sketches import CountSketch
+
+        keys = zipf_keys(n=30_000, vocab=1_000, seed=7)
+        h = hash_ints(keys)
+        a = CountSketch(width=1 << 12, depth=3).update_hashed(h)
+        uniq, cnt = np.unique(h, return_counts=True)
+        b = CountSketch(width=1 << 12, depth=3).update_hashed(
+            uniq, cnt.astype(np.int64))
+        assert np.array_equal(a.table, b.table)
+        assert a.total == b.total
+
+    def test_merge_bit_identical_across_splits(self):
+        from associationabacminer_ray.sketches import CountSketch
+
+        h = hash_ints(zipf_keys(n=80_000, seed=9))
+        whole = CountSketch(width=1 << 12, depth=5).update_hashed(h)
+        for k in (2, 3, 8, 17):
+            parts = split_parts(h, k, seed=k)
+            accs = [CountSketch(width=1 << 12, depth=5).update_hashed(p)
+                    for p in parts]
+            order = np.random.default_rng(k).permutation(k)
+            m = accs[order[0]]
+            for i in order[1:]:
+                m = m.merge(accs[i])
+            assert np.array_equal(m.table, whole.table)
+            assert m.total == whole.total
+            assert m.f2_estimate() == whole.f2_estimate()
+
+    def test_serialization_roundtrip_and_guards(self):
+        from associationabacminer_ray.sketches import CountSketch
+
+        sk = CountSketch(width=256, depth=3).update_hashed(
+            hash_ints(np.arange(1000)))
+        rt = Sketch.from_bytes(sk.to_bytes())
+        assert isinstance(rt, CountSketch)
+        assert np.array_equal(rt.table, sk.table)
+        assert rt.total == sk.total and rt.seed == sk.seed
+        with pytest.raises(ValueError):
+            CountSketch(depth=4)  # even depth → non-integer median
+        with pytest.raises(ValueError):
+            sk.merge(CountSketch(width=128, depth=3))
+
+    def test_huge_cell_f2_exact_integer_path(self):
+        from associationabacminer_ray.sketches import CountSketch
+
+        # one key with count > 2^26 → float64 squares would lose bits;
+        # the object-int path must stay exact
+        sk = CountSketch(width=64, depth=3, seed=19)
+        h = hash_ints(np.array([42], dtype=np.int64))
+        sk.update_hashed(h, np.array([1 << 27], dtype=np.int64))
+        assert sk.f2_estimate() == (1 << 27) ** 2
+
+
+# ---------------------------------------------------------------- ddsketch
+class TestDDSketch:
+    def _exact_nearest_rank(self, vals, q):
+        sv = np.sort(vals)
+        rank = max(1, int(np.ceil(q * sv.size)))
+        return sv[rank - 1]
+
+    @pytest.mark.parametrize("dist", ["lognormal", "uniform", "mixed_sign"])
+    def test_relative_error_within_alpha(self, dist):
+        from associationabacminer_ray.sketches import DDSketch
+
+        rng = np.random.default_rng(11)
+        if dist == "lognormal":
+            vals = rng.lognormal(1.0, 2.0, 60_000)
+        elif dist == "uniform":
+            vals = rng.uniform(0.001, 1000.0, 60_000)
+        else:
+            vals = rng.lognormal(0.5, 1.5, 60_000)
+            vals[::3] *= -1
+            vals[::50] = 0.0
+        alpha = 0.01
+        sk = DDSketch(alpha=alpha).update(vals)
+        assert sk.n == len(vals)
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            exact = self._exact_nearest_rank(vals, q)
+            est = sk.quantile(q)
+            if exact == 0.0:
+                assert est == 0.0
+            else:
+                assert abs(est - exact) <= alpha * abs(exact) + 1e-12
+
+    def test_merge_bit_identical_across_splits(self):
+        from associationabacminer_ray.sketches import DDSketch
+
+        rng = np.random.default_rng(13)
+        vals = rng.lognormal(0.0, 3.0, 50_000)
+        vals[::7] *= -1
+        whole = DDSketch(alpha=0.02).update(vals)
+        qs = (0.01, 0.5, 0.99)
+        for k in (2, 3, 8, 17):
+            parts = split_parts(vals, k, seed=k)
+            accs = [DDSketch(alpha=0.02).update(p) for p in parts]
+            order = np.random.default_rng(k).permutation(k)
+            m = accs[order[0]]
+            for i in order[1:]:
+                m = m.merge(accs[i])
+            # integer bucket counts ⇒ estimates are bit-identical
+            assert m.quantiles(qs) == whole.quantiles(qs)
+            assert np.array_equal(m.pos_keys, whole.pos_keys)
+            assert np.array_equal(m.pos_counts, whole.pos_counts)
+            assert m.zero_count == whole.zero_count
+
+    def test_nan_dropped_zero_counted(self):
+        from associationabacminer_ray.sketches import DDSketch
+
+        sk = DDSketch(alpha=0.01).update(
+            np.array([np.nan, 0.0, 0.0, 5.0, np.nan]))
+        assert sk.n == 3 and sk.zero_count == 2
+        assert sk.quantile(0.5) == 0.0
+
+    def test_serialization_roundtrip_and_guards(self):
+        from associationabacminer_ray.sketches import DDSketch
+
+        rng = np.random.default_rng(17)
+        vals = rng.lognormal(0.0, 2.0, 5_000)
+        vals[::5] *= -1
+        sk = DDSketch(alpha=0.005).update(vals)
+        rt = Sketch.from_bytes(sk.to_bytes())
+        assert isinstance(rt, DDSketch)
+        assert rt.alpha == sk.alpha and rt.n == sk.n
+        assert rt.quantiles([0.1, 0.5, 0.9]) == sk.quantiles([0.1, 0.5, 0.9])
+        with pytest.raises(ValueError):
+            sk.merge(DDSketch(alpha=0.01))
+        with pytest.raises(ValueError):
+            DDSketch(alpha=0.0)
+        with pytest.raises(ValueError):
+            DDSketch().quantile(0.5)  # empty
