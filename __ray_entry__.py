@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3 (late): ordered-sequence family — LAG gaps, trajectory
         # strings, trajectory-prefix frequency
         "user_event_gaps": SQ.q_user_event_gaps,
+        "user_running_total": SQ.q_user_running_total,
         "user_paths": SQ.q_user_paths,
         "top_paths": SQ.q_top_paths,
         # round 3 (late): OLAP family — per-group top-N, pivot,
@@ -1215,6 +1216,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(prev_event_id AS BIGINT) AS prev_event_id,
                    CAST(gap_us AS BIGINT) AS gap_us
             FROM s WHERE prev_event_id IS NOT NULL
+        """,
+        # running cumulative sum per user (ROWS UNBOUNDED PRECEDING),
+        # cents-folded BEFORE accumulating so sums are exact int64 —
+        # pipelines.sequence.user_running_total
+        "user_running_total": """
+            WITH t AS (SELECT event_id, user_id, ts,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                         AND ts IS NOT NULL AND value IS NOT NULL)
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(c) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_value_cents
+            FROM t
         """,
         # ordered string_agg per user (trajectory string), ordering and
         # separator pinned on both sides — pipelines.sequence.user_paths

@@ -410,3 +410,54 @@ def conversion_time_quantiles(sf_dir: str,
 
 def q_conversion_time_quantiles(sf_dir: str) -> rd.Dataset:
     return conversion_time_quantiles(sf_dir)
+
+
+# ----------------------------------------------------- running cumulative sum
+def user_running_total(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Per-event running total of event value per user — the
+    ``SUM(...) OVER (PARTITION BY user ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING)`` window shape (the cumulative-exposure /
+    spend-so-far feature every training-data join wants). One hash
+    shuffle on the user key, then a vectorized sort + grouped cumsum
+    per bucket; values fold to integer cents BEFORE accumulating so
+    the running sums are exact int64 on both engines (a float cumsum
+    would drift order-sensitively). Ties are impossible within a user
+    (event_id is unique) but the (ts_us, event_id) sort key and the
+    oracle's ROWS frame pin the order anyway."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                        pa.int64())
+        df = pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts_us": _ts_us(t["ts"]),
+            "cents": cents.to_numpy(zero_copy_only=False),
+        })
+        df["bucket"] = (hash_ints(df["user_id"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def cumsum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        out = pd.DataFrame({
+            "event_id": g["event_id"].astype(np.int64).to_numpy(),
+            "user_id": g["user_id"].astype(np.int64).to_numpy(),
+            "cum_value_cents": g.groupby("user_id", sort=False)["cents"]
+                                .cumsum().astype(np.int64).to_numpy(),
+        })
+        return out
+
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: cumsum_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_user_running_total(sf_dir: str) -> rd.Dataset:
+    return user_running_total(sf_dir)
