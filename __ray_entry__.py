@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merge-order-EXACT sketch twins (pinned golden, r3 second half):
         # DDSketch integer-bucket quantiles; AMS/count-sketch F2
         "value_quantiles_dd": S.q_value_quantiles_dd,
+        "type_value_quantiles_dd": S.q_type_value_quantiles_dd,
         "f2_moment_sketch": S.q_f2_moment_sketch,
         "greedy_policy": S.q_greedy_policy,
         "windowed_mining": S.q_windowed_mining,

@@ -94,6 +94,34 @@ def q_value_quantiles_dd(sf_dir: str, alpha: float = 0.01) -> pd.DataFrame:
     })
 
 
+def q_type_value_quantiles_dd(sf_dir: str, alpha: float = 0.01) -> pd.DataFrame:
+    """Per-event-type DDSketch quantiles — the GROUPED form of
+    ``q_value_quantiles_dd`` (one groupby-aggregate shuffle moving
+    O(KB) bucket maps per type, never rows; the ScoreAggregator
+    per-key distribution upgrade).  Merge-order-exact like the global
+    version → pinned-golden oracle, cross-CPU validated."""
+    from ..sketches import DDSketch
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    blobs = (ds.groupby("event_type")
+             .aggregate(DDSketchAgg("value", alpha=alpha, alias="dd"))
+             .to_pandas())
+    rows = []
+    for t, b in zip(blobs["event_type"], blobs["dd"]):
+        sk = DDSketch.from_bytes(bytes(b))
+        est = pd.Series([sk.quantile(q) for q in QUANTILES], dtype=float,
+                        name="est_value_bp")
+        rows.append(pd.DataFrame({
+            "event_type": t,
+            "q_bp": np.array([int(round(q * 10000)) for q in QUANTILES],
+                             np.int64),
+            "est_value_bp": _fold_bp_strict(est),
+            "n_values": np.int64(sk.n),
+        }))
+    return pd.concat(rows, ignore_index=True)
+
+
 def q_f2_moment_sketch(sf_dir: str, width: int = 1 << 14,
                        depth: int = 5) -> pd.DataFrame:
     """AMS second-moment estimate of the (user_id, event_type) key

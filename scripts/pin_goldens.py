@@ -54,6 +54,7 @@ GOLDEN = [
     # int64 sums — both bit-identical across partition splits, outputs
     # integer-folded; bounds vs exact asserted in test_sketches
     "value_quantiles_dd",
+    "type_value_quantiles_dd",
     "f2_moment_sketch",
     # NOT pinnable: pfa_features (gram-matrix float partials depend on
     # batch boundaries, so results shift with num_cpus; pytest checks it

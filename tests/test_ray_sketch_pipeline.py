@@ -15,7 +15,11 @@ import pandas as pd
 import pytest
 
 import associationabacminer_ray.pipelines.itemsets as P
-from associationabacminer_ray.functions.hashing import hash_any, hash_string_scalar
+from associationabacminer_ray.functions.hashing import (
+    hash_any,
+    hash_string_scalar,
+    hash_strings,
+)
 from associationabacminer_ray.sketches import Sketch
 from associationabacminer_ray.sources.transcripts import synth_transcripts
 from associationabacminer_ray.stages.sketch_update import (
@@ -184,3 +188,70 @@ class TestUpdaterStage:
         want = transcripts_tbl.to_pandas()["tool"].value_counts()
         top1 = sk.top(1)[0]
         assert top1[0] == want.index[0] and top1[1] >= want.iloc[0]
+
+
+class TestNewSketchUDAFs:
+    """DDSketch / count-sketch UDAFs through real Ray aggregations:
+    error bounds vs exact recomputation, and partition-count invariance
+    (the merge-order-exactness that makes their queries pinnable)."""
+
+    def test_global_ddsketch_udaf_within_alpha(self, ray_session):
+        import ray.data as rd
+
+        from associationabacminer_ray.udaf import DDSketchAgg
+
+        rng = np.random.default_rng(7)
+        vals = rng.lognormal(0.5, 1.5, 40_000)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+        out = ds.aggregate(DDSketchAgg("v", alpha=0.01,
+                                       finalize_quantiles=(0.1, 0.5, 0.99),
+                                       alias="q"))
+        sv = np.sort(vals)
+        for q in (0.1, 0.5, 0.99):
+            exact = sv[max(1, int(np.ceil(q * sv.size))) - 1]
+            assert abs(out["q"][f"q{q}"] - exact) <= 0.01 * exact + 1e-12
+
+    def test_ddsketch_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from associationabacminer_ray.sketches import Sketch
+        from associationabacminer_ray.udaf import DDSketchAgg
+
+        rng = np.random.default_rng(9)
+        vals = rng.lognormal(0.0, 2.0, 30_000)
+        df = pd.DataFrame({"v": vals})
+        results = []
+        for nparts in (1, 3, 11):
+            ds = rd.from_pandas(df).repartition(nparts)
+            blob = ds.aggregate(DDSketchAgg("v", alpha=0.02, alias="dd"))["dd"]
+            sk = Sketch.from_bytes(bytes(blob))
+            results.append(sk.quantiles([0.01, 0.25, 0.5, 0.75, 0.99]))
+        assert results[0] == results[1] == results[2]
+
+    def test_countsketch_f2_vs_exact_and_invariance(self, ray_session,
+                                                    transcripts_tbl):
+        import ray.data as rd
+
+        from associationabacminer_ray.sketches import CountSketch
+        from associationabacminer_ray.udaf import CountSketchAgg
+
+        df = transcripts_tbl.to_pandas()
+        key = df["role"].astype(str) + "\x1f" + df["tool"].astype(str)
+        cnt = key.value_counts().to_numpy()
+        f2 = int((cnt.astype(object) ** 2).sum())
+
+        def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+            k = b["role"].astype(str) + "\x1f" + b["tool"].astype(str)
+            return pd.DataFrame({"kh": hash_strings(k.to_numpy())})
+
+        ests = []
+        for nparts in (2, 9):
+            ds = (rd.from_arrow(transcripts_tbl).repartition(nparts)
+                  .map_batches(add_hash, batch_format="pandas"))
+            blob = ds.aggregate(CountSketchAgg("kh", width=1 << 13, depth=5,
+                                               alias="cs"))["cs"]
+            sk = CountSketch.from_bytes(bytes(blob))
+            assert sk.total == len(df)
+            ests.append(sk.f2_estimate())
+        assert ests[0] == ests[1]
+        assert abs(ests[0] - f2) <= 4.0 * np.sqrt(2.0 / (1 << 13)) * f2
