@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import temporal as TM
     from associationabacminer_ray.pipelines import terms as TR
     from associationabacminer_ray.pipelines import text_pipelines as T
+    from associationabacminer_ray.pipelines import semistruct as SS
     from associationabacminer_ray.pipelines import universe as U
 
     return {
@@ -183,6 +184,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_time_quantiles": SQ.q_conversion_time_quantiles,
         # round 3 (late): weekly cohort retention matrix
         "cohort_retention": TM.q_cohort_retention,
+        # round 3 (late): semi-structured JSON extraction (M1-flatten
+        # analog for payload columns), Gopher-style repetition stats,
+        # unigram-LM doc scoring, relational division
+        "props_key_stats": SS.q_props_key_stats,
+        "repetition_stats": TR.q_repetition_stats,
+        "doc_lm_score": TR.q_doc_lm_score,
+        "users_all_types": O.q_users_all_types,
     }
 
 
@@ -1487,5 +1495,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM uw JOIN c ON uw.user_id = c.user_id
             GROUP BY c.cw, uw.w - c.cw
+        """,
+        # semi-structured extraction: integer-typed top-level JSON key
+        # only (json_type guard mirrors the engine's RE2 contract —
+        # floats/strings/missing keys are null on BOTH sides);
+        # pipelines.semistruct.props_key_stats
+        "props_key_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+                WHERE event_type IS NOT NULL AND props IS NOT NULL
+                  AND json_valid(props)
+                  AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT'))
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k
+            FROM x GROUP BY event_type
+        """,
+        # per-doc repetition quality stats: integer trunc-division bp
+        # ratios, top-term tie -> lexicographically smallest (pinned);
+        # zero-token docs excluded on both sides (no toks rows);
+        # pipelines.terms.repetition_stats
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+')) AS term
+                FROM documents WHERE doc_id IS NOT NULL),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            agg AS (SELECT doc_id, SUM(tf) AS n_tokens,
+                           COUNT(*) AS n_distinct
+                    FROM tf GROUP BY doc_id),
+            top AS (SELECT doc_id, term AS top_term, tf AS top_tf FROM (
+                SELECT doc_id, term, tf, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rn
+                FROM tf) WHERE rn = 1)
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+                   CAST(a.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(a.n_distinct AS BIGINT) AS n_distinct,
+                   top.top_term,
+                   CAST(top.top_tf AS BIGINT) AS top_tf,
+                   CAST(top.top_tf * 10000 // a.n_tokens AS BIGINT) AS top_bp,
+                   CAST(a.n_distinct * 10000 // a.n_tokens AS BIGINT)
+                       AS distinct_bp
+            FROM agg a JOIN top USING (doc_id)
+        """,
+        # unigram-LM self-perplexity score in milli-nats. Float caveat
+        # as info_gain: both sides average the same ln() addends in
+        # different association order (~1e-14 relative) — the 0.0005-nat
+        # fold boundary flip risk is ~1e-11/doc, documented in
+        # pipelines.terms.doc_lm_score
+        "doc_lm_score": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+')) AS term
+                FROM documents WHERE doc_id IS NOT NULL),
+            c AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+            n AS (SELECT COUNT(*) AS n FROM toks)
+            SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(FLOOR(AVG(ln(c.c * 1.0 / n.n)) * 1000 + 0.5)
+                        AS BIGINT) AS lm_millinats
+            FROM toks t JOIN c USING (term) CROSS JOIN n
+            GROUP BY t.doc_id
+        """,
+        # relational division: users covering EVERY event type; the
+        # divisor subquery has no user predicate (mirrored in the
+        # engine's divisor pass) — pipelines.olap.users_all_types
+        "users_all_types": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY user_id
+            HAVING COUNT(DISTINCT event_type) = (
+                SELECT COUNT(DISTINCT event_type) FROM events
+                WHERE event_type IS NOT NULL)
         """,
     }

@@ -425,3 +425,61 @@ def customer_order_counts(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
 def q_customer_order_counts(sf_dir: str) -> rd.Dataset:
     return customer_order_counts(sf_dir)
+
+
+# ------------------------------------------------------ relational division
+def users_all_types(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Relational DIVISION: users who performed EVERY event type seen
+    in the corpus — the ``HAVING COUNT(DISTINCT x) = |X|`` shape (the
+    reference's "rule covers all required constraints" check,
+    ``src/eval/RuleEvaluator.py:10-30``, as a set-containment query).
+
+    Two passes, both bounded: the divisor (distinct event types) is a
+    types-sized per-batch-unique union — broadcast as one int; the
+    dividend deduplicates (user, type) per batch so the user-bucketed
+    shuffle carries at most |users|×|types| rows per block. No raw
+    event ever shuffles."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def batch_types(t: pa.Table) -> pd.DataFrame:
+        # divisor counts every non-null type, even on null-user rows
+        # (the oracle's subquery has no user predicate)
+        col = t["event_type"]
+        if col.null_count:
+            col = col.filter(pc.is_valid(col))
+        return pd.DataFrame({
+            "event_type": pd.unique(col.to_numpy(zero_copy_only=False))})
+
+    # divisor: types-sized (documented small side — a handful of rows)
+    n_types = len(set(
+        ev.map_batches(batch_types, batch_format="pyarrow")
+        .to_pandas()["event_type"]))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        df["bucket"] = (hash_ints(df["user_id"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def div_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nd = (g.drop_duplicates()
+              .groupby("user_id", sort=False)["event_type"].size())
+        keep = nd[nd == n_types]
+        return pd.DataFrame({
+            "user_id": keep.index.to_numpy(np.int64),
+            "n_types": keep.to_numpy(np.int64),
+        })
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: div_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_users_all_types(sf_dir: str) -> rd.Dataset:
+    return users_all_types(sf_dir)

@@ -245,3 +245,150 @@ def bigram_counts(sf_dir: str, k: int = BIGRAM_TOP_K,
 
 def q_bigram_counts(sf_dir: str) -> rd.Dataset:
     return bigram_counts(sf_dir)
+
+
+# ----------------------------------------------- per-doc repetition stats
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition quality signals, integer-exact: per doc
+    the token total, distinct-token count, the single most frequent
+    token (ties -> lexicographically smallest, pinned on both sides),
+    its count, and two basis-point ratios via trunc integer division
+    (``//`` on both sides): top-token mass and distinct-token ratio.
+    High top_bp / low distinct_bp = boilerplate or degenerate repetition
+    — the standard pre-training text filter.
+
+    A document's text is one row, so this is a pure per-batch map —
+    NO shuffle at any scale; docs with zero tokens are excluded (the
+    oracle's toks CTE produces no rows for them)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def per_batch(t: pa.Table) -> pd.DataFrame:
+        # one vectorized groupby over the batch's (doc, term, tf) rows
+        # (same explode shape as doc_term_freqs.tf_batch)
+        if t["doc_id"].null_count:
+            t = t.filter(pc.is_valid(t["doc_id"]))
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = [TOKEN_RE.findall((s or "").lower())
+                for s in t["text"].to_pylist()]
+        lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(doc_ids, lens),
+            "term": np.concatenate([np.asarray(x, object) for x in toks])
+            if len(toks) else np.array([], object),
+        })
+        tf = (flat.groupby(["doc_id", "term"], sort=False)
+              .size().rename("tf").reset_index())
+        tf = tf.sort_values(["doc_id", "tf", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        g = tf.groupby("doc_id", sort=False)
+        top = g.head(1).set_index("doc_id")
+        n_tokens = g["tf"].sum()
+        n_distinct = g.size()
+        out = pd.DataFrame({
+            "doc_id": n_tokens.index.to_numpy(np.int64),
+            "n_tokens": n_tokens.to_numpy(np.int64),
+            "n_distinct": n_distinct.to_numpy(np.int64),
+            "top_term": top["term"].to_numpy(object),
+            "top_tf": top["tf"].to_numpy(np.int64),
+        })
+        out["top_bp"] = out["top_tf"] * 10000 // out["n_tokens"]
+        out["distinct_bp"] = out["n_distinct"] * 10000 // out["n_tokens"]
+        return out
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+def q_repetition_stats(sf_dir: str) -> rd.Dataset:
+    return repetition_stats(sf_dir)
+
+
+# ------------------------------------------------ unigram LM doc scoring
+def doc_lm_score(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model, in milli-nats — the LM-based quality score
+    (KenLM-perplexity shape) pre-training pipelines use to rank text
+    naturalness; here the model IS the corpus (self-perplexity), so no
+    external LM is needed.
+
+    Layout: (1) corpus term counts via per-batch partials → one
+    term-bucketed SUM (vocabulary-sized, never token-sized); (2) the
+    counts table is gathered and ``ray.put`` ONCE as the broadcast
+    side — a documented small-side materialization (a [a-z0-9]+ token
+    vocabulary is O(10⁷) even at 100 TB; the term-bucketed join in
+    ``top_terms_per_doc`` is the fallback layout if it ever isn't);
+    (3) one stateless per-doc pass computes Σ tf·ln(c/N) / Σ tf.
+
+    Float caveat (same bounded risk as ``features.info_gain``): the
+    oracle AVGs ln() over token instances while the engine sums
+    tf-weighted terms, so the two sides differ by float association
+    order (~1e-14 relative); the milli-nat fold makes a flip
+    probability ~1e-11/doc. Documented, not eliminated."""
+    import ray
+
+    from ..runtime import auto_concurrency
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tf = doc_term_freqs(docs)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.groupby("term", sort=False)["tf"].sum().rename("c")
+               .reset_index())
+        out["bucket"] = (hash_strings(out["term"].to_numpy(object)) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False)["c"].sum().reset_index()
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    counts = (tf.map_batches(add_bucket, batch_format="pandas")
+              .groupby("bucket")
+              .map_groups(lambda g: merge_bucket(g.drop(columns=["bucket"])),
+                          batch_format="pandas")
+              .to_pandas())  # vocabulary-sized — documented small side
+    vocab = dict(zip(counts["term"], counts["c"].to_numpy(np.int64)))
+    n_total = int(counts["c"].sum())
+    vocab_ref = ray.put(vocab)
+
+    class _Score:
+        def __init__(self, ref, n):
+            # log-prob lookup built ONCE per actor (T7 pattern)
+            vocab = ray.get(ref)
+            self._logp = pd.Series(
+                {t: np.log(c / n) for t, c in vocab.items()}, dtype=np.float64)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            if t["doc_id"].null_count:
+                t = t.filter(pc.is_valid(t["doc_id"]))
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            toks = [TOKEN_RE.findall((s or "").lower())
+                    for s in t["text"].to_pylist()]
+            lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+            keep = lens > 0
+            flat_terms = (np.concatenate(
+                [np.asarray(x, object) for x in toks if x])
+                if keep.any() else np.array([], object))
+            # every corpus token is in the corpus vocabulary by
+            # construction — no smoothing needed for self-scoring
+            logp = self._logp.reindex(flat_terms).to_numpy(np.float64)
+            ends = np.cumsum(lens[keep])
+            starts = ends - lens[keep]
+            sums = np.add.reduceat(logp, starts) if len(starts) else \
+                np.array([], np.float64)
+            avg = sums / lens[keep]
+            return pd.DataFrame({
+                "doc_id": doc_ids[keep].astype(np.int64),
+                "n_tokens": lens[keep],
+                "lm_millinats": np.floor(avg * 1000 + 0.5).astype(np.int64),
+            })
+
+    return docs.map_batches(_Score, batch_format="pyarrow",
+                            fn_constructor_args=(vocab_ref, n_total),
+                            concurrency=auto_concurrency())
+
+
+def q_doc_lm_score(sf_dir: str) -> rd.Dataset:
+    return doc_lm_score(sf_dir)

@@ -1,0 +1,98 @@
+"""Unit tests for the round-3 semi-structured / text-quality batch:
+JSON integer extraction (contract edges), repetition stats,
+unigram-LM scoring, and relational division."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from associationabacminer_ray.pipelines.semistruct import json_int_field
+
+
+class TestJsonIntField:
+    def test_contract_edges(self):
+        a = pa.array(['{"k": 69}', '{"k":-7, "z": 1}', '{"k": 6.9}',
+                      '{"k": "9"}', '{"z": 3}', '{"k": 12e3}', None,
+                      '{"k":0}'])
+        got = json_int_field(a, "k").to_pylist()
+        # floats / exponents / strings / missing / null -> null, matching
+        # the oracle's json_type IN (BIGINT, UBIGINT) guard
+        assert got == [69, -7, None, None, None, None, None, 0]
+
+    def test_regex_key_escaping(self):
+        a = pa.array(['{"a.b": 5}', '{"axb": 6}'])
+        assert json_int_field(a, "a.b").to_pylist() == [5, None]
+
+
+def _write_docs(tmp_path, texts):
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts,
+                       "lang": ["en"] * len(texts),
+                       "source": ["s"] * len(texts),
+                       "n_chars": [len(t or "") for t in texts]})
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+class TestRepetitionStats:
+    def test_values_and_ties(self, ray_session, tmp_path):
+        from associationabacminer_ray.pipelines.terms import repetition_stats
+        sf = _write_docs(tmp_path, [
+            "a a a b c",          # top=a tf=3, n=5, distinct=3
+            "b a b a",            # tie 2-2 -> lexicographically 'a'
+            "",                   # zero tokens -> excluded
+            None,                 # null text -> excluded
+            "x",                  # single token
+        ])
+        out = (repetition_stats(sf).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out["doc_id"].tolist() == [0, 1, 4]
+        assert out["top_term"].tolist() == ["a", "a", "x"]
+        assert out["top_tf"].tolist() == [3, 2, 1]
+        assert out["n_tokens"].tolist() == [5, 4, 1]
+        assert out["n_distinct"].tolist() == [3, 2, 1]
+        assert out["top_bp"].tolist() == [6000, 5000, 10000]
+        assert out["distinct_bp"].tolist() == [6000, 5000, 10000]
+
+
+class TestDocLmScore:
+    def test_direct_formula(self, ray_session, tmp_path):
+        from associationabacminer_ray.pipelines.terms import doc_lm_score
+        texts = ["a a b", "b c", "a"]
+        sf = _write_docs(tmp_path, texts)
+        out = (doc_lm_score(sf).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        # corpus counts: a=3, b=2, c=1, N=6
+        import math
+        lp = {"a": math.log(3 / 6), "b": math.log(2 / 6),
+              "c": math.log(1 / 6)}
+        expect = [np.mean([lp["a"], lp["a"], lp["b"]]),
+                  np.mean([lp["b"], lp["c"]]),
+                  lp["a"]]
+        got = out["lm_millinats"].tolist()
+        want = [int(np.floor(e * 1000 + 0.5)) for e in expect]
+        assert got == want
+        assert out["n_tokens"].tolist() == [3, 2, 1]
+        # common docs score higher than rare-token docs
+        assert got[0] > got[1]
+
+
+class TestUsersAllTypes:
+    def test_division(self, ray_session, tmp_path):
+        from associationabacminer_ray.pipelines.olap import users_all_types
+        ev = pd.DataFrame({
+            "event_id": np.arange(7, dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01"] * 7),
+            "user_id": np.array([1, 1, 1, 2, 2, 3, -1], np.int64),
+            "event_type": ["x", "y", "z", "x", "y", "x", "z"],
+            "value": np.ones(7),
+            "props": ['{"k": 1}'] * 7,
+        })
+        # null user row still contributes its type to the divisor
+        ev.loc[6, "user_id"] = None
+        ev["user_id"] = ev["user_id"].astype("Int64")
+        ev.to_parquet(tmp_path / "events.parquet", index=False)
+        out = users_all_types(str(tmp_path)).to_pandas()
+        assert out["user_id"].tolist() == [1]
+        assert out["n_types"].tolist() == [3]
