@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import temporal as TM
     from associationabacminer_ray.pipelines import terms as TR
     from associationabacminer_ray.pipelines import text_pipelines as T
+    from associationabacminer_ray.pipelines import profile as P
     from associationabacminer_ray.pipelines import semistruct as SS
     from associationabacminer_ray.pipelines import universe as U
 
@@ -191,6 +192,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": TR.q_repetition_stats,
         "doc_lm_score": TR.q_doc_lm_score,
         "users_all_types": O.q_users_all_types,
+        # round 3 (late): table profiling, distribution entropy,
+        # broadcast interval join, full-outer aggregate join
+        "profile_events": P.q_profile_events,
+        "field_entropy": P.q_field_entropy,
+        "value_bands": J.q_value_bands,
+        "nation_parties": O.q_nation_parties,
     }
 
 
@@ -1575,5 +1582,76 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT event_type) = (
                 SELECT COUNT(DISTINCT event_type) FROM events
                 WHERE event_type IS NOT NULL)
+        """,
+        # per-column profile (rows / nulls / exact distinct). The
+        # engine counts distinct 64-bit hashes of the values' string
+        # forms — count-equal to COUNT(DISTINCT col) because the string
+        # form round-trips each distinct value (collision risk < 3e-8
+        # documented in pipelines.profile.profile_table)
+        "profile_events": """
+            SELECT 'event_id' AS column_name, CAST(COUNT(*) AS BIGINT)
+                       AS n_rows,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+            FROM events
+            UNION ALL SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+                   COUNT(DISTINCT ts) FROM events
+            UNION ALL SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+                   COUNT(DISTINCT user_id) FROM events
+            UNION ALL SELECT 'event_type', COUNT(*),
+                   COUNT(*) - COUNT(event_type),
+                   COUNT(DISTINCT event_type) FROM events
+            UNION ALL SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   COUNT(DISTINCT value) FROM events
+            UNION ALL SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+                   COUNT(DISTINCT props) FROM events
+        """,
+        # Shannon entropy per field in milli-nats (same bounded
+        # ln-association-order caveat as info_gain/doc_lm_score);
+        # pipelines.profile.field_entropy
+        "field_entropy": """
+            WITH c AS (
+                SELECT 'event_type' AS field,
+                       CAST(event_type AS VARCHAR) AS value,
+                       COUNT(*) AS n
+                FROM events WHERE event_type IS NOT NULL GROUP BY 2
+                UNION ALL
+                SELECT 'user_id', CAST(user_id AS VARCHAR), COUNT(*)
+                FROM events WHERE user_id IS NOT NULL GROUP BY 2),
+            t AS (SELECT field, SUM(n) AS tot FROM c GROUP BY field)
+            SELECT c.field, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(FLOOR(SUM(-(c.n * 1.0 / t.tot)
+                        * ln(c.n * 1.0 / t.tot)) * 1000 + 0.5) AS BIGINT)
+                       AS entropy_millinats
+            FROM c JOIN t USING (field) GROUP BY c.field
+        """,
+        # broadcast interval (band) join — irregular edges with a
+        # coverage gap, inner semantics; pipelines.joins.VALUE_BANDS
+        "value_bands": """
+            WITH bands(band_id, lo_bp, hi_bp) AS (VALUES
+                (1, 0, 50000), (2, 50000, 200000),
+                (3, 300000, 1000000), (4, 1000000, 5000000)),
+            v AS (SELECT event_id,
+                         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)
+                             AS value_bp
+                  FROM events
+                  WHERE event_id IS NOT NULL AND value IS NOT NULL)
+            SELECT CAST(v.event_id AS BIGINT) AS event_id,
+                   CAST(b.band_id AS BIGINT) AS band_id, v.value_bp
+            FROM v JOIN bands b
+              ON v.value_bp >= b.lo_bp AND v.value_bp < b.hi_bp
+        """,
+        # FULL OUTER aggregate join with zero fill on both sides;
+        # pipelines.olap.nation_parties
+        "nation_parties": """
+            WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                       FROM customer WHERE c_nationkey IS NOT NULL
+                       GROUP BY 1),
+            s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                  FROM supplier WHERE s_nationkey IS NOT NULL GROUP BY 1)
+            SELECT CAST(COALESCE(c.nk, s.nk) AS BIGINT) AS nationkey,
+                   CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+                   CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+            FROM c FULL OUTER JOIN s ON c.nk = s.nk
         """,
     }

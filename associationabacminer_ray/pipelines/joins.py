@@ -127,3 +127,59 @@ def q_user_segment_activity(sf_dir: str) -> pd.DataFrame:
     agg["n_events"] = agg["n_events"].astype(np.int64)
     agg["sum_value_bp"] = agg["sum_value_bp"].astype(np.int64)
     return agg
+
+
+# ------------------------------------------------------------ interval join
+# irregular band edges in value basis points, WITH a coverage gap at
+# [200000, 300000) so inner-join drop semantics are exercised — a
+# non-equi join against an arbitrary interval table (the shape Ray
+# Data has no native operator for)
+VALUE_BANDS: list[tuple[int, int, int]] = [
+    (1, 0, 50_000),
+    (2, 50_000, 200_000),
+    (3, 300_000, 1_000_000),
+    (4, 1_000_000, 5_000_000),
+]
+
+
+def interval_join_values(sf_dir: str,
+                         bands: list[tuple[int, int, int]] | None = None
+                         ) -> rd.Dataset:
+    """events ⋈ bands ON lo <= value_bp < hi — the broadcast interval
+    (band/range) join. The band table is tiny by nature (bands are
+    humans' bucketing decisions), so it ships once into each task via
+    closure capture and every batch resolves membership with ONE
+    ``np.searchsorted`` over the sorted lo-edges + an upper-bound
+    check; rows falling into a gap are dropped (inner join). No
+    shuffle at any scale — output volume == input volume.
+
+    For a LARGE interval table the layout flips to range-partitioning
+    both sides on the interval domain (the ``pipelines.temporal``
+    as-of pattern); documented, not needed for a band table."""
+    bands = bands if bands is not None else VALUE_BANDS
+    ids = np.asarray([b[0] for b in bands], np.int64)
+    los = np.asarray([b[1] for b in bands], np.int64)
+    his = np.asarray([b[2] for b in bands], np.int64)
+    assert (np.diff(los) > 0).all() and (his > los).all()
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def resolve(t: pa.Table) -> pd.DataFrame:
+        from .temporal import _drop_null, _fold_bp
+        t = _drop_null(t)
+        bp = _fold_bp(t["value"])
+        idx = np.searchsorted(los, bp, side="right") - 1
+        ok = (idx >= 0) & (bp < his[np.clip(idx, 0, len(his) - 1)])
+        return pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(
+                zero_copy_only=False)[ok].astype(np.int64),
+            "band_id": ids[idx[ok]],
+            "value_bp": bp[ok],
+        })
+
+    return ev.map_batches(resolve, batch_format="pyarrow")
+
+
+def q_value_bands(sf_dir: str) -> rd.Dataset:
+    return interval_join_values(sf_dir)

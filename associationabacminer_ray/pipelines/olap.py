@@ -483,3 +483,53 @@ def users_all_types(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
 def q_users_all_types(sf_dir: str) -> rd.Dataset:
     return users_all_types(sf_dir)
+
+
+# ---------------------------------------------------- full outer aggregate
+def nation_parties(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """customer-count per nation FULL OUTER JOIN supplier-count per
+    nation, zero-filled on both sides — the outer-join shape where the
+    key spine is the UNION of both sides (customer_order_counts covers
+    LEFT; at sf0.001 suppliers populate only 10 of 25 nations, so the
+    outer rows are real). Each side pre-counts per (nation, block);
+    the nation-bucketed merge pivots the tagged partials with zero
+    fill. Shuffle volume = nations × blocks, never rows."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey"])
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_nationkey"])
+
+    def prep(col: str, side: int):
+        def fn(t: pa.Table) -> pd.DataFrame:
+            t = t.drop_null()
+            keys = pd.Series(t[col].to_numpy(zero_copy_only=False))
+            cnt = (keys.value_counts().rename_axis("nationkey")
+                   .rename("n").reset_index())
+            cnt["n"] = cnt["n"].astype(np.int64)
+            cnt["side"] = np.int8(side)
+            cnt["bucket"] = (hash_ints(cnt["nationkey"]) %
+                             np.uint64(num_buckets)).astype(np.int32)
+            return cnt
+        return fn
+
+    tagged = (cust.map_batches(prep("c_nationkey", 0),
+                               batch_format="pyarrow")
+              .union(supp.map_batches(prep("s_nationkey", 1),
+                                      batch_format="pyarrow")))
+
+    def outer_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(g["nationkey"].to_numpy(np.int64))
+        out = pd.DataFrame({"nationkey": keys})
+        for side, name in ((0, "n_cust"), (1, "n_supp")):
+            sums = (g[g["side"] == side]
+                    .groupby("nationkey", sort=False)["n"].sum())
+            out[name] = sums.reindex(keys, fill_value=0).to_numpy(np.int64)
+        return out
+
+    return (tagged.groupby("bucket")
+            .map_groups(lambda g: outer_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_nation_parties(sf_dir: str) -> rd.Dataset:
+    return nation_parties(sf_dir)

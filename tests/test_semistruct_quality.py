@@ -96,3 +96,69 @@ class TestUsersAllTypes:
         out = users_all_types(str(tmp_path)).to_pandas()
         assert out["user_id"].tolist() == [1]
         assert out["n_types"].tolist() == [3]
+
+
+class TestProfileAndEntropy:
+    def test_profile_counts_nulls_and_distinct(self, ray_session, tmp_path):
+        import ray.data as rd
+        from associationabacminer_ray.pipelines.profile import profile_table
+        df = pd.DataFrame({
+            "a": pd.array([1, 1, 2, None, 3], dtype="Int64"),
+            "b": ["x", "x", "x", "x", None],
+        })
+        df.to_parquet(tmp_path / "t.parquet", index=False)
+        ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+        out = (profile_table(ds, ["a", "b"]).to_pandas()
+               .set_index("column_name"))
+        assert out.loc["a"].tolist() == [5, 1, 3]
+        assert out.loc["b"].tolist() == [5, 1, 1]
+
+    def test_profile_all_null_batch_keeps_header(self, ray_session,
+                                                 tmp_path):
+        import ray.data as rd
+        from associationabacminer_ray.pipelines.profile import profile_table
+        df = pd.DataFrame({"a": pd.array([None, None], dtype="Int64")})
+        df.to_parquet(tmp_path / "t.parquet", index=False)
+        out = (profile_table(rd.read_parquet(str(tmp_path / "t.parquet")),
+                             ["a"]).to_pandas())
+        assert out.iloc[0].tolist() == ["a", 2, 2, 0]
+
+    def test_entropy_closed_form(self, ray_session):
+        import math
+        from associationabacminer_ray.pipelines.profile import field_entropy
+        out = field_entropy("/root/testdata/sf0.001").set_index("field")
+        # uniform bound: H <= ln(n_distinct)
+        for f in ("event_type", "user_id"):
+            h = out.loc[f, "entropy_millinats"] / 1000
+            assert 0 < h <= math.log(out.loc[f, "n_distinct"]) + 1e-9
+
+
+class TestIntervalJoin:
+    def test_gap_drops_and_bands_assign(self, ray_session, tmp_path):
+        from associationabacminer_ray.pipelines.joins import (
+            interval_join_values)
+        ev = pd.DataFrame({
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01"] * 5),
+            "user_id": np.ones(5, np.int64),
+            "event_type": ["x"] * 5,
+            # bp: 0, 49999.99->50000, 210000 (gap), 300000, 5000000(out)
+            "value": [0.0, 5.0, 21.0, 30.0, 500.0],
+            "props": ["{}"] * 5,
+        })
+        ev.to_parquet(tmp_path / "events.parquet", index=False)
+        out = (interval_join_values(str(tmp_path)).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        # id 2 in the gap, id 4 beyond the last hi -> dropped
+        assert out["event_id"].tolist() == [0, 1, 3]
+        assert out["band_id"].tolist() == [1, 2, 3]
+
+
+class TestNationParties:
+    def test_outer_zero_fill(self, ray_session):
+        from associationabacminer_ray.pipelines.olap import nation_parties
+        out = nation_parties("/root/testdata/sf0.001").to_pandas()
+        # suppliers cover only part of the nations at sf0.001 -> the
+        # outer rows must exist with a zero supplier count
+        assert (out["n_supp"] == 0).any()
+        assert (out["n_cust"] > 0).all() or (out["n_supp"] > 0).all()
