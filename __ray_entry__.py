@@ -38,6 +38,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import analytics as A
     from associationabacminer_ray.pipelines import ann as N
+    from associationabacminer_ray.pipelines import cluster as CL
     from associationabacminer_ray.pipelines import components as C
     from associationabacminer_ray.pipelines import features as F
     from associationabacminer_ray.pipelines import relational as R
@@ -198,6 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_entropy": P.q_field_entropy,
         "value_bands": J.q_value_bands,
         "nation_parties": O.q_nation_parties,
+        # round 3 (late): CUBE grouping sets; distributed integer-exact
+        # k-means (iterative ML — partition-independent, pinned golden)
+        "type_hour_cube": O.q_type_hour_cube,
+        "kmeans_centroids": CL.q_kmeans_centroids,
     }
 
 
@@ -1653,5 +1658,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
                    CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
             FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        """,
+        # CUBE(event_type, hour) with 'ALL'/-1 sentinels; engine scans
+        # once at the finest level — pipelines.olap.type_hour_cube
+        "type_hour_cube": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   CAST(COALESCE(hour, -1) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hour
+                  FROM events
+                  WHERE event_type IS NOT NULL AND ts IS NOT NULL)
+            GROUP BY CUBE(event_type, hour)
         """,
     }

@@ -533,3 +533,59 @@ def nation_parties(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
 
 def q_nation_parties(sf_dir: str) -> rd.Dataset:
     return nation_parties(sf_dir)
+
+
+# ---------------------------------------------------------------- CUBE
+def type_hour_cube(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """``GROUP BY CUBE(event_type, hour)``: all four grouping sets —
+    (type, hour), (type), (hour), () — with sentinels ``'ALL'`` /
+    ``-1``, derived from ONE scan of the finest aggregate exactly like
+    ``daily_rollup`` (the shuffle is bounded by |types| × 24 cells; the
+    three coarser levels are driver math over that small table)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "hour": pc.hour(t["ts"]).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        out = (df.groupby(["event_type", "hour"], sort=False)
+               .size().rename("n").reset_index())
+        out["bucket"] = (hash_ints(out["hour"]) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["event_type", "hour"], sort=False)["n"]
+               .sum().reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    finest = (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: merge_bucket(g.drop(columns=["bucket"])),
+                          batch_format="pandas")
+              .to_pandas())
+    finest["hour"] = finest["hour"].astype(np.int64)
+    finest["n"] = finest["n"].astype(np.int64)
+
+    by_type = finest.groupby("event_type", sort=False)["n"].sum().reset_index()
+    by_type["hour"] = np.int64(-1)
+    by_hour = finest.groupby("hour", sort=False)["n"].sum().reset_index()
+    by_hour["event_type"] = "ALL"
+    total = pd.DataFrame({"event_type": ["ALL"],
+                          "hour": np.array([-1], np.int64),
+                          "n": np.array([finest["n"].sum()], np.int64)})
+    out = pd.concat([finest, by_type[["event_type", "hour", "n"]],
+                     by_hour[["event_type", "hour", "n"]], total],
+                    ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["hour"] = out["hour"].astype(np.int64)
+    return out[["event_type", "hour", "n"]]
+
+
+def q_type_hour_cube(sf_dir: str) -> pd.DataFrame:
+    return type_hour_cube(sf_dir)

@@ -56,6 +56,10 @@ GOLDEN = [
     "value_quantiles_dd",
     "type_value_quantiles_dd",
     "f2_moment_sketch",
+    # distributed k-means: every step integral (bp folds, int64 sums,
+    # integer argmin with lowest-id ties), so the result is partition-
+    # independent — validated at 4/8/32 CPUs like every pin
+    "kmeans_centroids",
     # NOT pinnable: pfa_features (gram-matrix float partials depend on
     # batch boundaries, so results shift with num_cpus; pytest checks it
     # against direct numpy instead), sketch_topk/value_quantiles

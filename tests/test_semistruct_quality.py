@@ -162,3 +162,60 @@ class TestNationParties:
         # outer rows must exist with a zero supplier count
         assert (out["n_supp"] == 0).any()
         assert (out["n_cust"] > 0).all() or (out["n_supp"] > 0).all()
+
+
+class TestKMeans:
+    def test_matches_direct_numpy(self, ray_session):
+        """Engine result == single-process numpy replay of the same
+        integer-exact Lloyd's iterations."""
+        import pyarrow.parquet as pq
+        from associationabacminer_ray.functions.hashing import hash_ints
+        from associationabacminer_ray.pipelines.cluster import (
+            BP, K_CLUSTERS, N_ITERS, kmeans_embeddings)
+
+        sf = "/root/testdata/sf0.001"
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        x = np.floor(np.asarray(t["embedding"].to_pylist(), np.float64)
+                     * BP + 0.5).astype(np.int64)
+        h = hash_ints(ids)
+        seed_order = np.lexsort((ids, h))[:K_CLUSTERS]
+        cent = x[seed_order]
+        for _ in range(N_ITERS):
+            d2 = (cent * cent).sum(1)[None, :] - 2 * (x @ cent.T)
+            a = np.argmin(d2, axis=1)
+            new = cent.copy()
+            for j in range(K_CLUSTERS):
+                m = a == j
+                if m.any():
+                    new[j] = np.floor(x[m].mean(0) + 0.5).astype(np.int64)
+            cent = new
+        d2 = (cent * cent).sum(1)[None, :] - 2 * (x @ cent.T)
+        cnt = np.bincount(np.argmin(d2, axis=1), minlength=K_CLUSTERS)
+
+        out = (kmeans_embeddings(sf).sort_values(["cluster_id", "dim"])
+               .reset_index(drop=True))
+        got_cent = out["centroid_bp"].to_numpy(np.int64).reshape(
+            K_CLUSTERS, -1)
+        np.testing.assert_array_equal(got_cent, cent)
+        got_cnt = (out.groupby("cluster_id")["n_points"].first()
+                   .to_numpy(np.int64))
+        np.testing.assert_array_equal(got_cnt, cnt)
+        assert cnt.sum() == len(ids)
+
+
+class TestCube:
+    def test_grouping_set_consistency(self, ray_session):
+        from associationabacminer_ray.pipelines.olap import type_hour_cube
+        out = type_hour_cube("/root/testdata/sf0.001")
+        finest = out[(out["event_type"] != "ALL") & (out["hour"] >= 0)]
+        total = out[(out["event_type"] == "ALL") & (out["hour"] == -1)]
+        assert total["n"].iloc[0] == finest["n"].sum()
+        by_type = out[(out["event_type"] != "ALL") & (out["hour"] == -1)]
+        assert (by_type.set_index("event_type")["n"].sort_index()
+                == finest.groupby("event_type")["n"].sum().sort_index()
+                ).all()
+        by_hour = out[(out["event_type"] == "ALL") & (out["hour"] >= 0)]
+        assert (by_hour.set_index("hour")["n"].sort_index()
+                == finest.groupby("hour")["n"].sum().sort_index()).all()
