@@ -203,6 +203,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-means (iterative ML — partition-independent, pinned golden)
         "type_hour_cube": O.q_type_hour_cube,
         "kmeans_centroids": CL.q_kmeans_centroids,
+        # round 3 (late): weighted sampling (pinned golden — hash-seeded
+        # A-ES keys have no SQL derivation), exact semi-join, grouped
+        # discrete length quantiles over documents
+        "weighted_sample": A.q_weighted_sample,
+        "active_customers": O.q_active_customers,
+        "doc_len_quantiles": ST.q_doc_len_quantiles,
     }
 
 
@@ -1669,5 +1675,33 @@ def oracle_sql() -> dict[str, str]:
                   FROM events
                   WHERE event_type IS NOT NULL AND ts IS NOT NULL)
             GROUP BY CUBE(event_type, hour)
+        """,
+        # exact hash semi-join (EXISTS) — pipelines.olap.active_customers
+        "active_customers": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+            FROM customer
+            WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+              AND EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01')
+        """,
+        # per-source discrete quantiles of document length via the
+        # shared rank rule — pipelines.stats.doc_len_quantiles_by_source
+        "doc_len_quantiles": """
+            WITH f AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+                       FROM documents
+                       WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+            n AS (SELECT source, COUNT(*) AS n FROM f GROUP BY source),
+            r AS (SELECT source, v, ROW_NUMBER() OVER (
+                      PARTITION BY source ORDER BY v) AS rn FROM f),
+            q(q_pct) AS (VALUES (25), (50), (75), (90), (99))
+            SELECT r.source AS source,
+                   CAST(q.q_pct AS INTEGER) AS q_pct,
+                   CAST(r.v AS BIGINT) AS n_chars
+            FROM r JOIN n USING (source)
+            JOIN q ON r.rn = CAST(FLOOR(q.q_pct / 100.0 * (n.n - 1))
+                                  AS BIGINT) + 1
         """,
     }

@@ -446,3 +446,57 @@ def q_top_events(sf_dir: str) -> pd.DataFrame:
     agg["n"] = agg["n"].astype(np.int64)
     return (agg.sort_values(["n", "event_type"], ascending=[False, True])
             .head(5).reset_index(drop=True))
+
+
+# ------------------------------------------------- weighted sampling (A-ES)
+WEIGHTED_SAMPLE_K = 20
+
+
+def weighted_sample_events(sf_dir: str,
+                           k: int = WEIGHTED_SAMPLE_K) -> pd.DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each row's key is ln(u)/w with u derived DETERMINISTICALLY
+    from hash64(event_id) — so the sample is a pure function of the
+    corpus (reproducible, partition-independent) while inclusion
+    probability stays proportional to weight. The O4 Bernoulli sampler
+    generalized to weights; weight = the event's ``value``.
+
+    Distributed shape: top-k by key is mergeable, so each batch prunes
+    to its own k rows and the driver reduces blocks×k candidates —
+    never the corpus. Keys are floats but each is a pure per-row
+    function (identical bits on any layout); the pinned-golden oracle
+    is validated cross-CPU like every pin."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def per_batch(t: pa.Table) -> pd.DataFrame:
+        from ..functions.hashing import hash_ints
+        from .temporal import _drop_null, _fold_bp
+        t = _drop_null(t)
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w_bp = _fold_bp(t["value"])
+        ok = w_bp > 0  # zero/negative weight can never be sampled
+        ids, w_bp = ids[ok], w_bp[ok]
+        # u in (0,1]: (h+1)/2^64; key = ln(u)/w — max-k on key is the
+        # classic u^(1/w) order without the pow
+        u = (hash_ints(ids).astype(np.float64) + 1.0) / 2.0 ** 64
+        key = np.log(u) / (w_bp.astype(np.float64) / 10000.0)
+        df = pd.DataFrame({"event_id": ids, "weight_bp": w_bp, "key": key})
+        return df.sort_values(["key", "event_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    cand = (ev.map_batches(per_batch, batch_format="pyarrow")
+            .to_pandas())  # blocks×k candidate rows — bounded small side
+    cand = cand.sort_values(["key", "event_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    out = cand.reset_index(drop=True)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(out) + 1, dtype=np.int64),
+        "event_id": out["event_id"].to_numpy(np.int64),
+        "weight_bp": out["weight_bp"].to_numpy(np.int64),
+    })
+
+
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    return weighted_sample_events(sf_dir)

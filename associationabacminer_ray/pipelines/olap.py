@@ -589,3 +589,70 @@ def type_hour_cube(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
 
 def q_type_hour_cube(sf_dir: str) -> pd.DataFrame:
     return type_hour_cube(sf_dir)
+
+
+# ------------------------------------------------------------- semi-join
+ACTIVE_FROM_US = np.int64(820_454_400_000_000)   # 1996-01-01 UTC
+ACTIVE_TO_US = np.int64(852_076_800_000_000)     # 1997-01-01 UTC
+
+
+def active_customers(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Customers with >=1 order in 1996 — the exact hash SEMI-join
+    (EXISTS), completing the join matrix next to the anti-join twin
+    ``inactive_customers``. The probe side is filtered at the read and
+    deduplicated per batch, so the bucketed shuffle carries distinct
+    custkeys per block; each bucket keeps build rows via ``np.isin``.
+    Exact (no Bloom): a false positive would ADD a wrong customer."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def prep_cust(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "key": t["c_custkey"].to_numpy(zero_copy_only=False),
+            "c_mktsegment": t["c_mktsegment"]
+            .to_numpy(zero_copy_only=False),
+        })
+        df["side"] = np.int8(0)
+        df["bucket"] = (hash_ints(df["key"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def prep_orders(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        d = pc.cast(t["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(d, int(ACTIVE_FROM_US)),
+                       pc.less(d, int(ACTIVE_TO_US)))
+        t = t.filter(keep)
+        keys = pd.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"key": keys,
+                           "c_mktsegment": np.full(len(keys), "",
+                                                   dtype=object)})
+        df["side"] = np.int8(1)
+        df["bucket"] = (hash_ints(df["key"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    tagged = (cust.map_batches(prep_cust, batch_format="pyarrow")
+              .union(orders.map_batches(prep_orders,
+                                        batch_format="pyarrow")))
+
+    def semi_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right_keys = g.loc[g["side"] == 1, "key"].to_numpy(np.int64)
+        keep = np.isin(left["key"].to_numpy(np.int64), right_keys)
+        out = left[keep]
+        return pd.DataFrame({
+            "c_custkey": out["key"].to_numpy(np.int64),
+            "c_mktsegment": out["c_mktsegment"].to_numpy(object),
+        })
+
+    return (tagged.groupby("bucket")
+            .map_groups(lambda g: semi_bucket(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_active_customers(sf_dir: str) -> rd.Dataset:
+    return active_customers(sf_dir)

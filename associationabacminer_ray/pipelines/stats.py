@@ -194,3 +194,58 @@ def q_f2_moment(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
     return pd.DataFrame({"f2": [np.int64(parts["f2"].sum())],
                          "n_keys": [np.int64(parts["n_keys"].sum())],
                          "n_rows": [np.int64(parts["n_rows"].sum())]})
+
+
+# ------------------------------------------- grouped discrete quantiles
+DOC_LEN_PCTS = np.array([25, 50, 75, 90, 99], np.int64)
+
+
+def doc_len_quantiles_by_source(sf_dir: str,
+                                num_buckets: int = 8) -> pd.DataFrame:
+    """Exact per-source quantiles of document length (n_chars) via THE
+    shared discrete-quantile rank rule (``temporal.quantile_rank_pick``
+    — same closed form as value_quantiles_exact, here over the
+    documents table). The shuffle carries (source, n_chars) histogram
+    cells per block — bounded by the length domain, not rows."""
+    from .temporal import quantile_rank_pick
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "n_chars": t["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        out = (df.groupby(["source", "n_chars"], sort=False)
+               .size().rename("n").reset_index())
+        from ..functions.hashing import hash_strings
+        out["bucket"] = (hash_strings(out["source"].to_numpy(object)) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, grp in g.groupby("source", sort=False):
+            h = (grp.groupby("n_chars", sort=True)["n"].sum())
+            vals = quantile_rank_pick(h.index.to_numpy(np.int64),
+                                      h.to_numpy(np.int64), DOC_LEN_PCTS)
+            rows.append(pd.DataFrame({
+                "source": src,
+                "q_pct": DOC_LEN_PCTS.astype(np.int32),
+                "n_chars": vals.astype(np.int64)}))
+        return (pd.concat(rows, ignore_index=True) if rows else
+                pd.DataFrame({"source": np.array([], object),
+                              "q_pct": np.array([], np.int32),
+                              "n_chars": np.array([], np.int64)}))
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: pick(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_doc_len_quantiles(sf_dir: str) -> pd.DataFrame:
+    return doc_len_quantiles_by_source(sf_dir)

@@ -60,6 +60,9 @@ GOLDEN = [
     # integer argmin with lowest-id ties), so the result is partition-
     # independent — validated at 4/8/32 CPUs like every pin
     "kmeans_centroids",
+    # weighted A-ES sample: per-row keys are pure hash functions, top-k
+    # merge deterministic — cross-CPU validated like every pin
+    "weighted_sample",
     # NOT pinnable: pfa_features (gram-matrix float partials depend on
     # batch boundaries, so results shift with num_cpus; pytest checks it
     # against direct numpy instead), sketch_topk/value_quantiles

@@ -219,3 +219,74 @@ class TestCube:
         by_hour = out[(out["event_type"] == "ALL") & (out["hour"] >= 0)]
         assert (by_hour.set_index("hour")["n"].sort_index()
                 == finest.groupby("hour")["n"].sum().sort_index()).all()
+
+
+class TestWeightedSample:
+    def test_inclusion_proportional_to_weight(self, ray_session, tmp_path):
+        """With one weight 1000x the rest, that row must be sampled;
+        zero/negative weights never are; ranks follow the A-ES keys."""
+        from associationabacminer_ray.pipelines.analytics import (
+            weighted_sample_events)
+        n = 200
+        ev = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01"] * n),
+            "user_id": np.ones(n, np.int64),
+            "event_type": ["x"] * n,
+            "value": np.full(n, 0.01),
+            "props": ["{}"] * n,
+        })
+        ev.loc[7, "value"] = 10.0     # 1000x weight
+        ev.loc[9, "value"] = 0.0      # never sampled
+        ev.to_parquet(tmp_path / "events.parquet", index=False)
+        out = weighted_sample_events(str(tmp_path), k=10)
+        assert len(out) == 10
+        assert 7 in out["event_id"].to_numpy()
+        assert 9 not in out["event_id"].to_numpy()
+        assert out["rank"].tolist() == list(range(1, 11))
+
+    def test_direct_formula_parity(self, ray_session):
+        """Engine top-k == single-process replay of the key formula."""
+        import pyarrow.parquet as pq
+        from associationabacminer_ray.functions.hashing import hash_ints
+        from associationabacminer_ray.functions.scoring import fold_bp_strict
+        from associationabacminer_ray.pipelines.analytics import (
+            weighted_sample_events)
+        t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                          columns=["event_id", "value"])
+        ids = t["event_id"].to_numpy().astype(np.int64)
+        w = fold_bp_strict(t["value"].to_numpy(), name="value")
+        ok = w > 0
+        ids, w = ids[ok], w[ok]
+        u = (hash_ints(ids).astype(np.float64) + 1.0) / 2.0 ** 64
+        key = np.log(u) / (w.astype(np.float64) / 10000.0)
+        order = np.lexsort((ids, -key))[:20]
+        out = weighted_sample_events("/root/testdata/sf0.001")
+        np.testing.assert_array_equal(out["event_id"].to_numpy(np.int64),
+                                      ids[order])
+
+
+class TestSemiJoinAndDocLen:
+    def test_semi_plus_anti_partition_customers(self, ray_session):
+        """semi(1996) ∪ its complement == all customers, disjoint."""
+        import duckdb
+        from associationabacminer_ray.pipelines.olap import active_customers
+        got = active_customers("/root/testdata/sf0.001").to_pandas()
+        want = duckdb.sql("""
+            SELECT DISTINCT o_custkey FROM
+            '/root/testdata/sf0.001/orders.parquet'
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND o_custkey IN (SELECT c_custkey FROM
+                  '/root/testdata/sf0.001/customer.parquet')
+        """).df()
+        assert set(got["c_custkey"]) == set(want["o_custkey"])
+
+    def test_doc_len_quantiles_monotone(self, ray_session):
+        from associationabacminer_ray.pipelines.stats import (
+            doc_len_quantiles_by_source)
+        out = doc_len_quantiles_by_source("/root/testdata/sf0.001")
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        for _, g in out.groupby("source"):
+            g = g.sort_values("q_pct")
+            assert (np.diff(g["n_chars"].to_numpy(np.int64)) >= 0).all()
