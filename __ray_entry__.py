@@ -209,6 +209,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": A.q_weighted_sample,
         "active_customers": O.q_active_customers,
         "doc_len_quantiles": ST.q_doc_len_quantiles,
+        # round 3 (late): benchmark decontamination + near-dup
+        # canonicalization (the keep-one composition on components)
+        "benchmark_contamination": T.q_benchmark_contamination,
+        "neardup_canonical": C.q_neardup_canonical,
     }
 
 
@@ -238,6 +242,18 @@ _DEDUP_COMPONENTS_SQL = f"""
     SELECT CAST(d + o AS BIGINT) AS node, CAST(d AS BIGINT) AS component
     FROM (SELECT doc_id AS d FROM documents {_PLANT_ELIGIBLE_WHERE})
     CROSS JOIN (VALUES (0), (1099511627776), (2199023255552)) AS t(o)
+"""
+
+# near-dup canonicalization: every original doc survives; component
+# size is 3 iff the doc is plant-eligible (its two stacked copies were
+# collapsed into it), else 1 (components.q_neardup_canonical)
+_NEARDUP_CANONICAL_SQL = f"""
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(CASE WHEN e.doc_id IS NULL THEN 1 ELSE 3 END AS BIGINT)
+               AS n_members
+    FROM documents d
+    LEFT JOIN (SELECT doc_id FROM documents {_PLANT_ELIGIBLE_WHERE}) e
+        USING (doc_id)
 """
 
 _JOIN_SQL = """
@@ -1704,4 +1720,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN q ON r.rn = CAST(FLOOR(q.q_pct / 100.0 * (n.n - 1))
                                   AS BIGINT) + 1
         """,
+        # benchmark decontamination: distinct 16-token windows shared
+        # with the doc_id%50==7 'benchmark' slice — same window/token
+        # definition as containment_dups;
+        # pipelines.text_pipelines.q_benchmark_contamination
+        "benchmark_contamination": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(tokens) - 15)) AS i,
+                     tokens
+              FROM tok WHERE len(tokens) >= 16
+            ),
+            d AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(tokens[i:i+15], ' ') AS win
+              FROM w
+            ),
+            bench AS (SELECT DISTINCT win FROM d WHERE doc_id % 50 = 7)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_contaminated
+            FROM d JOIN bench USING (win)
+            WHERE d.doc_id % 50 <> 7
+            GROUP BY d.doc_id
+        """,
+        "neardup_canonical": _NEARDUP_CANONICAL_SQL,
     }

@@ -165,3 +165,37 @@ def q_dedup_components(sf_dir: str) -> pd.DataFrame:
     comp = connected_components(edges).to_pandas()
     comp = comp.sort_values("node").reset_index(drop=True)
     return comp[["node", "component"]].astype(np.int64)
+
+
+def q_neardup_canonical(sf_dir: str) -> rd.Dataset:
+    """Near-dup CANONICALIZATION — the keep-one step clustering exists
+    for: run the chain-components query, keep only each component's
+    root (its minimum id — here always the original doc), drop every
+    other member, and report each surviving doc with its component
+    size (1 = no near-dups, 3 = the planted chain was collapsed).
+
+    Composition: the components table is component-count-sized (tiny
+    next to the corpus), so it broadcasts as a (root → size) dict plus
+    a drop-set; the corpus then streams through one ``map_batches``
+    that filters and annotates. Closed-form oracle: originals survive
+    with size 3 iff plant-eligible, else 1."""
+    import ray
+
+    from .text_pipelines import _docs
+
+    comp = q_dedup_components(sf_dir)
+    sizes = comp.groupby("component").size()
+    drop = comp.loc[comp["node"] != comp["component"], "node"]
+    info_ref = ray.put((dict(sizes), set(drop.to_numpy())))
+
+    def annotate(t: pa.Table) -> pd.DataFrame:
+        sizes_d, drop_s = ray.get(info_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.fromiter((i in drop_s for i in ids), bool, len(ids))
+        kept = ids[keep]
+        n = np.fromiter((sizes_d.get(i, 1) for i in kept), np.int64,
+                        len(kept))
+        return pd.DataFrame({"doc_id": kept, "n_members": n})
+
+    return (_docs(sf_dir, ["doc_id"])
+            .map_batches(annotate, batch_format="pyarrow"))

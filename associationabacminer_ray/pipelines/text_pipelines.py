@@ -693,3 +693,82 @@ def q_simhash_bands(sf_dir: str) -> pd.DataFrame:
                      "sim_band2", "sim_band3"]].assign(
                          simhash=b["simhash"].astype("uint64")),
         batch_format="pandas").to_pandas()
+
+
+# ------------------------------------------------ benchmark decontamination
+BENCH_MOD = 50
+BENCH_RESIDUE = 7
+
+
+def q_benchmark_contamination(sf_dir: str, window: int = 16) -> pd.DataFrame:
+    """Benchmark DECONTAMINATION — the standard pre-training hygiene
+    pass: flag every training document sharing >=1 exact
+    ``window``-token run with the held-out benchmark set (here the
+    deterministic ``doc_id % 50 == 7`` slice standing in for eval
+    data). Output: (doc_id, n_contaminated) counting the doc's DISTINCT
+    contaminated windows.
+
+    Layout (the crosscorpus_dedup_exact shape one level down, at window
+    granularity): the benchmark side's distinct 64-bit window hashes
+    are collected once and broadcast (8 B/window over the benchmark
+    corpus only — eval sets are tiny by definition; ``BloomAgg`` is the
+    fallback if one ever isn't); the training side streams through one
+    ``map_batches`` doing a sorted ``np.isin`` probe per batch. Nothing
+    row-sized shuffles and the corpus is scanned once per side.
+    Collision caveat as containment_dups: 64-bit window hashes, P(any
+    collision) negligible and the oracle counts raw windows."""
+    import ray
+
+    from ..stages.dedup import RollingWindowHashes
+
+    kw = {"window": window, "stride": 1, "winnow": 0}
+
+    def side_filter(want_bench: bool):
+        # vectorized pyarrow mask (Ray's expr parser has no modulo)
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            residue = pc.cast(
+                pc.subtract(t["doc_id"],
+                            pc.multiply(pc.divide(t["doc_id"], BENCH_MOD),
+                                        BENCH_MOD)), pa.int64())
+            mask = pc.equal(residue, BENCH_RESIDUE)
+            return t.filter(mask if want_bench else pc.invert(mask))
+        return fn
+
+    bench = (_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(side_filter(True), batch_format="pyarrow")
+             .map_batches(RollingWindowHashes, batch_format="pandas",
+                          concurrency=auto_concurrency(),
+                          fn_constructor_kwargs=kw))
+    bench_hashes = np.unique(np.concatenate([
+        b["win_hash"].to_numpy() for b in
+        bench.iter_batches(batch_format="pandas")
+    ] or [np.empty(0, dtype=np.uint64)]))
+    set_ref = ray.put(bench_hashes)
+
+    train = (_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(side_filter(False), batch_format="pyarrow")
+             .map_batches(RollingWindowHashes, batch_format="pandas",
+                          concurrency=auto_concurrency(),
+                          fn_constructor_kwargs=kw))
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        ref = ray.get(set_ref)
+        d = b.drop_duplicates(["doc_id", "win_hash"])
+        hit = d[np.isin(d["win_hash"].to_numpy(), ref)]
+        return hit[["doc_id", "win_hash"]]
+
+    # only the HIT pairs reach the driver (contaminated windows are a
+    # vanishing fraction by definition); the final dedupe runs there
+    # because a doc's duplicate windows may span block splits — a
+    # per-batch count could double-count them
+    hits = train.map_batches(probe, batch_format="pandas").to_pandas()
+    if not len(hits):
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "n_contaminated": pd.Series(dtype=np.int64)})
+    hits = hits.drop_duplicates(["doc_id", "win_hash"])
+    out = (hits.groupby("doc_id", sort=False).size()
+           .rename("n_contaminated").reset_index())
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_contaminated"] = out["n_contaminated"].astype(np.int64)
+    return out

@@ -290,3 +290,53 @@ class TestSemiJoinAndDocLen:
         for _, g in out.groupby("source"):
             g = g.sort_values("q_pct")
             assert (np.diff(g["n_chars"].to_numpy(np.int64)) >= 0).all()
+
+
+class TestDecontamination:
+    def test_planted_contamination_found(self, ray_session, tmp_path):
+        """Doc 7 is 'benchmark' (7 % 50 == 7); doc 12 copies an exact
+        16-token run from it, doc 13 shares nothing."""
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            q_benchmark_contamination)
+        passage = " ".join(f"tok{i}" for i in range(20))  # 20 tokens
+        texts = {7: passage + " tail7 " + " ".join(f"b{i}" for i in range(16)),
+                 12: "lead12 " + passage,
+                 13: " ".join(f"c{i}" for i in range(30))}
+        ids = sorted(texts)
+        df = pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                           "text": [texts[i] for i in ids],
+                           "lang": ["en"] * 3, "source": ["s"] * 3,
+                           "n_chars": [len(texts[i]) for i in ids]})
+        df.to_parquet(tmp_path / "documents.parquet", index=False)
+        out = q_benchmark_contamination(str(tmp_path))
+        assert out["doc_id"].tolist() == [12]
+        # the shared 20-token passage contains 5 distinct 16-token windows
+        assert out["n_contaminated"].tolist() == [5]
+
+    def test_benchmark_side_never_flagged(self, ray_session, tmp_path):
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            q_benchmark_contamination)
+        passage = " ".join(f"t{i}" for i in range(16))
+        df = pd.DataFrame({"doc_id": np.array([7, 57], np.int64),
+                           "text": [passage, passage],  # both benchmark
+                           "lang": ["en"] * 2, "source": ["s"] * 2,
+                           "n_chars": [len(passage)] * 2})
+        df.to_parquet(tmp_path / "documents.parquet", index=False)
+        out = q_benchmark_contamination(str(tmp_path))
+        assert len(out) == 0
+
+
+class TestNeardupCanonical:
+    def test_collapses_planted_chains(self, ray_session):
+        import duckdb
+        from associationabacminer_ray.pipelines.components import (
+            q_neardup_canonical)
+        out = (q_neardup_canonical("/root/testdata/sf0.001").to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        docs = duckdb.sql("SELECT doc_id FROM "
+                          "'/root/testdata/sf0.001/documents.parquet' "
+                          "ORDER BY doc_id").df()
+        # every original survives, no planted id survives
+        assert out["doc_id"].tolist() == docs["doc_id"].tolist()
+        assert set(out["n_members"]) <= {1, 3}
+        assert (out["n_members"] == 3).any()
