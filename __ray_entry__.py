@@ -1532,7 +1532,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # semi-structured extraction: integer-typed top-level JSON key
         # only (json_type guard mirrors the engine's RE2 contract —
-        # floats/strings/missing keys are null on BOTH sides);
+        # floats/strings/missing keys are null on BOTH sides; the
+        # 18-digit cap matches the engine's overflow-safe regex, so a
+        # >int64 UBIGINT is excluded rather than crashing the CAST);
         # pipelines.semistruct.props_key_stats
         "props_key_stats": """
             WITH x AS (
@@ -1541,7 +1543,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WHERE event_type IS NOT NULL AND props IS NOT NULL
                   AND json_valid(props)
-                  AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT'))
+                  AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                  AND length(replace(json_extract_string(props, '$.k'),
+                                     '-', '')) <= 18)
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(k) AS BIGINT) AS sum_k,
                    CAST(MIN(k) AS BIGINT) AS min_k,

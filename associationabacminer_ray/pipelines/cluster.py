@@ -121,6 +121,7 @@ def kmeans_embeddings(sf_dir: str, k: int = K_CLUSTERS,
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     cent = _seed_rows(ds, k)  # (k, d) int64 bp
+    k = cent.shape[0]  # fewer rows than k -> one cluster per row
     d = cent.shape[1]
 
     for _ in range(iters):

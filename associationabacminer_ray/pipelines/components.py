@@ -22,6 +22,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
 
 from .analytics import bucketed_group_agg
 
@@ -184,17 +187,24 @@ def q_neardup_canonical(sf_dir: str) -> rd.Dataset:
     from .text_pipelines import _docs
 
     comp = q_dedup_components(sf_dir)
-    sizes = comp.groupby("component").size()
-    drop = comp.loc[comp["node"] != comp["component"], "node"]
-    info_ref = ray.put((dict(sizes), set(drop.to_numpy())))
+    sizes = comp.groupby("component").size().sort_index()
+    drop = np.sort(comp.loc[comp["node"] != comp["component"], "node"]
+                   .to_numpy(np.int64))
+    info_ref = ray.put((sizes.index.to_numpy(np.int64),
+                        sizes.to_numpy(np.int64), drop))
 
     def annotate(t: pa.Table) -> pd.DataFrame:
-        sizes_d, drop_s = ray.get(info_ref)
+        # vectorized: sorted roots + np.isin/searchsorted, no per-row
+        # Python membership on the streamed corpus
+        roots, root_sizes, drop_arr = ray.get(info_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = ~np.fromiter((i in drop_s for i in ids), bool, len(ids))
-        kept = ids[keep]
-        n = np.fromiter((sizes_d.get(i, 1) for i in kept), np.int64,
-                        len(kept))
+        kept = ids[~np.isin(ids, drop_arr)]
+        n = np.ones(len(kept), np.int64)
+        pos = np.searchsorted(roots, kept)
+        pos = np.clip(pos, 0, max(len(roots) - 1, 0))
+        if len(roots):
+            hit = roots[pos] == kept
+            n[hit] = root_sizes[pos[hit]]
         return pd.DataFrame({"doc_id": kept, "n_members": n})
 
     return (_docs(sf_dir, ["doc_id"])

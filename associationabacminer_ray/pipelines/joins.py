@@ -160,7 +160,14 @@ def interval_join_values(sf_dir: str,
     ids = np.asarray([b[0] for b in bands], np.int64)
     los = np.asarray([b[1] for b in bands], np.int64)
     his = np.asarray([b[2] for b in bands], np.int64)
-    assert (np.diff(los) > 0).all() and (his > los).all()
+    if not ((np.diff(los) > 0).all() and (his > los).all()
+            and (los[1:] >= his[:-1]).all()):
+        # the single-searchsorted kernel resolves each value to AT MOST
+        # one band; overlapping intervals need the multi-match
+        # expansion (emit one row per containing band) — refuse loudly
+        # instead of silently returning only the last match
+        raise ValueError("bands must be sorted, non-empty and "
+                         "non-overlapping for the searchsorted kernel")
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "value"])

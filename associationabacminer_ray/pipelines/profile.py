@@ -54,6 +54,11 @@ def profile_table(ds: rd.Dataset, columns: list[str],
             nn = c.null_count
             valid = c.filter(pc.is_valid(c)) if nn else c
             s = pd.Series(valid.to_numpy(zero_copy_only=False))
+            if s.dtype.kind == "f":
+                # -0.0 + 0.0 == +0.0 (IEEE): canonicalize so the str
+                # round-trip doesn't split a distinct the SQL
+                # COUNT(DISTINCT) counts once
+                s = s + 0.0
             hashes = pd.unique(hash_strings(s.astype(str)
                                             .to_numpy(object)))
             frames.append(pd.DataFrame({

@@ -38,10 +38,12 @@ def json_int_field(col: pa.ChunkedArray | pa.Array, key: str) -> pa.Array:
     int64 (null when the key is absent / non-integer / row is null).
     Vectorized RE2 — see module contract."""
     # the integer must be followed by a JSON delimiter so a float/exp
-    # value ("k": 6.9) does NOT half-match its integer prefix — the
-    # oracle's TRY_CAST would return null there, and so do we
+    # value ("k": 6.9) does NOT half-match its integer prefix, and is
+    # capped at 18 digits so the int64 cast can never overflow — the
+    # oracle carries the identical digit-length guard (values beyond
+    # 18 digits are out of contract and null on BOTH sides)
     pat = '"' + "".join("\\" + c if not c.isalnum() else c for c in key) \
-          + '"\\s*:\\s*(?P<v>-?\\d+)[,}\\s]'
+          + '"\\s*:\\s*(?P<v>-?\\d{1,18})[,}\\s]'
     ex = pc.extract_regex(col, pattern=pat)
     vals = pc.struct_field(ex, "v")
     return pc.cast(vals, pa.int64())

@@ -38,7 +38,8 @@ def normalize(df):
 
 
 def main():
-    only = set(sys.argv[1:])
+    trace = "--trace" in sys.argv[1:]
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
@@ -76,7 +77,7 @@ def main():
                 msg = str(e).replace("\n", " | ")[:300]
                 print(f"FAIL {sf_dir.rsplit('/',1)[1]} {name}: "
                       f"{type(e).__name__} {msg}", flush=True)
-                if "--trace" in only:
+                if trace:
                     traceback.print_exc()
     print(f"done: {fails} failures", flush=True)
     sys.exit(min(fails, 125))

@@ -340,3 +340,41 @@ class TestNeardupCanonical:
         assert out["doc_id"].tolist() == docs["doc_id"].tolist()
         assert set(out["n_members"]) <= {1, 3}
         assert (out["n_members"] == 3).any()
+
+
+class TestReviewRegressions:
+    def test_json_overflow_is_null(self):
+        a = pa.array(['{"k": 99999999999999999999}',
+                      '{"k": 123456789012345678}', '{"k": 1}'])
+        assert json_int_field(a, "k").to_pylist() == [
+            None, 123456789012345678, 1]
+
+    def test_interval_overlap_refused(self):
+        from associationabacminer_ray.pipelines.joins import (
+            interval_join_values)
+        with pytest.raises(ValueError):
+            interval_join_values("/nonexistent",
+                                 bands=[(1, 0, 100), (2, 50, 200)])
+
+    def test_profile_negative_zero_single_distinct(self, ray_session,
+                                                   tmp_path):
+        import ray.data as rd
+        from associationabacminer_ray.pipelines.profile import profile_table
+        df = pd.DataFrame({"v": np.array([0.0, -0.0, 1.5])})
+        df.to_parquet(tmp_path / "t.parquet", index=False)
+        out = (profile_table(rd.read_parquet(str(tmp_path / "t.parquet")),
+                             ["v"]).to_pandas())
+        assert out.iloc[0].tolist() == ["v", 3, 0, 2]
+
+    def test_kmeans_fewer_rows_than_k(self, ray_session, tmp_path):
+        from associationabacminer_ray.pipelines.cluster import (
+            kmeans_embeddings)
+        df = pd.DataFrame({
+            "vec_id": np.arange(3, dtype=np.int64),
+            "embedding": [np.full(4, float(i)) for i in range(3)],
+            "label": np.zeros(3, np.int32),
+        })
+        df.to_parquet(tmp_path / "embeddings.parquet", index=False)
+        out = kmeans_embeddings(str(tmp_path), k=8)
+        assert out["cluster_id"].nunique() == 3
+        assert (out.groupby("cluster_id")["n_points"].first() == 1).all()
