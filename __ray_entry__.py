@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # canonicalization (the keep-one composition on components)
         "benchmark_contamination": T.q_benchmark_contamination,
         "neardup_canonical": C.q_neardup_canonical,
+        # round 3 (late): exact vector aggregate + trajectory patterns
+        "label_centroids": CL.q_label_centroids,
+        "path_pattern_counts": SQ.q_path_pattern_counts,
     }
 
 
@@ -1752,4 +1755,52 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.doc_id
         """,
         "neardup_canonical": _NEARDUP_CANONICAL_SQL,
+        # exact per-label vector centroid: DuckDB list indexing × a dims
+        # series; trunc division pinned on both sides —
+        # pipelines.cluster.label_centroids
+        "label_centroids": """
+            WITH e AS (SELECT label, embedding FROM embeddings
+                       WHERE label IS NOT NULL AND embedding IS NOT NULL),
+            s AS (SELECT CAST(label AS BIGINT) AS label, d.i AS dim,
+                         -- element cast to DOUBLE before the fold: the
+                         -- engine folds on float64 upcasts, and a
+                         -- float32-precision multiply flips boundary
+                         -- cells by one bp
+                         SUM(CAST(FLOOR(CAST(embedding[d.i + 1] AS DOUBLE)
+                                        * 10000 + 0.5)
+                                  AS BIGINT)) AS sum_bp,
+                         COUNT(*) AS n_vecs
+                  FROM e, (SELECT unnest(generate_series(0, 63)) AS i) d
+                  GROUP BY label, d.i)
+            SELECT label, CAST(dim AS BIGINT) AS dim,
+                   CAST(sum_bp AS BIGINT) AS sum_bp,
+                   CAST(n_vecs AS BIGINT) AS n_vecs,
+                   CAST(sum_bp // n_vecs AS BIGINT) AS centroid_bp
+            FROM s
+        """,
+        # MATCH_RECOGNIZE-lite: regex containment over the user_paths
+        # trajectory strings (identical boolean semantics in Python
+        # re.search and RE2 for this feature class) —
+        # pipelines.sequence.path_pattern_counts
+        "path_pattern_counts": """
+            WITH p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY ts, event_id)
+                           AS path
+                FROM events
+                WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                  AND ts IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY user_id)
+            SELECT 'error_repeat' AS pattern,
+                   CAST(COUNT(*) FILTER (WHERE regexp_matches(path,
+                        'error>error')) AS BIGINT) AS n_users FROM p
+            UNION ALL
+            SELECT 'starts_with_signup',
+                   COUNT(*) FILTER (WHERE regexp_matches(path,
+                        '^signup')) FROM p
+            UNION ALL
+            SELECT 'view_then_purchase',
+                   COUNT(*) FILTER (WHERE regexp_matches(path,
+                        'view(>[a-z0-9]+)*>purchase')) FROM p
+        """,
     }

@@ -156,3 +156,63 @@ def kmeans_embeddings(sf_dir: str, k: int = K_CLUSTERS,
 
 def q_kmeans_centroids(sf_dir: str) -> pd.DataFrame:
     return kmeans_embeddings(sf_dir)
+
+
+# ----------------------------------------------------- vector aggregate
+def label_centroids(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """Per-label embedding centroid — the exact vector AGGREGATE twin
+    of the k-means loop (one pass, no iteration): per batch an int64
+    (label × d) bp-sum matrix + counts, one label-bucketed merge, then
+    the trunc-division centroid. All integers, so it carries a DERIVED
+    SQL oracle (DuckDB list indexing × a dims series), unlike the
+    pinned iterative k-means. Shuffle volume: |labels| × d cells per
+    block — never vectors."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_ints
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _fold_bp_mat(t["embedding"])  # (n, d) int64
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = x.shape[1]
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, inv, x)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        out = pd.DataFrame({
+            "label": np.repeat(uniq, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+            "s": sums.reshape(-1),
+            "n": np.repeat(cnt, d),
+        })
+        out["bucket"] = (hash_ints(out["label"]) %
+                         np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gg = (g.groupby(["label", "dim"], sort=False)[["s", "n"]]
+              .sum().reset_index())
+        out = pd.DataFrame({
+            "label": gg["label"].to_numpy(np.int64),
+            "dim": gg["dim"].to_numpy(np.int64),
+            "sum_bp": gg["s"].to_numpy(np.int64),
+            "n_vecs": gg["n"].to_numpy(np.int64),
+        })
+        # trunc integer division (DuckDB // on positives; numpy
+        # floor_divide differs on negative sums, so pin trunc here)
+        q = np.abs(out["sum_bp"]) // out["n_vecs"]
+        out["centroid_bp"] = np.sign(out["sum_bp"]) * q
+        return out
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: merge(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_label_centroids(sf_dir: str) -> rd.Dataset:
+    return label_centroids(sf_dir)

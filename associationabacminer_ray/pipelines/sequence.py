@@ -461,3 +461,47 @@ def user_running_total(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
 def q_user_running_total(sf_dir: str) -> rd.Dataset:
     return user_running_total(sf_dir)
+
+
+# ------------------------------------------------- trajectory pattern match
+# (pattern_name, regex) — boolean containment semantics identical in
+# Python re.search and DuckDB regexp_matches for this feature class
+# (literals, alternation-free groups, * quantifier, ^ anchor)
+PATH_PATTERNS: list[tuple[str, str]] = [
+    ("view_then_purchase", "view(>[a-z0-9]+)*>purchase"),
+    ("starts_with_signup", "^signup"),
+    ("error_repeat", "error>error"),
+]
+
+
+def path_pattern_counts(sf_dir: str,
+                        patterns: list[tuple[str, str]] | None = None
+                        ) -> pd.DataFrame:
+    """MATCH_RECOGNIZE-lite: how many users' ordered event trajectories
+    match each regex pattern — sequence-pattern analytics over the
+    ``user_paths`` trajectory strings (sessions funnels, retry loops,
+    onboarding flows). Per batch, each compiled pattern runs
+    vectorized over the batch's paths and only (pattern, partial
+    count) rows reach the driver."""
+    import re as _re
+
+    pats = patterns if patterns is not None else PATH_PATTERNS
+    compiled = [(name, _re.compile(rx)) for name, rx in pats]
+    paths = user_paths(sf_dir)
+
+    def count_batch(b: pd.DataFrame) -> pd.DataFrame:
+        rows = [(name, int(b["path"].str.contains(rx).sum()))
+                for name, rx in compiled]
+        return pd.DataFrame({"pattern": [r[0] for r in rows],
+                             "n_users": np.array([r[1] for r in rows],
+                                                 np.int64)})
+
+    parts = paths.map_batches(count_batch,
+                              batch_format="pandas").to_pandas()
+    out = (parts.groupby("pattern", sort=True)["n_users"].sum()
+           .astype(np.int64).reset_index())
+    return out
+
+
+def q_path_pattern_counts(sf_dir: str) -> pd.DataFrame:
+    return path_pattern_counts(sf_dir)

@@ -378,3 +378,41 @@ class TestReviewRegressions:
         out = kmeans_embeddings(str(tmp_path), k=8)
         assert out["cluster_id"].nunique() == 3
         assert (out.groupby("cluster_id")["n_points"].first() == 1).all()
+
+
+class TestLabelCentroidsAndPatterns:
+    def test_centroid_direct(self, ray_session, tmp_path):
+        from associationabacminer_ray.pipelines.cluster import label_centroids
+        df = pd.DataFrame({
+            "vec_id": np.arange(4, dtype=np.int64),
+            "embedding": [np.array([1.0, -1.0]), np.array([2.0, -2.0]),
+                          np.array([0.5, 0.5]), np.array([-0.5, -0.5])],
+            "label": np.array([1, 1, 2, 2], np.int32),
+        })
+        df.to_parquet(tmp_path / "embeddings.parquet", index=False)
+        out = (label_centroids(str(tmp_path)).to_pandas()
+               .sort_values(["label", "dim"]).reset_index(drop=True))
+        assert out["sum_bp"].tolist() == [30000, -30000, 0, 0]
+        assert out["n_vecs"].tolist() == [2, 2, 2, 2]
+        # trunc division, incl. negative sums
+        assert out["centroid_bp"].tolist() == [15000, -15000, 0, 0]
+
+    def test_pattern_counts_semantics(self, ray_session, tmp_path):
+        from associationabacminer_ray.pipelines.sequence import (
+            path_pattern_counts)
+        ev = pd.DataFrame({
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01 00:00:0%d" % i
+                                  for i in range(6)]),
+            "user_id": np.array([1, 1, 1, 2, 2, 3], np.int64),
+            # u1: view>click>purchase (matches), u2: signup>error,
+            # u3: error (no repeat)
+            "event_type": ["view", "click", "purchase",
+                           "signup", "error", "error"],
+            "value": np.ones(6), "props": ["{}"] * 6,
+        })
+        ev.to_parquet(tmp_path / "events.parquet", index=False)
+        out = path_pattern_counts(str(tmp_path)).set_index("pattern")
+        assert out.loc["view_then_purchase", "n_users"] == 1
+        assert out.loc["starts_with_signup", "n_users"] == 1
+        assert out.loc["error_repeat", "n_users"] == 0
