@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3 (late): exact vector aggregate + trajectory patterns
         "label_centroids": CL.q_label_centroids,
         "path_pattern_counts": SQ.q_path_pattern_counts,
+        # round 3 (late): UNPIVOT (inverse of the pivot, zero cells kept)
+        "type_hour_unpivot": O.q_type_hour_unpivot,
     }
 
 
@@ -1802,5 +1804,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'view_then_purchase',
                    COUNT(*) FILTER (WHERE regexp_matches(path,
                         'view(>[a-z0-9]+)*>purchase')) FROM p
+        """,
+        # UNPIVOT of the type×hour crosstab back to long form, zero
+        # cells included — pipelines.olap.q_type_hour_unpivot
+        "type_hour_unpivot": """
+            WITH types AS (SELECT DISTINCT event_type FROM events
+                           WHERE event_type IS NOT NULL
+                             AND ts IS NOT NULL),
+            c AS (SELECT event_type, EXTRACT(hour FROM ts) AS h,
+                         COUNT(*) AS n
+                  FROM events
+                  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                  GROUP BY 1, 2)
+            SELECT t.event_type,
+                   CAST(g.h AS BIGINT) AS hour,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM types t
+            CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) g
+            LEFT JOIN c ON c.event_type = t.event_type AND c.h = g.h
         """,
     }

@@ -656,3 +656,39 @@ def active_customers(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
 def q_active_customers(sf_dir: str) -> rd.Dataset:
     return active_customers(sf_dir)
+
+
+# --------------------------------------------------------------- UNPIVOT
+def unpivot_wide(ds: rd.Dataset, id_cols: list[str],
+                 value_cols: list[str], var_name: str,
+                 value_name: str) -> rd.Dataset:
+    """Generic UNPIVOT (wide → long melt): each batch emits one row per
+    (input row × value column). A pure streaming map — no shuffle at
+    any scale; output volume = rows × |value_cols| by definition."""
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.melt(id_vars=id_cols, value_vars=value_cols,
+                     var_name=var_name, value_name=value_name)
+        out[value_name] = out[value_name].astype(np.int64)
+        return out
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
+def q_type_hour_unpivot(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT over the type×hour crosstab: melt h0..h23 back to long
+    (event_type, hour, n) INCLUDING the zero cells the pivot filled —
+    the exact inverse of q_type_hour_pivot (round-trip asserted in
+    tests)."""
+    hcols = [f"h{h}" for h in range(N_HOURS)]
+    wide = type_hour_pivot(sf_dir)
+    long = unpivot_wide(wide, ["event_type"], hcols, "hour_col", "n")
+
+    def decode_hour(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(object),
+            "hour": b["hour_col"].str.slice(1).astype(np.int64),
+            "n": b["n"].to_numpy(np.int64),
+        })
+
+    return long.map_batches(decode_hour, batch_format="pandas")

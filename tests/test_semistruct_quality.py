@@ -416,3 +416,18 @@ class TestLabelCentroidsAndPatterns:
         assert out.loc["view_then_purchase", "n_users"] == 1
         assert out.loc["starts_with_signup", "n_users"] == 1
         assert out.loc["error_repeat", "n_users"] == 0
+
+
+class TestUnpivot:
+    def test_round_trip_inverse_of_pivot(self, ray_session):
+        from associationabacminer_ray.pipelines.olap import (
+            q_type_hour_pivot, q_type_hour_unpivot)
+        sf = "/root/testdata/sf0.001"
+        wide = (q_type_hour_pivot(sf).to_pandas()
+                .set_index("event_type").sort_index())
+        long = q_type_hour_unpivot(sf).to_pandas()
+        back = (long.pivot(index="event_type", columns="hour", values="n")
+                .sort_index())
+        back.columns = [f"h{h}" for h in back.columns]
+        pd.testing.assert_frame_equal(wide, back[wide.columns],
+                                      check_names=False)
