@@ -30,14 +30,27 @@ from .analytics import bucketed_group_agg
 
 
 def connected_components(edges_ds, num_buckets: int = 32,
-                         max_iters: int = 25):
+                         max_iters: int = 25,
+                         small_graph_max_edges: int = 2_000_000):
     """Label-propagation connected components.
 
     ``edges_ds``: Dataset with int64 columns (id_a, id_b). Returns a
     Dataset of (node, component) where component = min node id reachable
     from ``node``. Only nodes appearing in an edge are returned
     (singletons are trivially their own component).
+
+    Size-gated (the ann.broadcast_max_rows convention): near-dup edge
+    sets are usually FAR smaller than the corpus (only near-duplicate
+    pairs survive verification), and each distributed label round costs
+    several fixed-overhead all-to-all exchanges — ~50 s for a 3k-edge
+    graph regardless of data volume. Up to ``small_graph_max_edges``
+    (16 B/edge ⇒ ≤32 MB driver state) the edges therefore collapse to
+    a driver union-find (the same algorithm the parity test uses as
+    its reference); past the gate the distributed O(log diameter)
+    label-propagation loop below runs unchanged. Both paths return
+    identical (node, min-reachable-id) rows.
     """
+    import logging
 
     def halves(b: pd.DataFrame) -> pd.DataFrame:
         a = b["id_a"].to_numpy(dtype=np.int64)
@@ -50,6 +63,45 @@ def connected_components(edges_ds, num_buckets: int = 32,
 
     halves_ds = edges_ds.map_batches(halves,
                                      batch_format="pandas").materialize()
+
+    n_edges = halves_ds.count() // 2
+    if n_edges <= small_graph_max_edges:
+        logging.getLogger(__name__).info(
+            "connected_components: %d edges <= %d — driver union-find "
+            "fast path", n_edges, small_graph_max_edges)
+        import ray.data as _rd
+        pairs = halves_ds.to_pandas()
+        pairs = pairs[pairs["is_label"] == 0]  # both edge directions
+        nodes, inv = np.unique(
+            np.concatenate([pairs["key"].to_numpy(np.int64),
+                            pairs["other"].to_numpy(np.int64)]),
+            return_inverse=True)
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(i: int) -> int:
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:  # path compression
+                parent[i], i = root, parent[i]
+            return root
+
+        half = len(pairs)
+        for a, b in zip(inv[:half], inv[half:]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min node id so the root IS the component min
+                if nodes[ra] <= nodes[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        comp = nodes[np.fromiter((find(i) for i in range(len(nodes))),
+                                 np.int64, len(nodes))]
+        return _rd.from_pandas(pd.DataFrame({"node": nodes,
+                                             "component": comp}))
+    logging.getLogger(__name__).info(
+        "connected_components: %d edges > %d — distributed "
+        "label-propagation path", n_edges, small_graph_max_edges)
 
     def init_labels(g: pd.DataFrame) -> pd.DataFrame:
         u = np.unique(g["key"].to_numpy(dtype=np.int64))

@@ -49,3 +49,24 @@ class TestConnectedComponents:
                           dtype=np.int64)
         got = connected_components(rd.from_pandas(df), num_buckets=4).to_pandas()
         assert dict(zip(got["node"], got["component"])) == {1: 1, 2: 1, 3: 1}
+
+
+def test_small_graph_fast_path_equals_distributed(ray_session):
+    """The size-gated driver union-find must return exactly the
+    distributed label-propagation result (same (node, min-id) rows)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from associationabacminer_ray.pipelines.components import (
+        connected_components)
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 500, 800).astype(np.int64)
+    b = rng.integers(0, 500, 800).astype(np.int64)
+    edges = rd.from_pandas(pd.DataFrame({"id_a": a, "id_b": b}))
+    fast = (connected_components(edges).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    dist = (connected_components(edges, small_graph_max_edges=0)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, dist)
