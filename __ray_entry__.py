@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_pattern_counts": SQ.q_path_pattern_counts,
         # round 3 (late): UNPIVOT (inverse of the pivot, zero cells kept)
         "type_hour_unpivot": O.q_type_hour_unpivot,
+        # round 3 (late): the FULL curation composition (bench
+        # exclusion → dedup → quality → lang → decontamination)
+        "curation_pipeline": T.q_curation_pipeline,
     }
 
 
@@ -1804,6 +1807,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'view_then_purchase',
                    COUNT(*) FILTER (WHERE regexp_matches(path,
                         'view(>[a-z0-9]+)*>purchase')) FROM p
+        """,
+        # full curation composition: the SAME verified fragments
+        # (quality, langid, contamination windows) + a filtered
+        # window-min for the bench-aware keep-first; precedence bench →
+        # dup → quality → lang → contaminated → kept, one count per doc
+        # — pipelines.text_pipelines.q_curation_pipeline
+        "curation_pipeline": f"""
+            WITH q AS ({_QUALITY_SQL}),
+                 l AS ({_langid_sql()}),
+                 ctok AS (
+                   SELECT doc_id,
+                          regexp_extract_all(text, '\\S+') AS tokens
+                   FROM documents),
+                 cw AS (
+                   SELECT doc_id,
+                          unnest(generate_series(1, len(tokens) - 15))
+                              AS i,
+                          tokens
+                   FROM ctok WHERE len(tokens) >= 16),
+                 cd AS (
+                   SELECT DISTINCT doc_id,
+                          array_to_string(tokens[i:i+15], ' ') AS win
+                   FROM cw),
+                 cbench AS (SELECT DISTINCT win FROM cd
+                            WHERE doc_id % 50 = 7),
+                 contam AS (SELECT DISTINCT cd.doc_id
+                            FROM cd JOIN cbench USING (win)
+                            WHERE cd.doc_id % 50 <> 7),
+                 m AS (SELECT doc_id, source, lang,
+                              (doc_id % 50 = 7) AS is_bench,
+                              (doc_id = MIN(doc_id)
+                                   FILTER (WHERE doc_id % 50 <> 7)
+                                   OVER (PARTITION BY
+                                         coalesce(text, ''))) AS is_first
+                       FROM documents)
+            SELECT m.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN m.is_bench THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_drop_bench,
+                   CAST(SUM(CASE WHEN NOT m.is_bench AND NOT m.is_first
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup,
+                   CAST(SUM(CASE WHEN NOT m.is_bench AND m.is_first
+                                 AND q.quality_bp < 7500
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_drop_quality,
+                   CAST(SUM(CASE WHEN NOT m.is_bench AND m.is_first
+                                 AND q.quality_bp >= 7500
+                                 AND l.lang_pred <> coalesce(m.lang, '')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_lang,
+                   CAST(SUM(CASE WHEN NOT m.is_bench AND m.is_first
+                                 AND q.quality_bp >= 7500
+                                 AND l.lang_pred = coalesce(m.lang, '')
+                                 AND c2.doc_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_drop_contam,
+                   CAST(SUM(CASE WHEN NOT m.is_bench AND m.is_first
+                                 AND q.quality_bp >= 7500
+                                 AND l.lang_pred = coalesce(m.lang, '')
+                                 AND c2.doc_id IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM m
+            JOIN q ON q.doc_id = m.doc_id
+            JOIN l ON l.doc_id = m.doc_id
+            LEFT JOIN contam c2 ON c2.doc_id = m.doc_id
+            GROUP BY m.source
         """,
         # UNPIVOT of the type×hour crosstab back to long form, zero
         # cells included — pipelines.olap.q_type_hour_unpivot

@@ -772,3 +772,94 @@ def q_benchmark_contamination(sf_dir: str, window: int = 16) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["n_contaminated"] = out["n_contaminated"].astype(np.int64)
     return out
+
+
+def q_curation_pipeline(sf_dir: str,
+                        quality_min_bp: int = 7500) -> pd.DataFrame:
+    """The FULL training-data curation pass, composing every cleaning
+    stage this engine ships into one precedence chain: benchmark
+    exclusion (eval data never trains) → exact-dedup keep-first among
+    the remaining docs → quality floor → language match → benchmark
+    DECONTAMINATION (shared 16-token window) → kept; per-source counts,
+    each doc counted exactly once.
+
+    Layout: the contaminated-id set is the q_benchmark_contamination
+    output (tiny by definition) broadcast once; everything else is the
+    clean_pipeline chain — one Arrow pass for features, one text-hash
+    bucketed shuffle for keep-first, per-source partial sums. The SQL
+    oracle composes the SAME verified fragments (quality, langid,
+    contamination) plus a filtered window-min for the bench-aware
+    dedup."""
+    import ray
+
+    from ..functions.hashing import hash_strings
+    from .analytics import bucketed_group_agg
+
+    contaminated = set(
+        q_benchmark_contamination(sf_dir)["doc_id"].to_numpy(np.int64))
+    contam_ref = ray.put(np.sort(np.fromiter(contaminated, np.int64,
+                                             len(contaminated))))
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+    feats = (ds.map_batches(TokenStats, batch_format="pyarrow",
+                            concurrency=auto_concurrency())
+             .map_batches(LangId, batch_format="pyarrow",
+                          concurrency=auto_concurrency()))
+
+    def per_doc(t) -> pd.DataFrame:
+        from ..functions.scoring import fold_bp
+
+        contam = ray.get(contam_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q_bp = fold_bp(t["quality_score"].to_numpy(zero_copy_only=False))
+        text = pd.Series(t["text"].to_pylist()).fillna("")
+        return pd.DataFrame({
+            "doc_id": ids,
+            "source": t["source"].to_pylist(),
+            "h": hash_strings(text),
+            "is_bench": ids % BENCH_MOD == BENCH_RESIDUE,
+            "ok_quality": q_bp >= quality_min_bp,
+            "ok_lang": (pd.Series(t["lang_pred"].to_pylist())
+                        == pd.Series(t["lang"].to_pylist())).to_numpy(),
+            "ok_contam": ~np.isin(ids, contam),
+        })
+
+    rows = feats.map_batches(per_doc, batch_format="pyarrow")
+
+    def mark_first(g: pd.DataFrame) -> pd.DataFrame:
+        bench = g["is_bench"].to_numpy()
+        # keep-first among NON-benchmark docs only (bench docs are
+        # already out of the corpus, so they must not shadow a
+        # training doc's canonical slot)
+        nb = g[~g["is_bench"]]
+        first_id = nb.groupby("h", sort=False)["doc_id"].min()
+        is_first = (g["doc_id"].to_numpy()
+                    == first_id.reindex(g["h"]).to_numpy())
+        okq = g["ok_quality"].to_numpy()
+        okl = g["ok_lang"].to_numpy()
+        okc = g["ok_contam"].to_numpy()
+        alive = ~bench
+        flags = pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "n_docs": 1,
+            "n_drop_bench": bench.astype(np.int64),
+            "n_drop_dup": (alive & ~is_first).astype(np.int64),
+            "n_drop_quality": (alive & is_first & ~okq).astype(np.int64),
+            "n_drop_lang": (alive & is_first & okq & ~okl)
+            .astype(np.int64),
+            "n_drop_contam": (alive & is_first & okq & okl & ~okc)
+            .astype(np.int64),
+            "n_kept": (alive & is_first & okq & okl & okc)
+            .astype(np.int64),
+        })
+        return flags.groupby("source", sort=False).sum().reset_index()
+
+    partials = bucketed_group_agg(rows, ["h"], mark_first,
+                                  num_buckets=16).to_pandas()
+    agg = (partials.groupby("source", sort=True).sum(numeric_only=True)
+           .reset_index())
+    cols = ["n_docs", "n_drop_bench", "n_drop_dup", "n_drop_quality",
+            "n_drop_lang", "n_drop_contam", "n_kept"]
+    for c in cols:
+        agg[c] = agg[c].astype(np.int64)
+    return agg[["source"] + cols].reset_index(drop=True)

@@ -431,3 +431,20 @@ class TestUnpivot:
         back.columns = [f"h{h}" for h in back.columns]
         pd.testing.assert_frame_equal(wide, back[wide.columns],
                                       check_names=False)
+
+
+class TestCurationPipeline:
+    def test_counts_are_a_partition(self, ray_session):
+        """Every doc lands in exactly one bucket; kept <= clean_pipeline
+        kept (the extra stages only remove)."""
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            q_clean_pipeline, q_curation_pipeline)
+        sf = "/root/testdata/sf0.001"
+        cur = q_curation_pipeline(sf)
+        parts = cur[["n_drop_bench", "n_drop_dup", "n_drop_quality",
+                     "n_drop_lang", "n_drop_contam", "n_kept"]].sum(axis=1)
+        assert (parts == cur["n_docs"]).all()
+        clean = q_clean_pipeline(sf).set_index("source")
+        joined = cur.set_index("source")
+        assert (joined["n_kept"] <= clean["n_kept"]).all()
+        assert cur["n_docs"].sum() == 500
