@@ -264,6 +264,32 @@ _NEARDUP_CANONICAL_SQL = f"""
         USING (doc_id)
 """
 
+# shared 16-token-window contamination fragment (mirrors
+# RollingWindowHashes(window=16, stride=1) + the doc_id%50==7 benchmark
+# slice) — used verbatim by BOTH benchmark_contamination and
+# curation_pipeline so the two oracles cannot desynchronize
+_CONTAM_CTES = """
+            ctok AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens
+              FROM documents
+            ),
+            cw AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(tokens) - 15)) AS i,
+                     tokens
+              FROM ctok WHERE len(tokens) >= 16
+            ),
+            cd AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(tokens[i:i+15], ' ') AS win
+              FROM cw
+            ),
+            cbench AS (SELECT DISTINCT win FROM cd WHERE doc_id % 50 = 7),
+            contam AS (SELECT DISTINCT cd.doc_id
+                       FROM cd JOIN cbench USING (win)
+                       WHERE cd.doc_id % 50 <> 7)
+"""
+
 _JOIN_SQL = """
     SELECT o.o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -1736,28 +1762,13 @@ def oracle_sql() -> dict[str, str]:
         # with the doc_id%50==7 'benchmark' slice — same window/token
         # definition as containment_dups;
         # pipelines.text_pipelines.q_benchmark_contamination
-        "benchmark_contamination": """
-            WITH tok AS (
-              SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens
-              FROM documents
-            ),
-            w AS (
-              SELECT doc_id,
-                     unnest(generate_series(1, len(tokens) - 15)) AS i,
-                     tokens
-              FROM tok WHERE len(tokens) >= 16
-            ),
-            d AS (
-              SELECT DISTINCT doc_id,
-                     array_to_string(tokens[i:i+15], ' ') AS win
-              FROM w
-            ),
-            bench AS (SELECT DISTINCT win FROM d WHERE doc_id % 50 = 7)
-            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        "benchmark_contamination": f"""
+            WITH {_CONTAM_CTES}
+            SELECT CAST(cd.doc_id AS BIGINT) AS doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_contaminated
-            FROM d JOIN bench USING (win)
-            WHERE d.doc_id % 50 <> 7
-            GROUP BY d.doc_id
+            FROM cd JOIN cbench USING (win)
+            WHERE cd.doc_id % 50 <> 7
+            GROUP BY cd.doc_id
         """,
         "neardup_canonical": _NEARDUP_CANONICAL_SQL,
         # exact per-label vector centroid: DuckDB list indexing × a dims
@@ -1816,25 +1827,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": f"""
             WITH q AS ({_QUALITY_SQL}),
                  l AS ({_langid_sql()}),
-                 ctok AS (
-                   SELECT doc_id,
-                          regexp_extract_all(text, '\\S+') AS tokens
-                   FROM documents),
-                 cw AS (
-                   SELECT doc_id,
-                          unnest(generate_series(1, len(tokens) - 15))
-                              AS i,
-                          tokens
-                   FROM ctok WHERE len(tokens) >= 16),
-                 cd AS (
-                   SELECT DISTINCT doc_id,
-                          array_to_string(tokens[i:i+15], ' ') AS win
-                   FROM cw),
-                 cbench AS (SELECT DISTINCT win FROM cd
-                            WHERE doc_id % 50 = 7),
-                 contam AS (SELECT DISTINCT cd.doc_id
-                            FROM cd JOIN cbench USING (win)
-                            WHERE cd.doc_id % 50 <> 7),
+                 {_CONTAM_CTES},
                  m AS (SELECT doc_id, source, lang,
                               (doc_id % 50 = 7) AS is_bench,
                               (doc_id = MIN(doc_id)

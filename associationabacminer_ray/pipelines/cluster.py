@@ -84,8 +84,14 @@ class _AssignStats:
         self._cent = ray.get(cent_ref)  # (k, d) int64
 
     def __call__(self, t: pa.Table) -> pd.DataFrame:
-        x = _fold_bp_mat(t["embedding"])  # (n, d) int64
         c = self._cent
+        if t.num_rows == 0:  # empty block: a zero partial, not a crash
+            k, d = c.shape
+            out = pd.DataFrame({"cluster_id": np.arange(k, dtype=np.int64),
+                                "n": np.zeros(k, np.int64)})
+            out["sums"] = list(np.zeros((k, d), np.int64))
+            return out
+        x = _fold_bp_mat(t["embedding"])  # (n, d) int64
         # exact int64 squared distances; ||x||² is constant per row so
         # argmin needs only -2x·c + ||c||² (stays far from overflow:
         # |x|,|c| <= ~3e4 bp, d=64 -> |2x·c| <= 2.5e14)
@@ -167,8 +173,6 @@ def label_centroids(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
     SQL oracle (DuckDB list indexing × a dims series), unlike the
     pinned iterative k-means. Shuffle volume: |labels| × d cells per
     block — never vectors."""
-    import pyarrow.compute as pc
-
     from ..functions.hashing import hash_ints
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -176,6 +180,12 @@ def label_centroids(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
 
     def partial(t: pa.Table) -> pd.DataFrame:
         t = t.drop_null()
+        if t.num_rows == 0:  # all-null block: typed empty partial
+            return pd.DataFrame({"label": np.array([], np.int64),
+                                 "dim": np.array([], np.int64),
+                                 "s": np.array([], np.int64),
+                                 "n": np.array([], np.int64),
+                                 "bucket": np.array([], np.int32)})
         labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         x = _fold_bp_mat(t["embedding"])  # (n, d) int64
         uniq, inv = np.unique(labels, return_inverse=True)

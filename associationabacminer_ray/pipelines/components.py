@@ -71,11 +71,21 @@ def connected_components(edges_ds, num_buckets: int = 32,
             "fast path", n_edges, small_graph_max_edges)
         import ray.data as _rd
         pairs = halves_ds.to_pandas()
-        pairs = pairs[pairs["is_label"] == 0]  # both edge directions
-        nodes, inv = np.unique(
-            np.concatenate([pairs["key"].to_numpy(np.int64),
-                            pairs["other"].to_numpy(np.int64)]),
-            return_inverse=True)
+        pairs = pairs[pairs["is_label"] == 0]
+        key = pairs["key"].to_numpy(np.int64)
+        other = pairs["other"].to_numpy(np.int64)
+        # node universe from EVERY endpoint first (a node seen only in
+        # a self-loop must still emit its singleton row, matching the
+        # distributed path); then union over ONE direction only
+        # (key < other) — self-loops are union no-ops and the second
+        # direction always lands on equal roots, so both halve the
+        # loop for free. Peak driver state ≈ the 2×edges frame + the
+        # node arrays — tens of MB per million edges, which is what
+        # the 2M gate bounds.
+        nodes = np.unique(np.concatenate([key, other]))
+        one = key < other
+        key, other = key[one], other[one]
+        inv = np.searchsorted(nodes, np.concatenate([key, other]))
         parent = np.arange(len(nodes), dtype=np.int64)
 
         def find(i: int) -> int:
@@ -86,7 +96,7 @@ def connected_components(edges_ds, num_buckets: int = 32,
                 parent[i], i = root, parent[i]
             return root
 
-        half = len(pairs)
+        half = len(key)
         for a, b in zip(inv[:half], inv[half:]):
             ra, rb = find(a), find(b)
             if ra != rb:

@@ -667,10 +667,10 @@ def unpivot_wide(ds: rd.Dataset, id_cols: list[str],
     any scale; output volume = rows × |value_cols| by definition."""
 
     def melt(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.melt(id_vars=id_cols, value_vars=value_cols,
-                     var_name=var_name, value_name=value_name)
-        out[value_name] = out[value_name].astype(np.int64)
-        return out
+        # value dtype is the caller's concern — a generic melt must not
+        # force integers on float/string value columns
+        return b.melt(id_vars=id_cols, value_vars=value_cols,
+                      var_name=var_name, value_name=value_name)
 
     return ds.map_batches(melt, batch_format="pandas")
 

@@ -498,6 +498,12 @@ def path_pattern_counts(sf_dir: str,
 
     parts = paths.map_batches(count_batch,
                               batch_format="pandas").to_pandas()
+    if not len(parts):
+        # zero path batches: the oracle still emits one zero row per
+        # pattern (COUNT FILTER over an empty CTE)
+        return pd.DataFrame({
+            "pattern": sorted(name for name, _ in compiled),
+            "n_users": np.zeros(len(compiled), np.int64)})
     out = (parts.groupby("pattern", sort=True)["n_users"].sum()
            .astype(np.int64).reset_index())
     return out

@@ -795,10 +795,9 @@ def q_curation_pipeline(sf_dir: str,
     from ..functions.hashing import hash_strings
     from .analytics import bucketed_group_agg
 
-    contaminated = set(
-        q_benchmark_contamination(sf_dir)["doc_id"].to_numpy(np.int64))
-    contam_ref = ray.put(np.sort(np.fromiter(contaminated, np.int64,
-                                             len(contaminated))))
+    # doc_ids from the contamination groupby are unique by construction
+    contam_ref = ray.put(np.sort(
+        q_benchmark_contamination(sf_dir)["doc_id"].to_numpy(np.int64)))
 
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
     feats = (ds.map_batches(TokenStats, batch_format="pyarrow",

@@ -435,16 +435,52 @@ class TestUnpivot:
 
 class TestCurationPipeline:
     def test_counts_are_a_partition(self, ray_session):
-        """Every doc lands in exactly one bucket; kept <= clean_pipeline
-        kept (the extra stages only remove)."""
+        """Every doc lands in exactly one bucket."""
         from associationabacminer_ray.pipelines.text_pipelines import (
-            q_clean_pipeline, q_curation_pipeline)
-        sf = "/root/testdata/sf0.001"
-        cur = q_curation_pipeline(sf)
+            q_curation_pipeline)
+        cur = q_curation_pipeline("/root/testdata/sf0.001")
         parts = cur[["n_drop_bench", "n_drop_dup", "n_drop_quality",
                      "n_drop_lang", "n_drop_contam", "n_kept"]].sum(axis=1)
         assert (parts == cur["n_docs"]).all()
-        clean = q_clean_pipeline(sf).set_index("source")
-        joined = cur.set_index("source")
-        assert (joined["n_kept"] <= clean["n_kept"]).all()
         assert cur["n_docs"].sum() == 500
+
+    def test_bench_shadow_dedup_matches_oracle(self, ray_session,
+                                               tmp_path):
+        """The bench-aware keep-first (a bench doc must NOT shadow a
+        training doc's canonical slot) is absent from the gate corpora
+        (no bench-involved dup groups there), so exercise it
+        synthetically: engine == composed SQL oracle on a corpus where
+        the duplicate group's MIN id is a benchmark doc."""
+        import duckdb
+
+        import __ray_entry__ as entrymod
+
+        shared = "the quick brown fox jumps over the lazy dog again"
+        df = pd.DataFrame({
+            # 7 is bench (7%50==7) and the MIN id of the dup group
+            # {7, 12, 30}; 8 unique; 57 bench unique
+            "doc_id": np.array([7, 8, 12, 30, 57], np.int64),
+            "text": [shared, "completely different words here",
+                     shared, shared, "eval only text"],
+            "lang": ["en"] * 5,
+            "source": ["s1", "s1", "s1", "s2", "s2"],
+            "n_chars": [len(shared), 31, len(shared), len(shared), 14],
+        })
+        df.to_parquet(tmp_path / "documents.parquet", index=False)
+        got = (entrymod.queries()["curation_pipeline"](str(tmp_path))
+               .sort_values("source").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        want = (con.execute(entrymod.oracle_sql()["curation_pipeline"])
+                .df().sort_values("source").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype({c: np.int64 for c in got.columns
+                        if c != "source"}),
+            want.astype({c: np.int64 for c in want.columns
+                         if c != "source"}))
+        # the bench doc is dropped as bench, doc 12 (not 7) is the
+        # canonical copy in s1, doc 30's s2 copy is the duplicate
+        s1 = got.set_index("source").loc["s1"]
+        assert s1["n_drop_bench"] == 1
+        assert s1["n_drop_dup"] == 0
