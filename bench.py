@@ -161,6 +161,21 @@ def run_bench() -> dict:
         consume(fn(sf_dir))
         timings[name] = time.perf_counter() - t0
 
+    # ---- full curation composition over the documents table ---------------
+    # (bench exclusion → dedup → quality → lang → decontamination; the
+    # LLM-training-data headline — docs/sec over the sf documents table)
+    if not headline_only:
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            q_curation_pipeline,
+        )
+
+        t0 = time.perf_counter()
+        cur = q_curation_pipeline(sf_dir)
+        dt = time.perf_counter() - t0
+        n_docs_cur = int(cur["n_docs"].sum())
+        timings["curation_pipeline"] = dt
+        timings["curation_docs_per_sec"] = round(n_docs_cur / dt, 1)
+
     probe = _bandwidth_probe()
     return {
         "metric": "itemset_sketch_partitioned_sec",
