@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import profile as P
     from associationabacminer_ray.pipelines import semistruct as SS
     from associationabacminer_ray.pipelines import universe as U
+    from associationabacminer_ray.pipelines import mixture as MX
 
     return {
         # mining / transcript pipelines (exact mode — oracle-checked)
@@ -221,6 +222,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3 (late): the FULL curation composition (bench
         # exclusion → dedup → quality → lang → decontamination)
         "curation_pipeline": T.q_curation_pipeline,
+        # round 3 (mixture wave): training-data mixture assembly —
+        # concat-split sequence packing, target-mixture quota sampling,
+        # deterministic epoch up/down-sampling, per-source median
+        # filter, tokenizer fertility
+        "packed_chunks": MX.q_packed_chunks,
+        "mixture_sample": MX.q_mixture_sample,
+        "source_upsample": MX.q_source_upsample,
+        "above_median_docs": MX.q_above_median_docs,
+        "token_fertility": MX.q_token_fertility,
+        # round 3 (robust-stats wave): Tukey-fence outliers, day-parity
+        # composition drift, gaps-and-islands streaks, DENSE_RANK +
+        # integer CUME_DIST
+        "value_outliers": TM.q_value_outliers,
+        "type_drift": TM.q_type_drift,
+        "user_streaks": SQ.q_user_streaks,
+        "spend_dense_rank": ST.q_spend_dense_rank,
     }
 
 
@@ -595,6 +612,16 @@ def oracle_sql() -> dict[str, str]:
     from associationabacminer_ray.sources.transcripts import (
         TRANSCRIPTS_FROM_EVENTS_SQL,
     )
+    from associationabacminer_ray.pipelines import mixture as _mx
+
+    # quota / epoch tables restated from the ONE set of constants the
+    # engine uses, so the two sides cannot desynchronize
+    _quota_values = ", ".join(
+        f"('{s}', {q})" for s, q in sorted(_mx.mixture_quotas().items()))
+    _epoch_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {bp}"
+        for s, bp in sorted(_mx.UPSAMPLE_EPOCHS_BP.items())
+    ) + f" ELSE {_mx._EPOCH_DEFAULT_BP} END"
 
     # pinned golden oracles (scripts/pin_goldens.py) for deterministic
     # seeded/sketch queries with no independent SQL derivation — the
@@ -1883,5 +1910,180 @@ def oracle_sql() -> dict[str, str]:
             FROM types t
             CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) g
             LEFT JOIN c ON c.event_type = t.event_type AND c.h = g.h
+        """,
+        # concat-and-split sequence packing: chunk of a doc's FIRST
+        # token = prev-cumsum // cap within (source, doc_id asc);
+        # whitespace-token definition shared with text_stats —
+        # pipelines.mixture.packed_chunks
+        "packed_chunks": f"""
+            WITH t AS (SELECT doc_id, source,
+                              len(regexp_extract_all(text, '\\S+'))
+                                  AS n_tokens
+                       FROM documents
+                       WHERE doc_id IS NOT NULL AND source IS NOT NULL
+                         AND text IS NOT NULL)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST((SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) // {_mx.PACK_CAP_TOKENS} AS BIGINT)
+                       AS chunk_id
+            FROM t
+        """,
+        # target-mixture quota draw: per source the quota docs with the
+        # smallest (sampling hash, doc_id) — THE sampling hash restated
+        # verbatim — pipelines.mixture.mixture_sample
+        "mixture_sample": f"""
+            WITH q(source, quota) AS (VALUES {_quota_values}),
+            r AS (SELECT source, doc_id, ROW_NUMBER() OVER (
+                      PARTITION BY source ORDER BY
+                        (CAST(doc_id % 4294967296 AS HUGEINT)
+                         * 2654435761) % 4294967296, doc_id) AS rn
+                  FROM documents
+                  WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+            SELECT r.source AS source, CAST(r.doc_id AS BIGINT) AS doc_id
+            FROM r JOIN q ON r.source = q.source AND r.rn <= q.quota
+        """,
+        # deterministic epoch up/down-sampling: copies = bp//10000
+        # + (hash < (bp%10000)·2^32//10000) — summed per source —
+        # pipelines.mixture.q_source_upsample
+        "source_upsample": f"""
+            WITH c AS (SELECT source,
+                              ({_epoch_case}) // 10000
+                              + CASE WHEN (CAST(doc_id % 4294967296
+                                                AS HUGEINT)
+                                           * 2654435761) % 4294967296
+                                       < (({_epoch_case}) % 10000)
+                                         * 4294967296 // 10000
+                                     THEN 1 ELSE 0 END AS k
+                       FROM documents
+                       WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+            SELECT source, CAST(SUM(k) AS BIGINT) AS n_rows_out,
+                   CAST(COUNT(*) FILTER (WHERE k > 0) AS BIGINT)
+                       AS n_docs_kept
+            FROM c GROUP BY source HAVING SUM(k) > 0
+        """,
+        # per-source median length (shared rank rule, pct=50) + counts
+        # strictly above — pipelines.mixture.above_median_docs
+        "above_median_docs": """
+            WITH f AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+                       FROM documents
+                       WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+            n AS (SELECT source, COUNT(*) AS n FROM f GROUP BY source),
+            r AS (SELECT source, v, ROW_NUMBER() OVER (
+                      PARTITION BY source ORDER BY v) AS rn FROM f),
+            med AS (SELECT r.source, r.v AS median
+                    FROM r JOIN n USING (source)
+                    WHERE r.rn = CAST(FLOOR(50 / 100.0 * (n.n - 1))
+                                      AS BIGINT) + 1)
+            SELECT f.source AS source,
+                   CAST(med.median AS BIGINT) AS median_n_chars,
+                   CAST(SUM(CASE WHEN f.v > med.median THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_above,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM f JOIN med USING (source)
+            GROUP BY f.source, med.median
+        """,
+        # per-language tokenizer fertility; integer division of sums —
+        # pipelines.mixture.q_token_fertility
+        "token_fertility": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '\\S+')))
+                        AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   CAST((1000 * SUM(len(regexp_extract_all(text, '\\S+'))))
+                        // SUM(n_chars) AS BIGINT) AS tokens_per_kchar
+            FROM documents
+            WHERE lang IS NOT NULL AND text IS NOT NULL
+              AND n_chars IS NOT NULL
+            GROUP BY lang
+        """,
+        # Tukey fences in DOUBLED units (2v vs 5q1−3q3 / 5q3−3q1) over
+        # the shared bp fold + rank rule — pipelines.temporal.value_outliers
+        "value_outliers": """
+            WITH f AS (SELECT event_type,
+                              CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+                       FROM events
+                       WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            n AS (SELECT event_type, COUNT(*) AS n FROM f GROUP BY event_type),
+            r AS (SELECT event_type, v, ROW_NUMBER() OVER (
+                      PARTITION BY event_type ORDER BY v) AS rn FROM f),
+            qq AS (SELECT r.event_type,
+                          MAX(CASE WHEN r.rn = CAST(FLOOR(25 / 100.0
+                               * (n.n - 1)) AS BIGINT) + 1 THEN r.v END)
+                              AS q1,
+                          MAX(CASE WHEN r.rn = CAST(FLOOR(75 / 100.0
+                               * (n.n - 1)) AS BIGINT) + 1 THEN r.v END)
+                              AS q3
+                   FROM r JOIN n USING (event_type)
+                   GROUP BY r.event_type)
+            SELECT f.event_type AS event_type,
+                   CAST(qq.q1 AS BIGINT) AS q1_bp,
+                   CAST(qq.q3 AS BIGINT) AS q3_bp,
+                   CAST(SUM(CASE WHEN 2 * f.v < 5 * qq.q1 - 3 * qq.q3
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(SUM(CASE WHEN 2 * f.v > 5 * qq.q3 - 3 * qq.q1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM f JOIN qq USING (event_type)
+            GROUP BY f.event_type, qq.q1, qq.q3
+        """,
+        # even/odd-day composition drift; truncated-bp shares on both
+        # sides — pipelines.temporal.type_drift
+        "type_drift": """
+            WITH f AS (SELECT event_type,
+                              (epoch_us(ts) // 86400000000) % 2 AS parity
+                       FROM events
+                       WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            c AS (SELECT event_type,
+                         COUNT(*) FILTER (WHERE parity = 0) AS n_even,
+                         COUNT(*) FILTER (WHERE parity = 1) AS n_odd
+                  FROM f GROUP BY event_type),
+            t AS (SELECT SUM(n_even) AS te, SUM(n_odd) AS tdd FROM c)
+            SELECT event_type,
+                   CAST(n_even AS BIGINT) AS n_even,
+                   CAST(n_odd AS BIGINT) AS n_odd,
+                   CAST(ABS((10000 * n_even) // t.te
+                            - (10000 * n_odd) // t.tdd) AS BIGINT)
+                       AS share_diff_bp
+            FROM c, t
+        """,
+        # gaps-and-islands: consecutive-active-day streaks per user via
+        # the day − ROW_NUMBER() island key — pipelines.sequence.user_streaks
+        "user_streaks": """
+            WITH d AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            g AS (SELECT user_id, day,
+                         day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                  ORDER BY day) AS grp
+                  FROM d),
+            s AS (SELECT user_id, grp, COUNT(*) AS len
+                  FROM g GROUP BY user_id, grp)
+            SELECT user_id,
+                   CAST(SUM(len) AS BIGINT) AS n_active_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_streaks,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak
+            FROM s GROUP BY user_id
+        """,
+        # DENSE_RANK desc + integer CUME_DIST numerator window (peers
+        # inclusive), truncated bp — pipelines.stats.q_spend_dense_rank
+        "spend_dense_rank": """
+            WITH spend AS (SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+                                  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                                      AS spend_cents
+                           FROM orders GROUP BY o_custkey)
+            SELECT c_custkey, spend_cents,
+                   CAST(DENSE_RANK() OVER (ORDER BY spend_cents DESC)
+                        AS BIGINT) AS dense_rank,
+                   CAST((10000 * COUNT(*) OVER (
+                            ORDER BY spend_cents DESC
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW))
+                        // COUNT(*) OVER () AS BIGINT) AS cume_bp
+            FROM spend
         """,
     }

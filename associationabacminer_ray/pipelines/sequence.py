@@ -511,3 +511,60 @@ def path_pattern_counts(sf_dir: str,
 
 def q_path_pattern_counts(sf_dir: str) -> pd.DataFrame:
     return path_pattern_counts(sf_dir)
+
+
+# ------------------------------------------------------- gaps and islands
+def user_streaks(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Consecutive-active-day streaks per user (the classic
+    gaps-and-islands window shape): an active day is a distinct
+    (user, day) pair (day = trunc epoch // 86400, DuckDB semantics via
+    ``temporal.day_num_trunc``); a streak is a maximal run of
+    consecutive days. Per user: active-day count, streak count, and
+    longest streak. Per-batch (user, day) dedup → one user-keyed hash
+    shuffle of deduped day rows → vectorized island detection per
+    bucket (sorted diff ≠ 1 starts a new island — the ``day −
+    ROW_NUMBER()`` trick without the window function)."""
+    from .temporal import _ts_us, day_num_trunc
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def dedup_days(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "day": day_num_trunc(_ts_us(t["ts"])),
+        })
+        df = df.drop_duplicates()
+        df["bucket"] = (hash_ints(df["user_id"].to_numpy(np.int64))
+                        % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        new_island = np.ones(len(g), bool)
+        if len(g) > 1:
+            new_island[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        island_id = np.cumsum(new_island)
+        df = pd.DataFrame({"user_id": u, "island": island_id})
+        lens = (df.groupby(["user_id", "island"], sort=False)
+                .size().rename("len").reset_index())
+        out = lens.groupby("user_id", sort=False).agg(
+            n_active_days=("len", "sum"), n_streaks=("len", "size"),
+            longest_streak=("len", "max")).reset_index()
+        for c in ("n_active_days", "n_streaks", "longest_streak"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (ev.map_batches(dedup_days, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: islands(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def q_user_streaks(sf_dir: str) -> rd.Dataset:
+    return user_streaks(sf_dir)

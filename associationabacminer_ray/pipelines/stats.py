@@ -249,3 +249,44 @@ def doc_len_quantiles_by_source(sf_dir: str,
 
 def q_doc_len_quantiles(sf_dir: str) -> pd.DataFrame:
     return doc_len_quantiles_by_source(sf_dir)
+
+
+# ------------------------------------------- DENSE_RANK + integer CUME_DIST
+def q_spend_dense_rank(sf_dir: str) -> rd.Dataset:
+    """Per-customer DENSE_RANK (descending spend) and CUME_DIST folded
+    to truncated basis points ``(10000 · c_ge) // n`` (c_ge = rows with
+    spend ≥ mine — peers inclusive, the CUME_DIST numerator) — the two
+    rank flavors ``customer_ntile`` doesn't cover, from the SAME
+    distinct-spend histogram broadcast: dense rank of value v_i
+    (ascending index i of m distinct values) is ``m − i``; no global
+    sort anywhere. The oracle states the count window form, not
+    DuckDB's float ``cume_dist()``."""
+    spend = customer_spend(sf_dir).materialize()
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["spend_cents"].value_counts()
+        return pd.DataFrame({"spend_cents": h.index.to_numpy(np.int64),
+                             "cnt": h.to_numpy(np.int64)})
+
+    hist = (spend.map_batches(hist_partial, batch_format="pandas")
+            .to_pandas().groupby("spend_cents", sort=True)["cnt"].sum())
+    vals = hist.index.to_numpy(np.int64)   # ascending distinct cents
+    cnts = hist.to_numpy(np.int64)
+    csum = np.cumsum(cnts)
+    n = np.int64(csum[-1])
+    m = len(vals)
+    # value at ascending index i: dense rank desc = m - i;
+    # c_ge = n - csum[i-1] = n - (csum[i] - cnt[i])
+    dr_lut = np.arange(m, 0, -1, dtype=np.int64)
+    cge_lut = n - (csum - cnts)
+
+    def rank_rows(b: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(vals, b["spend_cents"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"].to_numpy(np.int64),
+            "spend_cents": b["spend_cents"].to_numpy(np.int64),
+            "dense_rank": dr_lut[idx],
+            "cume_bp": (10000 * cge_lut[idx]) // n,
+        })
+
+    return spend.map_batches(rank_rows, batch_format="pandas")

@@ -619,3 +619,90 @@ def cohort_retention(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
 def q_cohort_retention(sf_dir: str) -> rd.Dataset:
     return cohort_retention(sf_dir)
+
+
+# -------------------------------------------------- IQR outlier detection
+def value_outliers(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Tukey-fence outlier counts per event type, integer-exact: q1/q3
+    from THE shared rank rule over the ``value_histogram`` reduction,
+    fences compared in DOUBLED units so 1.5·IQR never leaves the
+    integers — low iff ``2v < 5·q1 − 3·q3``, high iff
+    ``2v > 5·q3 − 3·q1`` (both sides pin this exact inequality). The
+    outlier COUNTS come from the same histogram cells, so the whole op
+    is one cell-bounded shuffle — no second corpus pass."""
+    hist = value_histogram(sf_dir, num_buckets=num_buckets)
+    pcts = np.array([25, 75], np.int64)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_bp", kind="mergesort")
+        vals = g["value_bp"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        q1, q3 = quantile_rank_pick(vals, cnts, pcts)
+        low = np.int64(5) * q1 - np.int64(3) * q3
+        high = np.int64(5) * q3 - np.int64(3) * q1
+        v2 = 2 * vals
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "q1_bp": np.array([q1], np.int64),
+            "q3_bp": np.array([q3], np.int64),
+            "n_low": np.array([cnts[v2 < low].sum()], np.int64),
+            "n_high": np.array([cnts[v2 > high].sum()], np.int64),
+            "n_total": np.array([cnts.sum()], np.int64),
+        })
+
+    return hist.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+def q_value_outliers(sf_dir: str) -> rd.Dataset:
+    return value_outliers(sf_dir)
+
+
+# ----------------------------------------------- distribution drift (TVD-ish)
+def type_drift(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """Event-type composition drift between even- and odd-numbered days
+    (the A/B halves every pipeline monitor compares): per type, counts
+    in each half and the absolute per-mille... — in basis points —
+    share difference ``|((10000·c_even) // n_even) −
+    ((10000·c_odd) // n_odd)|``, every step integer-truncating on both
+    engines. Per-batch (type, parity) pre-counts → one tiny bucketed
+    merge; the two half totals ride the same cells."""
+    from .analytics import bucketed_group_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = _drop_null(t)
+        day = day_num_trunc(_ts_us(t["ts"]))
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "parity": (day % 2).astype(np.int8),
+        })
+        return (df.groupby(["event_type", "parity"], sort=False)
+                .size().rename("cnt").reset_index())
+
+    cells = bucketed_group_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        lambda g: g.groupby(["event_type", "parity"], sort=False)["cnt"]
+        .sum().reset_index(),
+        num_buckets=num_buckets).to_pandas()
+
+    piv = (cells.pivot_table(index="event_type", columns="parity",
+                             values="cnt", aggfunc="sum", fill_value=0)
+           .reindex(columns=[0, 1], fill_value=0))
+    n_even = np.int64(piv[0].sum())
+    n_odd = np.int64(piv[1].sum())
+    out = pd.DataFrame({
+        "event_type": piv.index.to_numpy(object),
+        "n_even": piv[0].to_numpy(np.int64),
+        "n_odd": piv[1].to_numpy(np.int64),
+    })
+    share_even = (10000 * out["n_even"]) // n_even
+    share_odd = (10000 * out["n_odd"]) // n_odd
+    out["share_diff_bp"] = np.abs(share_even - share_odd).astype(np.int64)
+    return out
+
+
+def q_type_drift(sf_dir: str) -> pd.DataFrame:
+    return type_drift(sf_dir)

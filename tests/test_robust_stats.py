@@ -1,0 +1,96 @@
+"""Robust-stats wave: partition invariance and direct (pandas/numpy)
+parity for Tukey outliers, day-parity drift, streaks, dense rank."""
+
+import numpy as np
+import pandas as pd
+
+from associationabacminer_ray.pipelines import sequence as sq
+from associationabacminer_ray.pipelines import temporal as tm
+
+
+def _norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True)
+
+
+def _events(sf_dir):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+
+
+def test_value_outliers_direct(ray_session, sf_dir):
+    got = tm.value_outliers(sf_dir, num_buckets=4).to_pandas()
+    got2 = tm.value_outliers(sf_dir, num_buckets=32).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(got2))
+
+    ev = _events(sf_dir).dropna(subset=["event_type", "value"])
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(np.floor(g["value"].to_numpy() * 10000 + 0.5)
+                    .astype(np.int64))
+        n = len(v)
+        q1 = v[int(np.floor(25 / 100.0 * (n - 1)))]
+        q3 = v[int(np.floor(75 / 100.0 * (n - 1)))]
+        rows.append((et, q1, q3, int((2 * v < 5 * q1 - 3 * q3).sum()),
+                     int((2 * v > 5 * q3 - 3 * q1).sum()), n))
+    want = pd.DataFrame(rows, columns=["event_type", "q1_bp", "q3_bp",
+                                       "n_low", "n_high", "n_total"])
+    for c in want.columns[1:]:
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+    # fences are outside the box by construction
+    assert (got["n_low"] + got["n_high"] <= got["n_total"] // 2).all()
+
+
+def test_user_streaks_direct(ray_session, sf_dir):
+    got = sq.user_streaks(sf_dir, num_buckets=1).to_pandas()
+    got16 = sq.user_streaks(sf_dir, num_buckets=16).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(got16))
+
+    ev = _events(sf_dir).dropna(subset=["user_id", "ts"])
+    day = (ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+           // 86_400_000_000)
+    d = pd.DataFrame({"user_id": ev["user_id"].astype(np.int64),
+                      "day": day}).drop_duplicates()
+    rows = []
+    for uid, g in d.groupby("user_id"):
+        days = np.sort(g["day"].to_numpy(np.int64))
+        breaks = np.ones(len(days), bool)
+        breaks[1:] = days[1:] != days[:-1] + 1
+        island = np.cumsum(breaks)
+        lens = np.bincount(island)[1:]
+        rows.append((uid, len(days), len(lens), int(lens.max())))
+    want = pd.DataFrame(rows, columns=["user_id", "n_active_days",
+                                       "n_streaks", "longest_streak"])
+    for c in want.columns:
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+    # streak structure sanity
+    assert (got["longest_streak"] <= got["n_active_days"]).all()
+    assert (got["n_streaks"] <= got["n_active_days"]).all()
+
+
+def test_type_drift_shares_bounded(ray_session, sf_dir):
+    got = tm.type_drift(sf_dir)
+    assert (got["share_diff_bp"] >= 0).all()
+    assert (got["share_diff_bp"] <= 10000).all()
+    ev = _events(sf_dir).dropna(subset=["event_type", "ts"])
+    assert got["n_even"].sum() + got["n_odd"].sum() == len(ev)
+
+
+def test_spend_dense_rank_properties(ray_session, sf_dir):
+    got = _norm(
+        __import__("associationabacminer_ray.pipelines.stats",
+                   fromlist=["q_spend_dense_rank"])
+        .q_spend_dense_rank(sf_dir).to_pandas())
+    # dense ranks are 1..m with no gaps; equal spend ⇒ equal rank
+    m = got["dense_rank"].max()
+    assert set(got["dense_rank"].unique()) == set(range(1, m + 1))
+    per_val = got.groupby("spend_cents")["dense_rank"].nunique()
+    assert (per_val == 1).all()
+    # cume_bp is monotone non-increasing in spend and caps at 10000
+    top = got.sort_values("spend_cents", ascending=False)
+    assert (np.diff(top["cume_bp"].to_numpy()) >= 0).all()
+    assert got["cume_bp"].max() == 10000
