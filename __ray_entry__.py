@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_drift": TM.q_type_drift,
         "user_streaks": SQ.q_user_streaks,
         "spend_dense_rank": ST.q_spend_dense_rank,
+        # round 3: the end-to-end ASSEMBLY composition — full curation
+        # chain feeding concat-split packing of the surviving docs
+        "assembly_pipeline": MX.q_assembly_pipeline,
     }
 
 
@@ -2067,6 +2070,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_streaks,
                    CAST(MAX(len) AS BIGINT) AS longest_streak
             FROM s GROUP BY user_id
+        """,
+        # assembly: the curation kept-predicate (same verified
+        # fragments as curation_pipeline) feeding the packing window
+        # (same form as packed_chunks, kept docs only) —
+        # pipelines.mixture.q_assembly_pipeline
+        "assembly_pipeline": f"""
+            WITH q AS ({_QUALITY_SQL}),
+                 l AS ({_langid_sql()}),
+                 {_CONTAM_CTES},
+                 m AS (SELECT doc_id, source, lang, text,
+                              (doc_id % 50 = 7) AS is_bench,
+                              (doc_id = MIN(doc_id)
+                                   FILTER (WHERE doc_id % 50 <> 7)
+                                   OVER (PARTITION BY
+                                         coalesce(text, ''))) AS is_first
+                       FROM documents),
+                 kept AS (SELECT m.doc_id, m.source,
+                                 len(regexp_extract_all(
+                                     coalesce(m.text, ''), '\\S+'))
+                                     AS n_tokens
+                          FROM m
+                          JOIN q ON q.doc_id = m.doc_id
+                          JOIN l ON l.doc_id = m.doc_id
+                          LEFT JOIN contam c2 ON c2.doc_id = m.doc_id
+                          WHERE NOT m.is_bench AND m.is_first
+                            AND q.quality_bp >= 7500
+                            AND l.lang_pred = coalesce(m.lang, '')
+                            AND c2.doc_id IS NULL)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST((SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) // {_mx.PACK_CAP_TOKENS} AS BIGINT)
+                       AS chunk_id
+            FROM kept
         """,
         # DENSE_RANK desc + integer CUME_DIST numerator window (peers
         # inclusive), truncated bp — pipelines.stats.q_spend_dense_rank

@@ -100,20 +100,24 @@ def packed_chunks(sf_dir: str, cap: int = PACK_CAP_TOKENS,
     sorted cumsum per bucket; cumsum operands are non-negative int64 so
     numpy floor division == DuckDB ``//`` truncation."""
     toks = _docs_tokens(sf_dir)
-
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["source", "doc_id"], kind="mergesort")
-        prev = (g.groupby("source", sort=False)["n_tokens"].cumsum()
-                - g["n_tokens"])
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy(np.int64),
-            "source": g["source"].to_numpy(object),
-            "n_tokens": g["n_tokens"].to_numpy(np.int64),
-            "chunk_id": (prev.to_numpy(np.int64) // np.int64(cap)),
-        })
-
-    return bucketed_group_agg(toks, ["source"], assign,
+    return bucketed_group_agg(toks, ["source"],
+                              lambda g: pack_assign(g, cap),
                               num_buckets=num_buckets)
+
+
+def pack_assign(g: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """The packing kernel shared by ``packed_chunks`` and the assembly
+    composition: per source in doc_id order, chunk of a doc's first
+    token = prev-cumsum // cap."""
+    g = g.sort_values(["source", "doc_id"], kind="mergesort")
+    prev = (g.groupby("source", sort=False)["n_tokens"].cumsum()
+            - g["n_tokens"])
+    return pd.DataFrame({
+        "doc_id": g["doc_id"].to_numpy(np.int64),
+        "source": g["source"].to_numpy(object),
+        "n_tokens": g["n_tokens"].to_numpy(np.int64),
+        "chunk_id": (prev.to_numpy(np.int64) // np.int64(cap)),
+    })
 
 
 def q_packed_chunks(sf_dir: str) -> rd.Dataset:
@@ -310,3 +314,31 @@ def q_token_fertility(sf_dir: str) -> rd.Dataset:
     return bucketed_group_agg(
         docs.map_batches(partial, batch_format="pyarrow"),
         ["lang"], merge, num_buckets=4)
+
+
+# ------------------------------------------ curation → packing composition
+def q_assembly_pipeline(sf_dir: str, cap: int = PACK_CAP_TOKENS,
+                        num_buckets: int = 8) -> rd.Dataset:
+    """The end-to-end training-data ASSEMBLY: the full curation chain
+    (benchmark exclusion → keep-first dedup → quality floor → language
+    match → decontamination, ``text_pipelines.curation_doc_flags``)
+    feeding concat-and-split packing of the SURVIVING docs — the
+    composition a pretraining job actually runs between raw corpus and
+    tokenizer. Output = per kept doc its packed ``chunk_id`` (chunk
+    numbering restarts densely over kept docs only, so curation
+    decisions visibly reshape the packing). One extra source-keyed
+    shuffle on top of the curation chain; the SQL oracle composes the
+    verified curation fragments with the packing window."""
+    from .text_pipelines import curation_doc_flags
+
+    flags = curation_doc_flags(sf_dir)
+
+    def kept_only(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (~b["is_bench"] & b["is_first"] & b["ok_quality"]
+                & b["ok_lang"] & b["ok_contam"])
+        return b.loc[keep, ["doc_id", "source", "n_tokens"]]
+
+    kept = flags.map_batches(kept_only, batch_format="pandas")
+    return bucketed_group_agg(kept, ["source"],
+                              lambda g: pack_assign(g, cap),
+                              num_buckets=num_buckets)

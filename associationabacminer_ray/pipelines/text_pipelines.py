@@ -774,22 +774,21 @@ def q_benchmark_contamination(sf_dir: str, window: int = 16) -> pd.DataFrame:
     return out
 
 
-def q_curation_pipeline(sf_dir: str,
-                        quality_min_bp: int = 7500) -> pd.DataFrame:
-    """The FULL training-data curation pass, composing every cleaning
-    stage this engine ships into one precedence chain: benchmark
-    exclusion (eval data never trains) → exact-dedup keep-first among
-    the remaining docs → quality floor → language match → benchmark
-    DECONTAMINATION (shared 16-token window) → kept; per-source counts,
-    each doc counted exactly once.
+def curation_doc_flags(sf_dir: str,
+                       quality_min_bp: int = 7500) -> "rd.Dataset":
+    """Per-doc curation verdicts for the FULL cleaning chain: benchmark
+    exclusion → exact-dedup keep-first among the remaining docs →
+    quality floor → language match → benchmark DECONTAMINATION (shared
+    16-token window). Emits one row per doc with the staged booleans
+    (plus ``n_tokens``, carried for downstream packing) after the
+    text-hash bucketed keep-first pass — the shared engine fragment
+    behind ``q_curation_pipeline`` (counts) and the mixture-wave
+    assembly composition (kept docs → packed chunks).
 
     Layout: the contaminated-id set is the q_benchmark_contamination
     output (tiny by definition) broadcast once; everything else is the
     clean_pipeline chain — one Arrow pass for features, one text-hash
-    bucketed shuffle for keep-first, per-source partial sums. The SQL
-    oracle composes the SAME verified fragments (quality, langid,
-    contamination) plus a filtered window-min for the bench-aware
-    dedup."""
+    bucketed shuffle for keep-first."""
     import ray
 
     from ..functions.hashing import hash_strings
@@ -815,6 +814,8 @@ def q_curation_pipeline(sf_dir: str,
         return pd.DataFrame({
             "doc_id": ids,
             "source": t["source"].to_pylist(),
+            "n_tokens": t["n_tokens"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
             "h": hash_strings(text),
             "is_bench": ids % BENCH_MOD == BENCH_RESIDUE,
             "ok_quality": q_bp >= quality_min_bp,
@@ -826,7 +827,6 @@ def q_curation_pipeline(sf_dir: str,
     rows = feats.map_batches(per_doc, batch_format="pyarrow")
 
     def mark_first(g: pd.DataFrame) -> pd.DataFrame:
-        bench = g["is_bench"].to_numpy()
         # keep-first among NON-benchmark docs only (bench docs are
         # already out of the corpus, so they must not shadow a
         # training doc's canonical slot)
@@ -834,11 +834,32 @@ def q_curation_pipeline(sf_dir: str,
         first_id = nb.groupby("h", sort=False)["doc_id"].min()
         is_first = (g["doc_id"].to_numpy()
                     == first_id.reindex(g["h"]).to_numpy())
+        out = g.drop(columns=["h"]).reset_index(drop=True)
+        out["is_first"] = is_first
+        return out
+
+    return bucketed_group_agg(rows, ["h"], mark_first, num_buckets=16)
+
+
+def q_curation_pipeline(sf_dir: str,
+                        quality_min_bp: int = 7500) -> pd.DataFrame:
+    """Per-source counts over the curation precedence chain (each doc
+    counted exactly once): bench → dup → quality → lang → contaminated
+    → kept. Built on ``curation_doc_flags``; the SQL oracle composes
+    the SAME verified fragments (quality, langid, contamination) plus
+    a filtered window-min for the bench-aware dedup."""
+    from .analytics import bucketed_group_agg
+
+    flags = curation_doc_flags(sf_dir, quality_min_bp)
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        bench = g["is_bench"].to_numpy()
+        is_first = g["is_first"].to_numpy()
         okq = g["ok_quality"].to_numpy()
         okl = g["ok_lang"].to_numpy()
         okc = g["ok_contam"].to_numpy()
         alive = ~bench
-        flags = pd.DataFrame({
+        out = pd.DataFrame({
             "source": g["source"].to_numpy(),
             "n_docs": 1,
             "n_drop_bench": bench.astype(np.int64),
@@ -851,12 +872,12 @@ def q_curation_pipeline(sf_dir: str,
             "n_kept": (alive & is_first & okq & okl & okc)
             .astype(np.int64),
         })
-        return flags.groupby("source", sort=False).sum().reset_index()
+        return out.groupby("source", sort=False).sum().reset_index()
 
-    partials = bucketed_group_agg(rows, ["h"], mark_first,
-                                  num_buckets=16).to_pandas()
-    agg = (partials.groupby("source", sort=True).sum(numeric_only=True)
-           .reset_index())
+    agg = (bucketed_group_agg(flags, ["source"], per_source,
+                              num_buckets=8)
+           .to_pandas().groupby("source", sort=True)
+           .sum(numeric_only=True).reset_index())
     cols = ["n_docs", "n_drop_bench", "n_drop_dup", "n_drop_quality",
             "n_drop_lang", "n_drop_contam", "n_kept"]
     for c in cols:

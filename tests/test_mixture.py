@@ -144,3 +144,25 @@ def test_token_fertility_direct(ray_session, sf_dir):
     for c in ("n_docs", "n_tokens", "n_chars", "tokens_per_kchar"):
         want[c] = want[c].astype(np.int64)
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_assembly_matches_curation_counts(ray_session, sf_dir):
+    from associationabacminer_ray.pipelines.text_pipelines import (
+        q_curation_pipeline,
+    )
+
+    asm = mx.q_assembly_pipeline(sf_dir).to_pandas()
+    cur = q_curation_pipeline(sf_dir)
+    # one packed row per kept doc, per source
+    got = asm.groupby("source").size().sort_index()
+    want = cur.set_index("source")["n_kept"]
+    want = want[want > 0].sort_index()
+    pd.testing.assert_series_equal(got, want, check_names=False)
+    # packing invariants on the kept stream: chunk ids start at 0 and
+    # are bounded by total tokens // cap per source
+    for src, g in asm.groupby("source"):
+        ids = np.sort(g["chunk_id"].unique())
+        assert ids[0] == 0
+        assert ids[-1] <= g["n_tokens"].sum() // mx.PACK_CAP_TOKENS
+    # kept docs are never benchmark docs
+    assert (asm["doc_id"] % 50 != 7).all()
