@@ -241,6 +241,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3: the end-to-end ASSEMBLY composition — full curation
         # chain feeding concat-split packing of the surviving docs
         "assembly_pipeline": MX.q_assembly_pipeline,
+        # round 3: weighted median, inequality (Gini), and the bounded
+        # interval self-join (every predecessor within 1h, not just the
+        # adjacent bigram)
+        "weighted_median": ST.q_weighted_median,
+        "spend_gini": ST.q_spend_gini,
+        "event_pairs_1h": SQ.q_event_pairs_1h,
     }
 
 
@@ -2105,6 +2111,62 @@ def oracle_sql() -> dict[str, str]:
                          - n_tokens) // {_mx.PACK_CAP_TOKENS} AS BIGINT)
                        AS chunk_id
             FROM kept
+        """,
+        # lower weighted median: smallest v with 2·cumw ≥ W —
+        # pipelines.stats.q_weighted_median
+        "weighted_median": """
+            WITH f AS (SELECT l_returnflag,
+                              CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT) AS v,
+                              CAST(l_quantity AS BIGINT) AS w
+                       FROM lineitem
+                       WHERE l_returnflag IS NOT NULL
+                         AND l_extendedprice IS NOT NULL
+                         AND l_quantity IS NOT NULL),
+            h AS (SELECT l_returnflag, v, SUM(w) AS w FROM f GROUP BY 1, 2),
+            c AS (SELECT l_returnflag, v,
+                         SUM(w) OVER (PARTITION BY l_returnflag
+                                      ORDER BY v) AS cw,
+                         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+                  FROM h)
+            SELECT l_returnflag,
+                   CAST(MIN(v) FILTER (WHERE 2 * cw >= tw) AS BIGINT)
+                       AS wmedian_cents,
+                   CAST(MAX(tw) AS BIGINT) AS total_qty
+            FROM c GROUP BY l_returnflag
+        """,
+        # Gini in truncated bp via the tie-invariant rank-weighted sum
+        # — pipelines.stats.q_spend_gini
+        "spend_gini": """
+            WITH spend AS (SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100.0
+                                       + 0.5) AS BIGINT)) AS BIGINT) AS x
+                           FROM orders GROUP BY o_custkey),
+            r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i FROM spend),
+            t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS s,
+                         CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT) AS s1
+                  FROM r)
+            SELECT CAST(n AS BIGINT) AS n_customers,
+                   CAST(s AS BIGINT) AS total_cents,
+                   CAST((10000 * (2 * s1 - (n + 1) * s)) // (n * s)
+                        AS BIGINT) AS gini_bp
+            FROM t
+        """,
+        # bounded interval self-join: ordered same-user pairs within 1h
+        # ((ts, event_id) strict order pinned on both sides) —
+        # pipelines.sequence.event_pairs_within
+        "event_pairs_1h": """
+            WITH f AS (SELECT user_id, event_type, ts, event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                         AND ts IS NOT NULL AND event_id IS NOT NULL)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM f a JOIN f b
+              ON a.user_id = b.user_id
+             AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+             AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+            GROUP BY a.event_type, b.event_type
         """,
         # DENSE_RANK desc + integer CUME_DIST numerator window (peers
         # inclusive), truncated bp — pipelines.stats.q_spend_dense_rank

@@ -568,3 +568,97 @@ def user_streaks(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
 def q_user_streaks(sf_dir: str) -> rd.Dataset:
     return user_streaks(sf_dir)
+
+
+# ----------------------------------------------- bounded interval self-join
+PAIR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def event_pairs_within(sf_dir: str, window_us: int = PAIR_WINDOW_US,
+                       num_buckets: int = 16) -> rd.Dataset:
+    """Ordered same-user event-type pairs within a bounded time window
+    — the interval SELF-join (a precedes b, ``tb − ta ≤ window``)
+    aggregated to transition-pair counts. Unlike ``type_transitions``
+    (adjacent bigrams only) this counts EVERY qualifying predecessor,
+    the market-basket-with-time shape. Order is (ts, event_id)
+    lexicographic, so equal-timestamp pairs count exactly once, in id
+    order — pinned identically in the SQL oracle's join predicate.
+
+    Layout: one user-keyed hash shuffle; per bucket a per-user
+    vectorized pass — a types×rows cumulative indicator matrix gives
+    each row's windowed predecessor count per type via two
+    ``searchsorted`` lookups, so per-user work is O(types·n), never
+    O(n²) (window membership is resolved positionally on the sorted
+    segment, not by pair enumeration)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts",
+                                  "event_id"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        from .temporal import _ts_us
+
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "ts_us": _ts_us(t["ts"]),
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        df["bucket"] = (hash_ints(df["user_id"].to_numpy(np.int64))
+                        % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        types, t_codes = np.unique(g["event_type"].to_numpy(object),
+                                   return_inverse=True)
+        n_types = len(types)
+        counts = np.zeros((n_types, n_types), np.int64)  # [prior, curr]
+        for _, seg in g.groupby("user_id", sort=False):
+            idx = seg.index.to_numpy()
+            ts = seg["ts_us"].to_numpy(np.int64)
+            codes = t_codes[idx]
+            m = len(idx)
+            # cum[t, i] = count of type t among the first i rows
+            ind = np.zeros((n_types, m + 1), np.int64)
+            ind[codes, np.arange(m) + 1] = 1
+            cum = np.cumsum(ind, axis=1)
+            # window start for row i: first position with ts ≥ ts_i − w
+            start = np.searchsorted(ts, ts - np.int64(window_us),
+                                    side="left")
+            pos = np.arange(m)
+            # predecessors of row i: positions [start_i, i) — all have
+            # (ts, event_id) strictly before row i under the sort
+            per_type = cum[:, pos] - cum[:, start]       # types × rows
+            for tb in range(n_types):
+                sel = per_type[:, codes == tb].sum(axis=1)
+                counts[:, tb] += sel
+        ta_idx, tb_idx = np.nonzero(counts)
+        return pd.DataFrame({
+            "type_a": types[ta_idx],
+            "type_b": types[tb_idx],
+            "n_pairs": counts[ta_idx, tb_idx],
+        })
+
+    partials = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(lambda g: count_pairs(g.drop(columns=["bucket"])),
+                            batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["type_a", "type_b"], sort=False)["n_pairs"]
+               .sum().reset_index())
+        out["n_pairs"] = out["n_pairs"].astype(np.int64)
+        return out
+
+    from .analytics import bucketed_group_agg
+
+    return bucketed_group_agg(partials, ["type_a", "type_b"], merge,
+                              num_buckets=4)
+
+
+def q_event_pairs_1h(sf_dir: str) -> rd.Dataset:
+    return event_pairs_within(sf_dir)

@@ -290,3 +290,82 @@ def q_spend_dense_rank(sf_dir: str) -> rd.Dataset:
         })
 
     return spend.map_batches(rank_rows, batch_format="pandas")
+
+
+# ------------------------------------------------------- weighted median
+def q_weighted_median(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """Per-returnflag LOWER WEIGHTED MEDIAN of extended price (cents)
+    weighted by quantity: the smallest v with ``2·cumweight(v) ≥ W``
+    (deterministic under any tie layout — both sides pin this exact
+    inequality, never a float midpoint). Reduction = (flag, cents,
+    Σqty) histogram cells, bounded by the price domain; the pick is a
+    cumsum scan over the tiny merged histogram."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_quantity"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "flag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "cents": _cents(t["l_extendedprice"])
+            .to_numpy(zero_copy_only=False),
+            "w": t["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        return (df.groupby(["flag", "cents"], sort=False)["w"]
+                .sum().reset_index())
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, grp in g.groupby("flag", sort=False):
+            h = grp.groupby("cents", sort=True)["w"].sum()
+            v = h.index.to_numpy(np.int64)
+            cw = np.cumsum(h.to_numpy(np.int64))
+            tw = cw[-1]
+            med = v[np.searchsorted(2 * cw, tw, side="left")]
+            rows.append((flag, int(med), int(tw)))
+        return pd.DataFrame(rows, columns=["l_returnflag",
+                                           "wmedian_cents",
+                                           "total_qty"]).astype(
+            {"wmedian_cents": np.int64, "total_qty": np.int64})
+
+    return bucketed_group_agg(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["flag"], pick, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------- Gini coefficient
+def q_spend_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-customer spend in truncated basis
+    points: ``G_bp = (10000·(2·Σᵢ i·xᵢ − (n+1)·S)) // (n·S)`` over the
+    ascending sort (ranks of equal values are interchangeable — the
+    rank-weighted sum is tie-invariant, so SQL ROW_NUMBER and the
+    histogram arithmetic-series form agree exactly). Computed from the
+    distinct-spend histogram with Python ints on the driver (no int64
+    overflow at any corpus size); one grouped-sum shuffle total."""
+    spend = customer_spend(sf_dir).materialize()
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["spend_cents"].value_counts()
+        return pd.DataFrame({"spend_cents": h.index.to_numpy(np.int64),
+                             "cnt": h.to_numpy(np.int64)})
+
+    hist = (spend.map_batches(hist_partial, batch_format="pandas")
+            .to_pandas().groupby("spend_cents", sort=True)["cnt"].sum())
+    vals = [int(v) for v in hist.index]
+    cnts = [int(c) for c in hist.to_numpy()]
+    n = sum(cnts)
+    s = 0       # Σ x_i
+    s1 = 0      # Σ i·x_i, i = 1..n ascending
+    rank = 0
+    for v, c in zip(vals, cnts):
+        # ranks rank+1 .. rank+c hold value v; Σ of that run is an
+        # arithmetic series — exact in Python ints
+        s1 += v * (rank + 1 + rank + c) * c // 2
+        s += v * c
+        rank += c
+    gini_bp = (10000 * (2 * s1 - (n + 1) * s)) // (n * s)
+    return pd.DataFrame({"n_customers": [np.int64(n)],
+                         "total_cents": [np.int64(s)],
+                         "gini_bp": [np.int64(gini_bp)]})

@@ -94,3 +94,80 @@ def test_spend_dense_rank_properties(ray_session, sf_dir):
     top = got.sort_values("spend_cents", ascending=False)
     assert (np.diff(top["cume_bp"].to_numpy()) >= 0).all()
     assert got["cume_bp"].max() == 10000
+
+
+def test_weighted_median_direct(ray_session, sf_dir):
+    from associationabacminer_ray.pipelines.stats import q_weighted_median
+
+    got = _norm(q_weighted_median(sf_dir).to_pandas())
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"]
+    ).to_pandas().dropna()
+    li["v"] = np.floor(li["l_extendedprice"] * 100.0 + 0.5).astype(np.int64)
+    rows = []
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values("v")
+        w = g["l_quantity"].to_numpy(np.int64)
+        cw = np.cumsum(w)
+        tw = cw[-1]
+        med = g["v"].to_numpy(np.int64)[np.searchsorted(2 * cw, tw, "left")]
+        rows.append((flag, med, tw))
+    want = pd.DataFrame(rows, columns=["l_returnflag", "wmedian_cents",
+                                       "total_qty"]).astype(
+        {"wmedian_cents": np.int64, "total_qty": np.int64})
+    pd.testing.assert_frame_equal(got, _norm(want))
+
+
+def test_spend_gini_bounds(ray_session, sf_dir):
+    from associationabacminer_ray.pipelines.stats import q_spend_gini
+
+    got = q_spend_gini(sf_dir)
+    g = int(got["gini_bp"].iloc[0])
+    assert 0 <= g < 10000
+    # direct recomputation with floats (sanity within 1 bp of truncation)
+    import pyarrow.parquet as pq
+
+    spend = (pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"])
+             .to_pandas())
+    spend["c"] = np.floor(spend["o_totalprice"] * 100.0 + 0.5).astype(np.int64)
+    x = np.sort(spend.groupby("o_custkey")["c"].sum().to_numpy(np.int64))
+    n = len(x)
+    i = np.arange(1, n + 1)
+    gini = (2 * (i * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
+    assert abs(g - int(gini * 10000)) <= 1
+
+
+def test_event_pairs_brute_force(ray_session, sf_dir):
+    from associationabacminer_ray.pipelines.sequence import (
+        event_pairs_within,
+    )
+
+    got = _norm(event_pairs_within(sf_dir, num_buckets=1).to_pandas())
+    got16 = _norm(event_pairs_within(sf_dir, num_buckets=16).to_pandas())
+    pd.testing.assert_frame_equal(got, got16)
+
+    ev = _events(sf_dir).dropna(
+        subset=["user_id", "event_type", "ts", "event_id"])
+    ts = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = pd.DataFrame({"u": ev["user_id"].astype(np.int64),
+                       "t": ev["event_type"], "ts": ts,
+                       "id": ev["event_id"].astype(np.int64)})
+    from collections import Counter
+
+    pairs = Counter()
+    for _, g in ev.groupby("u"):
+        g = g.sort_values(["ts", "id"]).reset_index(drop=True)
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if g["ts"][j] - g["ts"][i] > 3_600_000_000:
+                    break
+                pairs[(g["t"][i], g["t"][j])] += 1
+    want = pd.DataFrame(
+        [(a, b, n) for (a, b), n in pairs.items()],
+        columns=["type_a", "type_b", "n_pairs"])
+    want["n_pairs"] = want["n_pairs"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, _norm(want))
