@@ -2042,7 +2042,8 @@ def oracle_sql() -> dict[str, str]:
         # sides — pipelines.temporal.type_drift
         "type_drift": """
             WITH f AS (SELECT event_type,
-                              (epoch_us(ts) // 86400000000) % 2 AS parity
+                              (((epoch_us(ts) // 86400000000) % 2) + 2) % 2
+                                  AS parity
                        FROM events
                        WHERE event_type IS NOT NULL AND ts IS NOT NULL),
             c AS (SELECT event_type,

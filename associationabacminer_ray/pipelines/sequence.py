@@ -595,32 +595,20 @@ def event_pairs_within(sf_dir: str, window_us: int = PAIR_WINDOW_US,
                                   "event_id"])
 
     def prep(t: pa.Table) -> pd.DataFrame:
-        from .temporal import _ts_us
-
-        t = t.drop_null()
-        df = pd.DataFrame({
-            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
-            .astype(np.int64),
-            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
-            "ts_us": _ts_us(t["ts"]),
-            "event_id": t["event_id"].to_numpy(zero_copy_only=False)
-            .astype(np.int64),
-        })
-        df["bucket"] = (hash_ints(df["user_id"].to_numpy(np.int64))
-                        % np.uint64(num_buckets)).astype(np.int32)
-        return df
+        return _prep_events(t, num_buckets, with_type=True)
 
     def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"],
                           kind="mergesort").reset_index(drop=True)
-        types, t_codes = np.unique(g["event_type"].to_numpy(object),
-                                   return_inverse=True)
-        n_types = len(types)
-        counts = np.zeros((n_types, n_types), np.int64)  # [prior, curr]
+        types = g["event_type"].to_numpy(object)
+        pair_counts: dict[tuple, int] = {}
         for _, seg in g.groupby("user_id", sort=False):
             idx = seg.index.to_numpy()
             ts = seg["ts_us"].to_numpy(np.int64)
-            codes = t_codes[idx]
+            # per-SEGMENT type universe: memory is bounded by the types
+            # this user actually touches, not the bucket's whole domain
+            seg_types, codes = np.unique(types[idx], return_inverse=True)
+            n_types = len(seg_types)
             m = len(idx)
             # cum[t, i] = count of type t among the first i rows
             ind = np.zeros((n_types, m + 1), np.int64)
@@ -635,12 +623,18 @@ def event_pairs_within(sf_dir: str, window_us: int = PAIR_WINDOW_US,
             per_type = cum[:, pos] - cum[:, start]       # types × rows
             for tb in range(n_types):
                 sel = per_type[:, codes == tb].sum(axis=1)
-                counts[:, tb] += sel
-        ta_idx, tb_idx = np.nonzero(counts)
+                for ta in np.nonzero(sel)[0]:
+                    key = (seg_types[ta], seg_types[tb])
+                    pair_counts[key] = pair_counts.get(key, 0) + int(sel[ta])
+        if not pair_counts:
+            return pd.DataFrame({"type_a": np.array([], object),
+                                 "type_b": np.array([], object),
+                                 "n_pairs": np.array([], np.int64)})
+        keys = list(pair_counts)
         return pd.DataFrame({
-            "type_a": types[ta_idx],
-            "type_b": types[tb_idx],
-            "n_pairs": counts[ta_idx, tb_idx],
+            "type_a": np.array([k[0] for k in keys], object),
+            "type_b": np.array([k[1] for k in keys], object),
+            "n_pairs": np.array([pair_counts[k] for k in keys], np.int64),
         })
 
     partials = (ev.map_batches(prep, batch_format="pyarrow")

@@ -55,6 +55,24 @@ def customer_spend(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
                               num_buckets=num_buckets)
 
 
+def _spend_histogram(sf_dir: str):
+    """Shared driver-side distinct-spend histogram (bounded by the
+    distinct-cents domain — a documented small side): returns the
+    materialized spend Dataset plus ascending (vals, cnts). One copy so
+    ntile / dense-rank / Gini cannot drift on the reduction."""
+    spend = customer_spend(sf_dir).materialize()
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["spend_cents"].value_counts()
+        return pd.DataFrame({"spend_cents": h.index.to_numpy(np.int64),
+                             "cnt": h.to_numpy(np.int64)})
+
+    hist = (spend.map_batches(hist_partial, batch_format="pandas")
+            .to_pandas().groupby("spend_cents", sort=True)["cnt"].sum())
+    return (spend, hist.index.to_numpy(np.int64),
+            hist.to_numpy(np.int64))
+
+
 def q_customer_ntile(sf_dir: str, k: int = NTILE_K) -> rd.Dataset:
     """Global rank + ``k``-tile label per customer by total spend,
     WITHOUT a global sort: pass 1 reduces spend to a (distinct spend →
@@ -66,17 +84,7 @@ def q_customer_ntile(sf_dir: str, k: int = NTILE_K) -> rd.Dataset:
     the rank-based closed form ``((rank−1)·k)//n + 1`` — deterministic
     under ties with NO row-order dependence, unlike ROW_NUMBER NTILE
     (both sides pin this exact formula)."""
-    spend = customer_spend(sf_dir).materialize()
-
-    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
-        h = b["spend_cents"].value_counts()
-        return pd.DataFrame({"spend_cents": h.index.to_numpy(np.int64),
-                             "cnt": h.to_numpy(np.int64)})
-
-    hist = (spend.map_batches(hist_partial, batch_format="pandas")
-            .to_pandas().groupby("spend_cents", sort=True)["cnt"].sum())
-    vals = hist.index.to_numpy(np.int64)          # ascending distinct cents
-    cnts = hist.to_numpy(np.int64)
+    spend, vals, cnts = _spend_histogram(sf_dir)
     n_total = int(cnts.sum())
     # greater[i] = number of customers with spend strictly > vals[i]
     greater = np.r_[np.cumsum(cnts[::-1])[::-1][1:], np.int64(0)]
@@ -261,17 +269,7 @@ def q_spend_dense_rank(sf_dir: str) -> rd.Dataset:
     (ascending index i of m distinct values) is ``m − i``; no global
     sort anywhere. The oracle states the count window form, not
     DuckDB's float ``cume_dist()``."""
-    spend = customer_spend(sf_dir).materialize()
-
-    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
-        h = b["spend_cents"].value_counts()
-        return pd.DataFrame({"spend_cents": h.index.to_numpy(np.int64),
-                             "cnt": h.to_numpy(np.int64)})
-
-    hist = (spend.map_batches(hist_partial, batch_format="pandas")
-            .to_pandas().groupby("spend_cents", sort=True)["cnt"].sum())
-    vals = hist.index.to_numpy(np.int64)   # ascending distinct cents
-    cnts = hist.to_numpy(np.int64)
+    spend, vals, cnts = _spend_histogram(sf_dir)
     csum = np.cumsum(cnts)
     n = np.int64(csum[-1])
     m = len(vals)
@@ -279,14 +277,18 @@ def q_spend_dense_rank(sf_dir: str) -> rd.Dataset:
     # c_ge = n - csum[i-1] = n - (csum[i] - cnt[i])
     dr_lut = np.arange(m, 0, -1, dtype=np.int64)
     cge_lut = n - (csum - cnts)
+    # LUT goes through the object store (one copy per node), not the
+    # per-task pickled closure — same pattern as customer_ntile
+    lut_ref = ray.put((vals, dr_lut, cge_lut, n))
 
     def rank_rows(b: pd.DataFrame) -> pd.DataFrame:
-        idx = np.searchsorted(vals, b["spend_cents"].to_numpy(np.int64))
+        v, dr, cge, nn = ray.get(lut_ref)
+        idx = np.searchsorted(v, b["spend_cents"].to_numpy(np.int64))
         return pd.DataFrame({
             "c_custkey": b["c_custkey"].to_numpy(np.int64),
             "spend_cents": b["spend_cents"].to_numpy(np.int64),
-            "dense_rank": dr_lut[idx],
-            "cume_bp": (10000 * cge_lut[idx]) // n,
+            "dense_rank": dr[idx],
+            "cume_bp": (10000 * cge[idx]) // nn,
         })
 
     return spend.map_batches(rank_rows, batch_format="pandas")
@@ -344,17 +346,9 @@ def q_spend_gini(sf_dir: str) -> pd.DataFrame:
     histogram arithmetic-series form agree exactly). Computed from the
     distinct-spend histogram with Python ints on the driver (no int64
     overflow at any corpus size); one grouped-sum shuffle total."""
-    spend = customer_spend(sf_dir).materialize()
-
-    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
-        h = b["spend_cents"].value_counts()
-        return pd.DataFrame({"spend_cents": h.index.to_numpy(np.int64),
-                             "cnt": h.to_numpy(np.int64)})
-
-    hist = (spend.map_batches(hist_partial, batch_format="pandas")
-            .to_pandas().groupby("spend_cents", sort=True)["cnt"].sum())
-    vals = [int(v) for v in hist.index]
-    cnts = [int(c) for c in hist.to_numpy()]
+    _, vals_arr, cnts_arr = _spend_histogram(sf_dir)
+    vals = [int(v) for v in vals_arr]
+    cnts = [int(c) for c in cnts_arr]
     n = sum(cnts)
     s = 0       # Σ x_i
     s1 = 0      # Σ i·x_i, i = 1..n ascending

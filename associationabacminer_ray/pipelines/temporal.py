@@ -658,7 +658,7 @@ def q_value_outliers(sf_dir: str) -> rd.Dataset:
 
 
 # ----------------------------------------------- distribution drift (TVD-ish)
-def type_drift(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+def type_drift(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
     """Event-type composition drift between even- and odd-numbered days
     (the A/B halves every pipeline monitor compares): per type, counts
     in each half and the absolute per-mille... — in basis points —
@@ -676,6 +676,9 @@ def type_drift(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
         day = day_num_trunc(_ts_us(t["ts"]))
         df = pd.DataFrame({
             "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            # numpy % is floor-mod (0/1 even for pre-1970 negative
+            # days); the oracle pins the same with ((x % 2) + 2) % 2
+            # since DuckDB % is sign-preserving trunc-mod
             "parity": (day % 2).astype(np.int8),
         })
         return (df.groupby(["event_type", "parity"], sort=False)

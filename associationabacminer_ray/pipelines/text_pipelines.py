@@ -845,11 +845,12 @@ def q_curation_pipeline(sf_dir: str,
                         quality_min_bp: int = 7500) -> pd.DataFrame:
     """Per-source counts over the curation precedence chain (each doc
     counted exactly once): bench → dup → quality → lang → contaminated
-    → kept. Built on ``curation_doc_flags``; the SQL oracle composes
-    the SAME verified fragments (quality, langid, contamination) plus
-    a filtered window-min for the bench-aware dedup."""
-    from .analytics import bucketed_group_agg
-
+    → kept. Built on ``curation_doc_flags``; per-source counts are
+    per-BATCH partial sums merged on the driver (sources × blocks rows
+    — no second row-level shuffle on top of the flags' keep-first
+    pass). The SQL oracle composes the SAME verified fragments
+    (quality, langid, contamination) plus a filtered window-min for
+    the bench-aware dedup."""
     flags = curation_doc_flags(sf_dir, quality_min_bp)
 
     def per_source(g: pd.DataFrame) -> pd.DataFrame:
@@ -874,8 +875,7 @@ def q_curation_pipeline(sf_dir: str,
         })
         return out.groupby("source", sort=False).sum().reset_index()
 
-    agg = (bucketed_group_agg(flags, ["source"], per_source,
-                              num_buckets=8)
+    agg = (flags.map_batches(per_source, batch_format="pandas")
            .to_pandas().groupby("source", sort=True)
            .sum(numeric_only=True).reset_index())
     cols = ["n_docs", "n_drop_bench", "n_drop_dup", "n_drop_quality",

@@ -81,10 +81,9 @@ def test_type_drift_shares_bounded(ray_session, sf_dir):
 
 
 def test_spend_dense_rank_properties(ray_session, sf_dir):
-    got = _norm(
-        __import__("associationabacminer_ray.pipelines.stats",
-                   fromlist=["q_spend_dense_rank"])
-        .q_spend_dense_rank(sf_dir).to_pandas())
+    from associationabacminer_ray.pipelines.stats import q_spend_dense_rank
+
+    got = _norm(q_spend_dense_rank(sf_dir).to_pandas())
     # dense ranks are 1..m with no gaps; equal spend ⇒ equal rank
     m = got["dense_rank"].max()
     assert set(got["dense_rank"].unique()) == set(range(1, m + 1))
