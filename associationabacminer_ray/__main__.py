@@ -7,9 +7,12 @@ Usage (owns its Ray session; guarded for pre-initialised ones):
   python -m associationabacminer_ray score     --input ... --obs-start 2024-01-01 --obs-days 14 --opr-days 3 --out scores.json
   python -m associationabacminer_ray sweep     --input ... --start 2024-01-01 --end 2024-02-01 [--obs-days 14 --opr-days 3 --step-days 7] --out scores_dir/
   python -m associationabacminer_ray synth     --convs 100000 --out DIR [--shards 16]
+  python -m associationabacminer_ray curate    --sf-dir DIR [--quality-min-bp 7500] --out verdicts.parquet
+  python -m associationabacminer_ray pack      --sf-dir DIR [--cap 512] --out packed_dir/
 
 ``--input`` accepts a parquet file, directory, or glob of transcript
-shards (conv_id, turn_idx, role, text, tool, ts).
+shards (conv_id, turn_idx, role, text, tool, ts); ``--sf-dir`` is a
+directory holding a documents.parquet table.
 """
 
 from __future__ import annotations
@@ -90,9 +93,8 @@ def _window_from_args(args):
 def cmd_mine(args) -> None:
     from .pipelines.mining import mine_window
 
-    if args.greedy and args.mode == "sketch":
-        raise SystemExit("--greedy runs on exact transactions; "
-                         "--mode sketch is not supported with it")
+    # --greedy composes with both modes: mode="sketch" runs the
+    # blob-only per-round sketch exchange inside greedy_cover_ray
     spec = _window_from_args(args)
     res = mine_window(_resolve_input(args.input), spec, mode=args.mode,
                       greedy=args.greedy, max_k=args.max_k,
@@ -139,6 +141,34 @@ def cmd_synth(args) -> None:
     paths = write_synth_transcripts(args.out, n_convs=args.convs,
                                     shards=args.shards, seed=args.seed)
     print(f"wrote {len(paths)} shards -> {args.out}")
+
+
+def cmd_curate(args) -> None:
+    """Full curation pass over a documents table: per-source drop-reason
+    counts to stdout, per-doc verdicts to parquet (resumable input to
+    ``pack``)."""
+    from .pipelines.text_pipelines import (
+        curation_doc_flags,
+        q_curation_pipeline,
+    )
+
+    flags = curation_doc_flags(args.sf_dir, quality_min_bp=args.quality_min_bp)
+    flags.write_parquet(args.out)
+    counts = q_curation_pipeline(args.sf_dir,
+                                 quality_min_bp=args.quality_min_bp)
+    print(counts.to_string(index=False))
+    print(f"wrote per-doc verdicts -> {args.out}")
+
+
+def cmd_pack(args) -> None:
+    """Curation chain + concat-split packing of the surviving docs;
+    writes the per-doc chunk assignment partitioned by source (one
+    directory per source — a failed run skips finished partitions)."""
+    from .pipelines.mixture import q_assembly_pipeline
+
+    packed = q_assembly_pipeline(args.sf_dir, cap=args.cap)
+    packed.write_parquet(args.out, partition_cols=["source"])
+    print(f"wrote packed chunk assignments (cap={args.cap}) -> {args.out}")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -190,6 +220,20 @@ def main(argv: list[str] | None = None) -> None:
     sp.add_argument("--shards", type=int, default=16)
     sp.add_argument("--seed", type=int, default=42)
     sp.set_defaults(fn=cmd_synth)
+
+    sp = sub.add_parser("curate")
+    sp.add_argument("--sf-dir", required=True,
+                    help="directory holding documents.parquet")
+    sp.add_argument("--quality-min-bp", type=int, default=7500)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser("pack")
+    sp.add_argument("--sf-dir", required=True,
+                    help="directory holding documents.parquet")
+    sp.add_argument("--cap", type=int, default=512)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_pack)
 
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
