@@ -247,6 +247,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": ST.q_weighted_median,
         "spend_gini": ST.q_spend_gini,
         "event_pairs_1h": SQ.q_event_pairs_1h,
+        # round 3: parametric (moment-based) outliers without sqrt,
+        # ratio-to-report hourly shares, token-length histogram
+        "value_zscore_outliers": TM.q_value_zscore_outliers,
+        "hourly_share": TM.q_hourly_share,
+        "token_len_hist": TR.q_token_len_hist,
     }
 
 
@@ -2168,6 +2173,54 @@ def oracle_sql() -> dict[str, str]:
              AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
              AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
             GROUP BY a.event_type, b.event_type
+        """,
+        # 3σ outliers via the cross-multiplied integer inequality
+        # (v·n − S)² > 9·(n·Q − S²); HUGEINT on the SQL side —
+        # pipelines.temporal.value_zscore_outliers
+        "value_zscore_outliers": """
+            WITH f AS (SELECT event_type,
+                              CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+                       FROM events
+                       WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            a AS (SELECT event_type,
+                         CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(v) AS HUGEINT) AS s,
+                         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+                  FROM f GROUP BY event_type)
+            SELECT f.event_type AS event_type,
+                   CAST(a.n AS BIGINT) AS n_total,
+                   CAST(a.s AS BIGINT) AS sum_bp,
+                   CAST(SUM(CASE WHEN (CAST(f.v AS HUGEINT) * a.n - a.s)
+                                      * (CAST(f.v AS HUGEINT) * a.n - a.s)
+                                      > 9 * (a.n * a.q - a.s * a.s)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM f JOIN a USING (event_type)
+            GROUP BY f.event_type, a.n, a.s
+        """,
+        # ratio-to-report: share of the type's total per hour, truncated
+        # bp — pipelines.temporal.q_hourly_share
+        "hourly_share": """
+            WITH c AS (SELECT event_type,
+                              EXTRACT(hour FROM ts) AS hour,
+                              COUNT(*) AS n
+                       FROM events
+                       WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                       GROUP BY 1, 2)
+            SELECT event_type, CAST(hour AS BIGINT) AS hour,
+                   CAST(n AS BIGINT) AS n,
+                   CAST((10000 * n) // SUM(n) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS share_bp
+            FROM c
+        """,
+        # whitespace-token length histogram (same \\S+ token definition
+        # as text_stats) — pipelines.terms.q_token_len_hist
+        "token_len_hist": """
+            SELECT CAST(length(tok) AS BIGINT) AS token_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM (SELECT unnest(regexp_extract_all(coalesce(text, ''),
+                                                   '\\S+')) AS tok
+                  FROM documents)
+            GROUP BY 1
         """,
         # DENSE_RANK desc + integer CUME_DIST numerator window (peers
         # inclusive), truncated bp — pipelines.stats.q_spend_dense_rank

@@ -709,3 +709,72 @@ def type_drift(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
 
 def q_type_drift(sf_dir: str) -> pd.DataFrame:
     return type_drift(sf_dir)
+
+
+# ----------------------------------------------- exact z-score outliers
+def value_zscore_outliers(sf_dir: str,
+                          num_buckets: int = 16) -> pd.DataFrame:
+    """3σ outlier counts per event type WITHOUT computing a square
+    root: ``|v − mean| > 3σ  ⟺  (v·n − S)² > 9·(n·Q − S²)`` where
+    S = Σx, Q = Σx² (population variance, cross-multiplied by n²) —
+    every quantity an exact integer, evaluated in Python bignums on
+    the driver over the same ``value_histogram`` cells the Tukey-fence
+    op reads (squares exceed int64; the SQL oracle uses HUGEINT).
+    One cell-bounded shuffle; complements ``value_outliers`` with the
+    parametric (moment-based) outlier definition."""
+    cells = value_histogram(sf_dir, num_buckets=num_buckets).to_pandas()
+    rows = []
+    for et, g in cells.groupby("event_type", sort=True):
+        v = [int(x) for x in g["value_bp"]]
+        c = [int(x) for x in g["cnt"]]
+        n = sum(c)
+        s = sum(vi * ci for vi, ci in zip(v, c))
+        qq = sum(vi * vi * ci for vi, ci in zip(v, c))
+        var_num = n * qq - s * s          # n²·variance ≥ 0
+        n_out = sum(ci for vi, ci in zip(v, c)
+                    if (vi * n - s) ** 2 > 9 * var_num)
+        rows.append((et, n, s, n_out))
+    return pd.DataFrame(rows, columns=["event_type", "n_total",
+                                       "sum_bp", "n_outliers"]).astype(
+        {"n_total": np.int64, "sum_bp": np.int64, "n_outliers": np.int64})
+
+
+def q_value_zscore_outliers(sf_dir: str) -> pd.DataFrame:
+    return value_zscore_outliers(sf_dir)
+
+
+# ------------------------------------------------- ratio-to-report shares
+def q_hourly_share(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """Per (event_type, hour): event count and its share of the TYPE's
+    total in truncated basis points — the ratio-to-report window shape
+    (``SUM() OVER (PARTITION BY type)`` denominator). Per-batch
+    (type, hour) pre-counts → one type-keyed bucketed merge where each
+    type's 24 cells and its total are co-located, so the share is a
+    local division."""
+    from .analytics import bucketed_group_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = _drop_null(t)
+        hour = pc.hour(t["ts"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "hour": hour.astype(np.int64),
+        })
+        return (df.groupby(["event_type", "hour"], sort=False)
+                .size().rename("n").reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["event_type", "hour"], sort=False)["n"]
+               .sum().reset_index())
+        tot = out.groupby("event_type", sort=False)["n"].transform("sum")
+        out["n"] = out["n"].astype(np.int64)
+        out["share_bp"] = ((10000 * out["n"]) //
+                           tot.astype(np.int64)).astype(np.int64)
+        return out
+
+    return bucketed_group_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], merge, num_buckets=num_buckets)

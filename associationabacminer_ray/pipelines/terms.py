@@ -392,3 +392,37 @@ def doc_lm_score(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
 
 def q_doc_lm_score(sf_dir: str) -> rd.Dataset:
     return doc_lm_score(sf_dir)
+
+
+# ------------------------------------------------- token length histogram
+def q_token_len_hist(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
+    """Corpus-wide histogram of whitespace-token LENGTHS — the cheap
+    tokenizer-design stat (how long are the atoms BPE must cover).
+    Fully columnar: one Arrow ``split_pattern`` + flatten +
+    ``utf8_length`` kernel chain per batch (empty tokens from leading/
+    trailing/repeated whitespace are dropped — ``\\S+`` semantics, same
+    token definition as text_stats), pre-counted per batch; the merge
+    shuffle carries (length, count) cells only."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        arr = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        toks = pc.list_flatten(pc.split_pattern_regex(arr, r"\s+"))
+        lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+        lens = lens[lens > 0]  # split artifacts at string edges
+        vals, cnts = np.unique(lens, return_counts=True)
+        return pd.DataFrame({"token_len": vals.astype(np.int64),
+                             "n_tokens": cnts.astype(np.int64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("token_len", sort=False)["n_tokens"]
+               .sum().reset_index())
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        return out
+
+    from .analytics import bucketed_group_agg
+
+    return bucketed_group_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["token_len"], merge, num_buckets=num_buckets)

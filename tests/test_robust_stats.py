@@ -170,3 +170,51 @@ def test_event_pairs_brute_force(ray_session, sf_dir):
         columns=["type_a", "type_b", "n_pairs"])
     want["n_pairs"] = want["n_pairs"].astype(np.int64)
     pd.testing.assert_frame_equal(got, _norm(want))
+
+
+def test_zscore_outliers_direct(ray_session, sf_dir):
+    got = _norm(tm.value_zscore_outliers(sf_dir))
+    ev = _events(sf_dir).dropna(subset=["event_type", "value"])
+    ev["v"] = np.floor(ev["value"] * 10000 + 0.5).astype(np.int64)
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        v = g["v"].to_numpy(np.int64)
+        n, s, q = len(v), int(v.sum()), int((v.astype(object) ** 2).sum())
+        var_num = n * q - s * s
+        n_out = int(sum(1 for vi in v
+                        if (int(vi) * n - s) ** 2 > 9 * var_num))
+        # cross-check against the float z-score definition
+        mean, sd = v.mean(), v.std()
+        if sd > 0:
+            n_float = int((np.abs(v - mean) > 3 * sd).sum())
+            assert n_out == n_float
+        rows.append((et, n, s, n_out))
+    want = pd.DataFrame(rows, columns=["event_type", "n_total",
+                                       "sum_bp", "n_outliers"]).astype(
+        {"n_total": np.int64, "sum_bp": np.int64, "n_outliers": np.int64})
+    pd.testing.assert_frame_equal(got, _norm(want))
+
+
+def test_hourly_share_sums(ray_session, sf_dir):
+    got = tm.q_hourly_share(sf_dir).to_pandas()
+    # shares per type sum to ~10000 (truncation loses < 24 bp)
+    per_type = got.groupby("event_type")["share_bp"].sum()
+    assert ((per_type > 10000 - 24) & (per_type <= 10000)).all()
+    ev = _events(sf_dir).dropna(subset=["event_type", "ts"])
+    assert got["n"].sum() == len(ev)
+
+
+def test_token_len_hist_direct(ray_session, sf_dir):
+    from associationabacminer_ray.pipelines.terms import q_token_len_hist
+
+    got = _norm(q_token_len_hist(sf_dir).to_pandas())
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    lens = pd.Series(
+        [len(t) for txt in docs["text"].fillna("")
+         for t in txt.split()]).value_counts().sort_index()
+    want = pd.DataFrame({"token_len": lens.index.to_numpy(np.int64),
+                         "n_tokens": lens.to_numpy(np.int64)})
+    pd.testing.assert_frame_equal(got, _norm(want))
