@@ -252,6 +252,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscore_outliers": TM.q_value_zscore_outliers,
         "hourly_share": TM.q_hourly_share,
         "token_len_hist": TR.q_token_len_hist,
+        # round 3: correlated-scalar-subquery shape (integer
+        # cross-multiplied average) + ROWS-count window frame
+        "orders_above_cust_avg": O.q_orders_above_cust_avg,
+        "moving_sum": SQ.q_moving_sum,
     }
 
 
@@ -2221,6 +2225,42 @@ def oracle_sql() -> dict[str, str]:
                                                    '\\S+')) AS tok
                   FROM documents)
             GROUP BY 1
+        """,
+        # correlated scalar subquery (o > AVG of own customer) via the
+        # cross-multiplied integer compare cents·n > Σcents —
+        # pipelines.olap.q_orders_above_cust_avg
+        "orders_above_cust_avg": """
+            WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+                              CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM orders
+                       WHERE o_custkey IS NOT NULL
+                         AND o_totalprice IS NOT NULL),
+            w AS (SELECT c_custkey, cents,
+                         COUNT(*) OVER (PARTITION BY c_custkey) AS cnt,
+                         SUM(cents) OVER (PARTITION BY c_custkey) AS s
+                  FROM o)
+            SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN cents * cnt > s THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_above_avg
+            FROM w GROUP BY c_custkey
+        """,
+        # ROWS BETWEEN 2 PRECEDING AND CURRENT ROW frame, cents-folded
+        # before summing — pipelines.sequence.q_moving_sum
+        "moving_sum": """
+            WITH t AS (SELECT event_id, user_id, ts,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                         AND ts IS NOT NULL AND value IS NOT NULL)
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(c) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 2 PRECEDING
+                                              AND CURRENT ROW) AS BIGINT)
+                       AS moving_sum_cents
+            FROM t
         """,
         # DENSE_RANK desc + integer CUME_DIST numerator window (peers
         # inclusive), truncated bp — pipelines.stats.q_spend_dense_rank

@@ -692,3 +692,53 @@ def q_type_hour_unpivot(sf_dir: str) -> rd.Dataset:
         })
 
     return long.map_batches(decode_hour, batch_format="pandas")
+
+
+# --------------------------------------------- correlated scalar subquery
+def q_orders_above_cust_avg(sf_dir: str, num_buckets: int = 8):
+    """Per customer: order count and how many of their orders exceed
+    their OWN average order value — the correlated-scalar-subquery
+    shape (``o_totalprice > (SELECT AVG(...) WHERE same customer)``)
+    without a float average: compare cross-multiplied integers,
+    ``cents·n > Σcents`` (both sides pin this inequality, so DOUBLE
+    AVG rounding can never flip a count). One customer-keyed hash
+    shuffle; avg and comparison are local to the bucket."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from .analytics import bucketed_group_agg
+    from .relational import _cents
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        return pd.DataFrame({
+            "c_custkey": t["o_custkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "cents": _cents(t["o_totalprice"])
+            .to_numpy(zero_copy_only=False),
+        })
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        gr = g.groupby("c_custkey", sort=False)["cents"]
+        n = gr.transform("size").to_numpy(np.int64)
+        s = gr.transform("sum").to_numpy(np.int64)
+        above = g["cents"].to_numpy(np.int64) * n > s
+        out = pd.DataFrame({"c_custkey": g["c_custkey"].to_numpy(np.int64),
+                            "one": np.int64(1),
+                            "above": above.astype(np.int64)})
+        res = out.groupby("c_custkey", sort=False).agg(
+            n_orders=("one", "sum"),
+            n_above_avg=("above", "sum")).reset_index()
+        res["n_orders"] = res["n_orders"].astype(np.int64)
+        res["n_above_avg"] = res["n_above_avg"].astype(np.int64)
+        return res
+
+    return bucketed_group_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                              ["c_custkey"], per_cust,
+                              num_buckets=num_buckets)

@@ -656,3 +656,66 @@ def event_pairs_within(sf_dir: str, window_us: int = PAIR_WINDOW_US,
 
 def q_event_pairs_1h(sf_dir: str) -> rd.Dataset:
     return event_pairs_within(sf_dir)
+
+
+# ------------------------------------------------- ROWS-frame moving sum
+MOVING_ROWS = 3
+
+
+def q_moving_sum(sf_dir: str, k: int = MOVING_ROWS,
+                 num_buckets: int = 16) -> rd.Dataset:
+    """Per event: sum of the last ``k`` values (cents) of the same user
+    — the ``ROWS BETWEEN k−1 PRECEDING AND CURRENT ROW`` frame (the
+    row-count frame family, complementing the time-RANGE rolling
+    aggregate and the UNBOUNDED running total). One user-keyed hash
+    shuffle; inside each bucket-sorted segment the frame sum is
+    ``cumsum[i] − cumsum[i−k]`` with a per-user reset — all
+    vectorized, integer cents end to end."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = t.drop_null()
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0),
+                                        0.5)), pa.int64())
+        df = pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "ts_us": _ts_us(t["ts"]),
+            "cents": cents.to_numpy(zero_copy_only=False),
+        })
+        df["bucket"] = (hash_ints(df["user_id"].to_numpy(np.int64))
+                        % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def frame_sum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        cents = g["cents"].to_numpy(np.int64)
+        users = g["user_id"].to_numpy(np.int64)
+        csum = np.cumsum(cents)
+        n = len(g)
+        idx = np.arange(n)
+        # first row index of each user's segment
+        seg_start = np.zeros(n, np.int64)
+        if n:
+            new_seg = np.ones(n, bool)
+            new_seg[1:] = users[1:] != users[:-1]
+            seg_start = idx[new_seg][np.cumsum(new_seg) - 1]
+        lo = np.maximum(idx - (k - 1), seg_start)
+        prev = np.where(lo > 0, csum[lo - 1], 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": users,
+            "moving_sum_cents": (csum - prev).astype(np.int64),
+        })
+
+    return (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: frame_sum(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))

@@ -218,3 +218,54 @@ def test_token_len_hist_direct(ray_session, sf_dir):
     want = pd.DataFrame({"token_len": lens.index.to_numpy(np.int64),
                          "n_tokens": lens.to_numpy(np.int64)})
     pd.testing.assert_frame_equal(got, _norm(want))
+
+
+def test_moving_sum_direct(ray_session, sf_dir):
+    from associationabacminer_ray.pipelines.sequence import q_moving_sum
+
+    got = _norm(q_moving_sum(sf_dir, num_buckets=1).to_pandas())
+    got16 = _norm(q_moving_sum(sf_dir, num_buckets=16).to_pandas())
+    pd.testing.assert_frame_equal(got, got16)
+
+    ev = _events(sf_dir).dropna(subset=["event_id", "user_id", "ts",
+                                        "value"])
+    ev["c"] = np.floor(ev["value"] * 100.0 + 0.5).astype(np.int64)
+    ev["ts_us"] = (ev["ts"].to_numpy().astype("datetime64[us]")
+                   .astype(np.int64))
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    ms = (ev.groupby("user_id")["c"]
+          .rolling(3, min_periods=1).sum().reset_index(level=0, drop=True))
+    want = pd.DataFrame({
+        "event_id": ev["event_id"].astype(np.int64),
+        "user_id": ev["user_id"].astype(np.int64),
+        "moving_sum_cents": ms.astype(np.int64),
+    })
+    pd.testing.assert_frame_equal(got, _norm(want))
+
+
+def test_orders_above_cust_avg_direct(ray_session, sf_dir):
+    from associationabacminer_ray.pipelines.olap import (
+        q_orders_above_cust_avg,
+    )
+
+    got = _norm(q_orders_above_cust_avg(sf_dir).to_pandas())
+    import pyarrow.parquet as pq
+
+    o = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_custkey", "o_totalprice"]).to_pandas()
+    o = o.dropna()
+    o["cents"] = np.floor(o["o_totalprice"] * 100.0 + 0.5).astype(np.int64)
+    gr = o.groupby("o_custkey")["cents"]
+    n = gr.transform("size")
+    s = gr.transform("sum")
+    o["above"] = (o["cents"] * n > s).astype(np.int64)
+    want = o.groupby("o_custkey").agg(
+        n_orders=("cents", "size"),
+        n_above_avg=("above", "sum")).reset_index().rename(
+        columns={"o_custkey": "c_custkey"})
+    for c in ("c_custkey", "n_orders", "n_above_avg"):
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got, _norm(want))
+    # strictly-above-average orders are always a minority or tie
+    assert (got["n_above_avg"] < got["n_orders"]).all() or (
+        got["n_orders"] == 1).any()
