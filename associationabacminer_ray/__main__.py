@@ -143,32 +143,52 @@ def cmd_synth(args) -> None:
     print(f"wrote {len(paths)} shards -> {args.out}")
 
 
+def _fresh_out_dir(path: str, overwrite: bool) -> None:
+    """Ray's ``write_parquet`` APPENDS into an existing directory —
+    a silent rerun would duplicate every row. Refuse unless the user
+    opted into a clean slate."""
+    import shutil
+
+    if os.path.isdir(path) and os.listdir(path):
+        if not overwrite:
+            raise SystemExit(
+                f"{path!r} already has output; a rerun would append "
+                "duplicate rows. Pass --overwrite to start clean.")
+        shutil.rmtree(path)
+
+
 def cmd_curate(args) -> None:
-    """Full curation pass over a documents table: per-source drop-reason
-    counts to stdout, per-doc verdicts to parquet (resumable input to
-    ``pack``)."""
+    """Full curation pass over a documents table: per-doc verdicts to
+    parquet, per-source drop-reason counts to stdout — the counts are
+    aggregated FROM the already-built verdicts dataset, so the chain
+    (TokenStats, LangId, contamination, keep-first) runs exactly
+    once."""
     from .pipelines.text_pipelines import (
+        curation_counts_from_flags,
         curation_doc_flags,
-        q_curation_pipeline,
     )
 
-    flags = curation_doc_flags(args.sf_dir, quality_min_bp=args.quality_min_bp)
+    _fresh_out_dir(args.out, args.overwrite)
+    flags = curation_doc_flags(
+        args.sf_dir, quality_min_bp=args.quality_min_bp).materialize()
     flags.write_parquet(args.out)
-    counts = q_curation_pipeline(args.sf_dir,
-                                 quality_min_bp=args.quality_min_bp)
-    print(counts.to_string(index=False))
+    print(curation_counts_from_flags(flags).to_string(index=False))
     print(f"wrote per-doc verdicts -> {args.out}")
 
 
 def cmd_pack(args) -> None:
     """Curation chain + concat-split packing of the surviving docs;
-    writes the per-doc chunk assignment partitioned by source (one
-    directory per source — a failed run skips finished partitions)."""
+    writes the per-doc chunk assignment partitioned by source. Reruns
+    must start clean (--overwrite): parquet writes append, they do not
+    resume."""
     from .pipelines.mixture import q_assembly_pipeline
 
-    packed = q_assembly_pipeline(args.sf_dir, cap=args.cap)
+    _fresh_out_dir(args.out, args.overwrite)
+    packed = q_assembly_pipeline(args.sf_dir, cap=args.cap,
+                                 quality_min_bp=args.quality_min_bp)
     packed.write_parquet(args.out, partition_cols=["source"])
-    print(f"wrote packed chunk assignments (cap={args.cap}) -> {args.out}")
+    print(f"wrote packed chunk assignments (cap={args.cap}, "
+          f"quality_min_bp={args.quality_min_bp}) -> {args.out}")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -226,13 +246,16 @@ def main(argv: list[str] | None = None) -> None:
                     help="directory holding documents.parquet")
     sp.add_argument("--quality-min-bp", type=int, default=7500)
     sp.add_argument("--out", required=True)
+    sp.add_argument("--overwrite", action="store_true")
     sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("pack")
     sp.add_argument("--sf-dir", required=True,
                     help="directory holding documents.parquet")
     sp.add_argument("--cap", type=int, default=512)
+    sp.add_argument("--quality-min-bp", type=int, default=7500)
     sp.add_argument("--out", required=True)
+    sp.add_argument("--overwrite", action="store_true")
     sp.set_defaults(fn=cmd_pack)
 
     args = p.parse_args(argv)

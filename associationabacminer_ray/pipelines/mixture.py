@@ -318,7 +318,8 @@ def q_token_fertility(sf_dir: str) -> rd.Dataset:
 
 # ------------------------------------------ curation → packing composition
 def q_assembly_pipeline(sf_dir: str, cap: int = PACK_CAP_TOKENS,
-                        num_buckets: int = 8) -> rd.Dataset:
+                        num_buckets: int = 8,
+                        quality_min_bp: int = 7500) -> rd.Dataset:
     """The end-to-end training-data ASSEMBLY: the full curation chain
     (benchmark exclusion → keep-first dedup → quality floor → language
     match → decontamination, ``text_pipelines.curation_doc_flags``)
@@ -331,7 +332,7 @@ def q_assembly_pipeline(sf_dir: str, cap: int = PACK_CAP_TOKENS,
     verified curation fragments with the packing window."""
     from .text_pipelines import curation_doc_flags
 
-    flags = curation_doc_flags(sf_dir)
+    flags = curation_doc_flags(sf_dir, quality_min_bp=quality_min_bp)
 
     def kept_only(b: pd.DataFrame) -> pd.DataFrame:
         keep = (~b["is_bench"] & b["is_first"] & b["ok_quality"]

@@ -27,6 +27,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import hash_ints
+from .analytics import bucketed_group_agg
 from .relational import _cents
 from .temporal import _ts_us, day_num_trunc
 
@@ -703,15 +704,6 @@ def q_orders_above_cust_avg(sf_dir: str, num_buckets: int = 8):
     ``cents·n > Σcents`` (both sides pin this inequality, so DOUBLE
     AVG rounding can never flip a count). One customer-keyed hash
     shuffle; avg and comparison are local to the bucket."""
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
-
-    import ray.data as rd
-
-    from .analytics import bucketed_group_agg
-    from .relational import _cents
-
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
 

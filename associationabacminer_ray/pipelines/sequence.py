@@ -428,16 +428,14 @@ def user_running_total(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
                          columns=["event_id", "user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pd.DataFrame:
-        t = t.drop_null()
-        import pyarrow.compute as pc
+        from .relational import _cents
 
-        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
-                        pa.int64())
+        t = t.drop_null()
         df = pd.DataFrame({
             "event_id": t["event_id"].to_numpy(zero_copy_only=False),
             "user_id": t["user_id"].to_numpy(zero_copy_only=False),
             "ts_us": _ts_us(t["ts"]),
-            "cents": cents.to_numpy(zero_copy_only=False),
+            "cents": _cents(t["value"]).to_numpy(zero_copy_only=False),
         })
         df["bucket"] = (hash_ints(df["user_id"]) %
                         np.uint64(num_buckets)).astype(np.int32)
@@ -675,19 +673,16 @@ def q_moving_sum(sf_dir: str, k: int = MOVING_ROWS,
                          columns=["event_id", "user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pd.DataFrame:
-        import pyarrow as pa
-        import pyarrow.compute as pc
+        from .relational import _cents
 
         t = t.drop_null()
-        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0),
-                                        0.5)), pa.int64())
         df = pd.DataFrame({
             "event_id": t["event_id"].to_numpy(zero_copy_only=False)
             .astype(np.int64),
             "user_id": t["user_id"].to_numpy(zero_copy_only=False)
             .astype(np.int64),
             "ts_us": _ts_us(t["ts"]),
-            "cents": cents.to_numpy(zero_copy_only=False),
+            "cents": _cents(t["value"]).to_numpy(zero_copy_only=False),
         })
         df["bucket"] = (hash_ints(df["user_id"].to_numpy(np.int64))
                         % np.uint64(num_buckets)).astype(np.int32)

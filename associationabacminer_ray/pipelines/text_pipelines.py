@@ -852,6 +852,13 @@ def q_curation_pipeline(sf_dir: str,
     (quality, langid, contamination) plus a filtered window-min for
     the bench-aware dedup."""
     flags = curation_doc_flags(sf_dir, quality_min_bp)
+    return curation_counts_from_flags(flags)
+
+
+def curation_counts_from_flags(flags: "rd.Dataset") -> pd.DataFrame:
+    """Per-source precedence counts aggregated from an already-built
+    ``curation_doc_flags`` dataset (per-batch partials, merged on the
+    driver — sources × blocks rows; the chain itself is not rerun)."""
 
     def per_source(g: pd.DataFrame) -> pd.DataFrame:
         bench = g["is_bench"].to_numpy()

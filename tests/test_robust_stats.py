@@ -183,11 +183,19 @@ def test_zscore_outliers_direct(ray_session, sf_dir):
         var_num = n * q - s * s
         n_out = int(sum(1 for vi in v
                         if (int(vi) * n - s) ** 2 > 9 * var_num))
-        # cross-check against the float z-score definition
+        # cross-check against the float z-score definition, skipping
+        # values within float rounding of the exact 3σ boundary (the
+        # integer form exists precisely because the float compare is
+        # unreliable there)
         mean, sd = v.mean(), v.std()
         if sd > 0:
-            n_float = int((np.abs(v - mean) > 3 * sd).sum())
-            assert n_out == n_float
+            z = np.abs(v - mean) / sd
+            clear = np.abs(z - 3.0) > 1e-9
+            n_float = int(((z > 3.0) & clear).sum())
+            n_int_clear = int(sum(
+                1 for vi, zc in zip(v, clear)
+                if zc and (int(vi) * n - s) ** 2 > 9 * var_num))
+            assert n_int_clear == n_float
         rows.append((et, n, s, n_out))
     want = pd.DataFrame(rows, columns=["event_type", "n_total",
                                        "sum_bp", "n_outliers"]).astype(
@@ -266,6 +274,9 @@ def test_orders_above_cust_avg_direct(ray_session, sf_dir):
     for c in ("c_custkey", "n_orders", "n_above_avg"):
         want[c] = want[c].astype(np.int64)
     pd.testing.assert_frame_equal(got, _norm(want))
-    # strictly-above-average orders are always a minority or tie
-    assert (got["n_above_avg"] < got["n_orders"]).all() or (
-        got["n_orders"] == 1).any()
+    # a customer's strictly-above-average orders are never ALL of them
+    # (with >1 order, at least one is <= the average; with exactly one
+    # order, none exceeds its own average)
+    assert ((got["n_above_avg"] < got["n_orders"])
+            | (got["n_orders"] == 1)).all()
+    assert (got.loc[got["n_orders"] == 1, "n_above_avg"] == 0).all()
