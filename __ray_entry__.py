@@ -256,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-multiplied average) + ROWS-count window frame
         "orders_above_cust_avg": O.q_orders_above_cust_avg,
         "moving_sum": SQ.q_moving_sum,
+        # round 3: exact triangle count on the strong co-purchase graph
+        # (distributed wedge-check — the graph op beyond components)
+        "copurchase_triangles": C.q_copurchase_triangles,
     }
 
 
@@ -2225,6 +2228,28 @@ def oracle_sql() -> dict[str, str]:
                                                    '\\S+')) AS tok
                   FROM documents)
             GROUP BY 1
+        """,
+        # exact triangles on the strong co-purchase graph: every
+        # triangle {a<b<c} counted once as wedge (b,c) at min node a —
+        # pipelines.components.copurchase_triangles
+        "copurchase_triangles": """
+            WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
+                       FROM lineitem
+                       WHERE l_orderkey IS NOT NULL
+                         AND l_partkey IS NOT NULL),
+            e0 AS (SELECT a.part AS lo, b.part AS hi, COUNT(*) AS n
+                   FROM p a JOIN p b ON a.o = b.o AND a.part < b.part
+                   GROUP BY 1, 2),
+            e AS (SELECT lo, hi FROM e0 WHERE n >= 2),
+            d AS (SELECT lo, COUNT(*) AS dd FROM e GROUP BY lo)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(COALESCE(SUM(dd * (dd - 1) // 2), 0)
+                                AS BIGINT) FROM d) AS n_wedges,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM e e1
+                    JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                    JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+                       AS n_triangles
         """,
         # correlated scalar subquery (o > AVG of own customer) via the
         # cross-multiplied integer compare cents·n > Σcents —

@@ -70,3 +70,41 @@ def test_small_graph_fast_path_equals_distributed(ray_session):
     dist = (connected_components(edges, small_graph_max_edges=0)
             .to_pandas().sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_copurchase_triangles_union_find_free(ray_session, sf_dir):
+    """Triangle count vs a direct in-memory recompute (sets + sorted
+    adjacency), plus bucket invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from associationabacminer_ray.pipelines.components import (
+        copurchase_triangles,
+    )
+
+    got = copurchase_triangles(sf_dir, num_buckets=4)
+    got16 = copurchase_triangles(sf_dir, num_buckets=32)
+    pd.testing.assert_frame_equal(got, got16)
+
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    li = li.dropna().drop_duplicates()
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    pair_orders = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["l_partkey"].astype(int)), 2):
+            pair_orders[(a, b)] += 1
+    edges = {p for p, n in pair_orders.items() if n >= 2}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    n_tri = sum(1 for a in adj for b, c in combinations(sorted(adj[a]), 2)
+                if (b, c) in edges)
+    n_wedges = sum(len(adj[a]) * (len(adj[a]) - 1) // 2 for a in adj)
+    assert int(got["n_edges"].iloc[0]) == len(edges)
+    assert int(got["n_wedges"].iloc[0]) == n_wedges
+    assert int(got["n_triangles"].iloc[0]) == n_tri
+    assert n_tri > 0  # the sf0.001 corpus genuinely has triangles
