@@ -114,9 +114,20 @@ def run_bench() -> dict:
         timings["itemset_supports_sketch_shuffle"] = time.perf_counter() - t0
         assert res2["n_transactions"] > 0
         t0 = time.perf_counter()
-        itemset_supports_partitioned(paths, mode="exact", max_k=2,
-                                     min_support=2).count()
+        exact_df = itemset_supports_partitioned(
+            paths, mode="exact", max_k=2, min_support=2).to_pandas()
         timings["itemset_supports_exact"] = time.perf_counter() - t0
+        # ---- north-metric axis 2: support-estimate error vs exact ----
+        # (top-k head of the HEADLINE sketch result vs the exact table;
+        # CMS guarantees est ∈ [exact, exact + ε·N])
+        exact_map = dict(zip(exact_df["itemset"], exact_df["support"]))
+        errs = [est - exact_map.get(itemset, 0)
+                for itemset, est, _ in res["topk"].top()]
+        n_tx = res["n_transactions"]
+        timings["sketch_topk_max_abs_err"] = int(max(errs))
+        timings["sketch_topk_max_rel_err_bp"] = int(
+            10000 * max(errs) / n_tx)
+        assert min(errs) >= 0  # CMS never underestimates
 
     # ---- full windowed mine (read→supports→rules) on the bench corpus ----
     if not headline_only:
