@@ -1,7 +1,8 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-Round 2 upgrade: decode is REAL for self-describing uncompressed
-formats that need only numpy/stdlib — binary PPM/PGM images and PCM WAV
+Round 2 upgrade (round 3: + uncompressed 24-bit BMP, both row orders):
+decode is REAL for self-describing uncompressed formats that need only
+numpy/stdlib — binary PPM/PGM/BMP images and PCM WAV
 audio (``Decode``), plus real nearest-neighbor resize and real
 deterministic feature extraction (channel statistics + downsampled grid
 for images; RMS/ZCR/FFT band energies for audio). Compressed codecs
@@ -43,6 +44,8 @@ def _sniff(b: bytes) -> str:
         return "ppm"
     if b.startswith(b"P5"):
         return "pgm"
+    if b.startswith(b"BM"):
+        return "bmp"
     if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
         return "wav"
     for magic, name in _COMPRESSED_MAGICS.items():
@@ -93,6 +96,51 @@ def encode_ppm(arr: np.ndarray) -> bytes:
         np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
 
 
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB) → (h, w, 3) uint8 RGB.
+
+    Handles both row orders (positive biHeight = bottom-up, negative =
+    top-down) and the 4-byte row padding; stdlib struct + one numpy
+    reshape, no imaging library."""
+    import struct
+
+    if not b.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    _, w, h_signed, _, bpp, compression = struct.unpack_from(
+        "<IiiHHI", b, 14)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(b, np.uint8, count=h * stride,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:           # bottom-up storage order
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit bottom-up BMP bytes."""
+    import struct
+
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"BMP24 encodes (h, w, 3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    payload = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(payload),
+                       2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(payload), 0, 0,
+                         14 + 40)
+    return header + info + payload
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (int16 samples (n,) or (n, channels), sample_rate)."""
     with wave.open(io.BytesIO(b), "rb") as f:
@@ -135,8 +183,8 @@ class Decode:
         for payload in batch["payload"]:
             b = bytes(payload or b"")
             kind = _sniff(b)
-            if kind in ("ppm", "pgm"):
-                img = decode_ppm(b)
+            if kind in ("ppm", "pgm", "bmp"):
+                img = decode_bmp(b) if kind == "bmp" else decode_ppm(b)
                 pixels.append(img)
                 samples.append(None)
                 shapes.append(json.dumps(list(img.shape)))

@@ -511,3 +511,66 @@ class TestMultimodal:
         for meta, plan in zip(tbl["meta"], plans):
             n = json.loads(meta)["n_frames"]
             assert plan == list(range(0, n, 10))
+
+
+class TestBmpCodec:
+    def test_bmp_round_trip_with_padding(self):
+        """Widths where the 4-byte row padding is non-zero must
+        round-trip exactly (w % 4 != 0 exercises the stride)."""
+        from associationabacminer_ray.stages.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        rng = np.random.default_rng(11)
+        for w in (1, 2, 3, 5, 17):
+            img = rng.integers(0, 256, (7, w, 3), dtype=np.uint8)
+            assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    def test_bmp_top_down_row_order(self):
+        """Negative biHeight (top-down storage) decodes to the same
+        image as the bottom-up encoding."""
+        import struct
+
+        from associationabacminer_ray.stages.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+        b = bytearray(encode_bmp(img))
+        # flip to top-down: negate height, reverse stored row order
+        h, w = img.shape[:2]
+        stride = (w * 3 + 3) // 4 * 4
+        off = struct.unpack_from("<I", b, 10)[0]
+        struct.pack_into("<i", b, 22, -h)
+        rows = np.frombuffer(bytes(b[off:off + h * stride]),
+                             np.uint8).reshape(h, stride)
+        b[off:off + h * stride] = rows[::-1].tobytes()
+        assert (decode_bmp(bytes(b)) == img).all()
+
+    def test_decode_stage_accepts_bmp(self, ray_session):
+        from associationabacminer_ray.stages.multimodal import (
+            Decode,
+            encode_bmp,
+        )
+
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+        batch = pd.DataFrame({"item_id": ["x"], "modality": ["image"],
+                              "payload": [encode_bmp(img)],
+                              "meta": ["{}"]})
+        out = Decode()(batch)
+        assert (out["pixels"].iloc[0] == img).all()
+        assert out["decoded_shape"].iloc[0] == "[6, 5, 3]"
+
+    def test_bmp_compressed_raises(self):
+        import struct
+
+        from associationabacminer_ray.stages.multimodal import decode_bmp
+
+        info = struct.pack("<IiiHHI", 40, 2, 2, 1, 24, 1)  # compression=1
+        hdr = struct.pack("<2sIHHI", b"BM", 14 + 24, 0, 0, 54)
+        with pytest.raises(NotImplementedError):
+            decode_bmp(hdr + info)
