@@ -274,6 +274,39 @@ def q_neardup_canonical(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------- triangle counting
+def _segment_pairs(g: pd.DataFrame, key_col: str, val_col: str):
+    """All ordered (v_i < v_j) value pairs within each key segment,
+    emitted WITHOUT per-segment Python DataFrames: segments are grouped
+    by size and each size class expands through one vectorized
+    ``triu_indices`` gather over a (n_segments, size) matrix. Returns
+    (lo_array, hi_array) or None when no segment has ≥ 2 values.
+    Vectorization assumption: segment sizes are small and few-valued
+    (lineitems per order ≤ 7; strong-graph out-degrees are modest) —
+    each distinct size costs one gather."""
+    g = g.sort_values([key_col, val_col], kind="mergesort")
+    keys = g[key_col].to_numpy(np.int64)
+    vals = g[val_col].to_numpy(np.int64)
+    n = len(g)
+    if n < 2:
+        return None
+    new_seg = np.ones(n, bool)
+    new_seg[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new_seg)
+    sizes = np.diff(np.r_[starts, n])
+    los, his = [], []
+    for d in np.unique(sizes):
+        if d < 2:
+            continue
+        seg_starts = starts[sizes == d]
+        mat = vals[seg_starts[:, None] + np.arange(d)[None, :]]
+        i, j = np.triu_indices(int(d), 1)
+        los.append(mat[:, i].ravel())
+        his.append(mat[:, j].ravel())
+    if not los:
+        return None
+    return np.concatenate(los), np.concatenate(his)
+
+
 def copurchase_triangles(sf_dir: str, min_pair_orders: int = 2,
                          num_buckets: int = 16) -> pd.DataFrame:
     """Exact triangle count on the STRONG co-purchase graph (part pairs
@@ -289,46 +322,33 @@ def copurchase_triangles(sf_dir: str, min_pair_orders: int = 2,
     min-node orientation; the classic further mitigation (orient edges
     low→high DEGREE so hubs never emit wedges) is documented here and
     unnecessary below ~10⁵ max-degree."""
-    from ..functions.hashing import hash_ints
-
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])
 
     def per_batch(t: pa.Table) -> pd.DataFrame:
         t = t.drop_null()
-        df = pd.DataFrame({
+        return pd.DataFrame({
             "o": t["l_orderkey"].to_numpy(zero_copy_only=False)
             .astype(np.int64),
             "part": t["l_partkey"].to_numpy(zero_copy_only=False)
             .astype(np.int64),
         }).drop_duplicates()
-        df["bucket"] = (hash_ints(df["o"].to_numpy(np.int64))
-                        % np.uint64(num_buckets)).astype(np.int32)
-        return df
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["o", "part"])
-        g = g.sort_values(["o", "part"], kind="mergesort")
-        frames = []
-        for _, seg in g.groupby("o", sort=False):
-            parts = seg["part"].to_numpy(np.int64)
-            if len(parts) < 2:
-                continue
-            i, j = np.triu_indices(len(parts), 1)
-            frames.append(pd.DataFrame({"lo": parts[i], "hi": parts[j]}))
-        if not frames:
+        pairs = _segment_pairs(g.drop_duplicates(["o", "part"]),
+                               "o", "part")
+        if pairs is None:
             return pd.DataFrame({"lo": np.array([], np.int64),
                                  "hi": np.array([], np.int64),
                                  "n": np.array([], np.int64)})
-        out = pd.concat(frames, ignore_index=True)
-        out["n"] = np.int64(1)
+        out = pd.DataFrame({"lo": pairs[0], "hi": pairs[1],
+                            "n": np.int64(1)})
         return (out.groupby(["lo", "hi"], sort=False)["n"]
                 .sum().reset_index())
 
-    pair_counts = (li.map_batches(per_batch, batch_format="pyarrow")
-                   .groupby("bucket")
-                   .map_groups(lambda g: emit_pairs(
-                       g.drop(columns=["bucket"])), batch_format="pandas"))
+    pair_counts = bucketed_group_agg(
+        li.map_batches(per_batch, batch_format="pyarrow"),
+        ["o"], emit_pairs, num_buckets=num_buckets)
 
     def strong(g: pd.DataFrame) -> pd.DataFrame:
         agg = (g.groupby(["lo", "hi"], sort=False)["n"].sum().reset_index())
@@ -340,17 +360,11 @@ def copurchase_triangles(sf_dir: str, min_pair_orders: int = 2,
     n_edges = edges.count()
 
     def emit_wedges(g: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, seg in g.groupby("lo", sort=False):
-            his = np.sort(seg["hi"].to_numpy(np.int64))
-            if len(his) < 2:
-                continue
-            i, j = np.triu_indices(len(his), 1)
-            frames.append(pd.DataFrame({"x": his[i], "y": his[j]}))
-        if not frames:
+        pairs = _segment_pairs(g, "lo", "hi")
+        if pairs is None:
             return pd.DataFrame({"x": np.array([], np.int64),
                                  "y": np.array([], np.int64)})
-        return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame({"x": pairs[0], "y": pairs[1]})
 
     wedges = bucketed_group_agg(edges, ["lo"], emit_wedges,
                                 num_buckets=num_buckets).materialize()

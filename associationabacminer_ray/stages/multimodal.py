@@ -106,15 +106,29 @@ def decode_bmp(b: bytes) -> np.ndarray:
 
     if not b.startswith(b"BM"):
         raise ValueError("not a BMP payload")
+    # malformed / truncated / variant headers must surface as the
+    # stage's documented NotImplementedError, never a raw struct.error
+    # crashing the actor pool
+    if len(b) < 54:
+        raise NotImplementedError("truncated or non-image 'BM' payload")
     data_off = struct.unpack_from("<I", b, 10)[0]
-    _, w, h_signed, _, bpp, compression = struct.unpack_from(
+    bi_size, w, h_signed, _, bpp, compression = struct.unpack_from(
         "<IiiHHI", b, 14)
+    if bi_size < 40:
+        raise NotImplementedError(
+            f"BMP header variant biSize={bi_size} (BITMAPCOREHEADER "
+            "et al.) not supported — only BITMAPINFOHEADER")
     if bpp != 24 or compression != 0:
         raise NotImplementedError(
             f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
             f"compression={compression})")
     h = abs(h_signed)
     stride = (w * 3 + 3) // 4 * 4
+    if w <= 0 or h == 0 or data_off < 54 or \
+            len(b) < data_off + h * stride:
+        raise NotImplementedError(
+            f"malformed BMP dimensions/payload (w={w}, h={h_signed}, "
+            f"offset={data_off}, len={len(b)})")
     rows = np.frombuffer(b, np.uint8, count=h * stride,
                          offset=data_off).reshape(h, stride)
     img = rows[:, : w * 3].reshape(h, w, 3)
@@ -172,7 +186,7 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 class Decode:
-    """Actor-pool decode stage — REAL for PPM/PGM/WAV payloads. Emits
+    """Actor-pool decode stage — REAL for PPM/PGM/BMP/WAV payloads. Emits
     object columns ``pixels`` (uint8 arrays) / ``samples`` (int16) plus
     ``decoded_shape`` and ``sample_rate``; a compressed payload raises
     NotImplementedError naming the codec (the honest boundary: those
@@ -198,7 +212,7 @@ class Decode:
             else:
                 raise NotImplementedError(
                     f"codec {kind!r}: compressed decode libraries are not "
-                    "available in this environment (PPM/PGM/WAV are)")
+                    "available in this environment (PPM/PGM/BMP/WAV are)")
         out = batch.copy()
         out["pixels"] = pixels
         out["samples"] = samples

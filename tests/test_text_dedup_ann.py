@@ -574,3 +574,23 @@ class TestBmpCodec:
         hdr = struct.pack("<2sIHHI", b"BM", 14 + 24, 0, 0, 54)
         with pytest.raises(NotImplementedError):
             decode_bmp(hdr + info)
+
+    def test_bmp_malformed_raises_not_struct_error(self):
+        """'BM'-prefixed garbage must raise the stage's documented
+        NotImplementedError, never a raw struct.error (review fix)."""
+        import struct
+
+        from associationabacminer_ray.stages.multimodal import decode_bmp
+
+        with pytest.raises(NotImplementedError):
+            decode_bmp(b"BMxx")                   # truncated header
+        # BITMAPCOREHEADER variant (biSize=12)
+        core = struct.pack("<2sIHHI", b"BM", 100, 0, 0, 26) \
+            + struct.pack("<IHHHH", 12, 2, 2, 1, 24) + b"\x00" * 60
+        with pytest.raises(NotImplementedError):
+            decode_bmp(core)
+        # negative width
+        info = struct.pack("<IiiHHI", 40, -3, 2, 1, 24, 0)
+        hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 32, 0, 0, 54)
+        with pytest.raises(NotImplementedError):
+            decode_bmp(hdr + info + b"\x00" * 32)
