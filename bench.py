@@ -172,11 +172,18 @@ def run_bench() -> dict:
     def consume(x):
         return x.to_pandas() if isinstance(x, rd.Dataset) else x
 
+    if not headline_only:
+        from associationabacminer_ray.pipelines import mixture as MX
+        from associationabacminer_ray.pipelines import sequence as SQ
+
     for name, fn in ({} if headline_only else {
         "q1_lineitem": R.q1_lineitem,
         "support_pairs": A.q_support_pairs,
         "user_activity": A.q_user_activity,
         "daily_event_counts": A.q_daily_event_counts,
+        # session-wave representatives: sequence packing + islands
+        "packed_chunks": MX.q_packed_chunks,
+        "user_streaks": SQ.q_user_streaks,
     }).items():
         t0 = time.perf_counter()
         consume(fn(sf_dir))
