@@ -2066,9 +2066,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(n_even AS BIGINT) AS n_even,
                    CAST(n_odd AS BIGINT) AS n_odd,
-                   CAST(ABS((10000 * n_even) // t.te
-                            - (10000 * n_odd) // t.tdd) AS BIGINT)
-                       AS share_diff_bp
+                   CAST(ABS((CASE WHEN t.te > 0
+                             THEN (10000 * n_even) // t.te ELSE 0 END)
+                            - (CASE WHEN t.tdd > 0
+                               THEN (10000 * n_odd) // t.tdd ELSE 0 END))
+                        AS BIGINT) AS share_diff_bp
             FROM c, t
         """,
         # gaps-and-islands: consecutive-active-day streaks per user via
@@ -2164,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST((10000 * (2 * s1 - (n + 1) * s)) // (n * s)
                         AS BIGINT) AS gini_bp
             FROM t
+            WHERE n > 0 AND s > 0
         """,
         # bounded interval self-join: ordered same-user pairs within 1h
         # ((ts, event_id) strict order pinned on both sides) —

@@ -583,11 +583,11 @@ def event_pairs_within(sf_dir: str, window_us: int = PAIR_WINDOW_US,
     order — pinned identically in the SQL oracle's join predicate.
 
     Layout: one user-keyed hash shuffle; per bucket a per-user
-    vectorized pass — a types×rows cumulative indicator matrix gives
-    each row's windowed predecessor count per type via two
-    ``searchsorted`` lookups, so per-user work is O(types·n), never
-    O(n²) (window membership is resolved positionally on the sorted
-    segment, not by pair enumeration)."""
+    vectorized pass — one cumulative count vector per predecessor type
+    gives each row's windowed predecessor count via positional
+    ``searchsorted`` window bounds, so per-user work is O(types·n)
+    time and O(n + types²) resident memory, never O(n²) pair
+    enumeration and never a dense types×rows matrix."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type", "ts",
                                   "event_id"])
@@ -608,22 +608,27 @@ def event_pairs_within(sf_dir: str, window_us: int = PAIR_WINDOW_US,
             seg_types, codes = np.unique(types[idx], return_inverse=True)
             n_types = len(seg_types)
             m = len(idx)
-            # cum[t, i] = count of type t among the first i rows
-            ind = np.zeros((n_types, m + 1), np.int64)
-            ind[codes, np.arange(m) + 1] = 1
-            cum = np.cumsum(ind, axis=1)
             # window start for row i: first position with ts ≥ ts_i − w
             start = np.searchsorted(ts, ts - np.int64(window_us),
                                     side="left")
             pos = np.arange(m)
-            # predecessors of row i: positions [start_i, i) — all have
-            # (ts, event_id) strictly before row i under the sort
-            per_type = cum[:, pos] - cum[:, start]       # types × rows
-            for tb in range(n_types):
-                sel = per_type[:, codes == tb].sum(axis=1)
-                for ta in np.nonzero(sel)[0]:
-                    key = (seg_types[ta], seg_types[tb])
-                    pair_counts[key] = pair_counts.get(key, 0) + int(sel[ta])
+            # One cumulative vector PER predecessor type, never the
+            # dense types×rows matrix (review fix: a heavy user made
+            # that O(types·events·8B) resident per bucket). Resident
+            # memory is now O(rows + types²); time stays O(types·rows).
+            mat = np.zeros((n_types, n_types), np.int64)
+            for ta in range(n_types):
+                cum_ta = np.concatenate(
+                    ([0], np.cumsum((codes == ta).astype(np.int64))))
+                # predecessors of row i of type ta: positions
+                # [start_i, i) — all strictly before row i in
+                # (ts, event_id) order under the mergesort above
+                wcount = cum_ta[pos] - cum_ta[start]
+                np.add.at(mat[ta], codes, wcount)        # int64-exact
+            for ta, tb in zip(*np.nonzero(mat)):
+                key = (seg_types[ta], seg_types[tb])
+                pair_counts[key] = pair_counts.get(key, 0) \
+                    + int(mat[ta, tb])
         if not pair_counts:
             return pd.DataFrame({"type_a": np.array([], object),
                                  "type_b": np.array([], object),

@@ -350,6 +350,13 @@ def q_spend_gini(sf_dir: str) -> pd.DataFrame:
     vals = [int(v) for v in vals_arr]
     cnts = [int(c) for c in cnts_arr]
     n = sum(cnts)
+    if n == 0 or sum(v * c for v, c in zip(vals, cnts)) == 0:
+        # Degenerate inputs (no orders, or all-zero total spend) have
+        # no defined Gini — emit zero rows; the SQL oracle pins the
+        # same via WHERE n > 0 AND s > 0.
+        return pd.DataFrame({"n_customers": pd.Series([], dtype=np.int64),
+                             "total_cents": pd.Series([], dtype=np.int64),
+                             "gini_bp": pd.Series([], dtype=np.int64)})
     s = 0       # Σ x_i
     s1 = 0      # Σ i·x_i, i = 1..n ascending
     rank = 0

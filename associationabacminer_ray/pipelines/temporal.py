@@ -701,8 +701,13 @@ def type_drift(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
         "n_even": piv[0].to_numpy(np.int64),
         "n_odd": piv[1].to_numpy(np.int64),
     })
-    share_even = (10000 * out["n_even"]) // n_even
-    share_odd = (10000 * out["n_odd"]) // n_odd
+    # Zero guard: a corpus whose events all fall on one day-parity
+    # leaves one total at 0 — define that half's share as 0 bp rather
+    # than dividing by zero (the SQL oracle pins the same CASE rule).
+    share_even = ((10000 * out["n_even"]) // n_even if n_even > 0
+                  else pd.Series(np.int64(0), index=out.index))
+    share_odd = ((10000 * out["n_odd"]) // n_odd if n_odd > 0
+                 else pd.Series(np.int64(0), index=out.index))
     out["share_diff_bp"] = np.abs(share_even - share_odd).astype(np.int64)
     return out
 

@@ -135,8 +135,9 @@ def run_bench() -> dict:
                 for itemset, est, _ in topk_rows]
         n_tx = res["n_transactions"]
         timings["sketch_topk_max_abs_err"] = int(max(errs))
-        timings["sketch_topk_max_rel_err_bp"] = int(
-            10000 * max(errs) / n_tx)
+        # pure integer arithmetic (repo convention): floordiv, no float
+        timings["sketch_topk_max_rel_err_bp"] = (
+            10000 * int(max(errs))) // int(n_tx)
         assert min(errs) >= 0  # space-saving never underestimates
 
     # ---- full windowed mine (read→supports→rules) on the bench corpus ----
@@ -204,7 +205,18 @@ def run_bench() -> dict:
         timings["curation_pipeline"] = dt
         timings["curation_docs_per_sec"] = round(n_docs_cur / dt, 1)
 
-    probe = _bandwidth_probe()
+    probe_min, probe_med = _bandwidth_probe()
+    # Probe-normalized headline: these pipelines are memory-bound
+    # (BASELINE.md §4), so wall time scales ~1/bandwidth INSIDE the
+    # validated 7-15 GB/s band observed across rounds. Outside that
+    # band (e.g. a 0.5 GB/s contended gate host) linearity does NOT
+    # hold — 1-core contention changes the parallelism story, not just
+    # bandwidth — so the probe is CLAMPED to the band edge and the
+    # record self-describes with probe_out_of_band so a degraded-host
+    # run can never over-credit the normalized number.
+    band_lo, band_hi = 7.0, 15.0
+    out_of_band = not (band_lo <= probe_med <= band_hi)
+    probe_clamped = min(max(probe_med, band_lo), band_hi)
     return {
         "metric": "itemset_sketch_partitioned_sec",
         "value": round(headline_sec, 3),
@@ -218,25 +230,30 @@ def run_bench() -> dict:
         # swings ~2x with external load (observed 7-15 GB/s single
         # thread), moving EVERY absolute timing with it — compare
         # ratios within a record, and use this probe across records
-        "bw_probe_gbs": probe,
-        # probe-normalized headline: these pipelines are memory-bound
-        # (BASELINE.md §4), so wall time scales ~1/bandwidth; normalizing
-        # to the 12 GB/s mid-range of the observed 7-15 swing makes
-        # cross-round comparisons meaningful when the gate lands on a
-        # loaded machine: t_norm = t_raw x probe / 12
-        "value_probe_normalized_12gbs": round(headline_sec * probe / 12.0, 3),
+        "bw_probe_gbs": probe_med,
+        "bw_probe_min_gbs": probe_min,
+        "probe_out_of_band": out_of_band,
+        "value_probe_normalized_12gbs": round(
+            headline_sec * probe_clamped / 12.0, 3),
     }
 
 
-def _bandwidth_probe() -> float:
+def _bandwidth_probe(samples: int = 3) -> tuple[float, float]:
     """Single-thread streaming-sum bandwidth (GB/s) — a fixed-cost
-    (~0.3 s) measure of the VM's current memory-subsystem state."""
+    (~1 s) measure of the VM's current memory-subsystem state.
+    Multi-sample: returns (min, median) so a single contention spike
+    can't masquerade as the machine's steady state."""
+    import statistics
+
     import numpy as np
 
     a = np.ones(250_000_000 // 8)
-    t0 = time.perf_counter()
-    a.sum()
-    return round(a.nbytes / (time.perf_counter() - t0) / 1e9, 1)
+    vals = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        a.sum()
+        vals.append(a.nbytes / (time.perf_counter() - t0) / 1e9)
+    return round(min(vals), 1), round(statistics.median(vals), 1)
 
 
 def run_scaling() -> dict:
@@ -263,6 +280,12 @@ def run_scaling() -> dict:
         f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
         f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # per-leg machine state so a host-tenancy swing between legs
+        # is visible in the record itself (BASELINE.md §6 incident)
+        f"bw_probe_gbs_{lo}": r_lo.get("bw_probe_gbs"),
+        f"bw_probe_gbs_{hi}": r_hi.get("bw_probe_gbs"),
+        "probe_out_of_band": bool(r_lo.get("probe_out_of_band")
+                                  or r_hi.get("probe_out_of_band")),
     }
 
 

@@ -570,10 +570,17 @@ class TestBmpCodec:
 
         from associationabacminer_ray.stages.multimodal import decode_bmp
 
+        # Full 54-byte header + pixel payload so the buffer passes the
+        # len(b) < 54 truncation guard and actually reaches the
+        # compression != 0 rejection branch (review fix: the old
+        # 34-byte buffer only ever exercised the truncation guard).
         info = struct.pack("<IiiHHI", 40, 2, 2, 1, 24, 1)  # compression=1
-        hdr = struct.pack("<2sIHHI", b"BM", 14 + 24, 0, 0, 54)
-        with pytest.raises(NotImplementedError):
-            decode_bmp(hdr + info)
+        info += b"\x00" * (40 - len(info))                 # pad to biSize=40
+        hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 16, 0, 0, 54)
+        payload = hdr + info + b"\x00" * 16                # past data_off
+        assert len(payload) >= 54 + 16
+        with pytest.raises(NotImplementedError, match="compression=1"):
+            decode_bmp(payload)
 
     def test_bmp_malformed_raises_not_struct_error(self):
         """'BM'-prefixed garbage must raise the stage's documented
