@@ -92,10 +92,18 @@ def score_policy(opr_transactions: pd.DataFrame, rules: pd.DataFrame,
         u_pos = u_tp  # window-scale degeneracy: precision trivially 1
         default_total = len(uniq)
     total = universe_total if universe_total is not None else default_total
+    return _confusion_metrics(c_tp, c_fn, u_tp, u_fn, u_pos, total,
+                              n_rules=int(len(rules)))
+
+
+def _confusion_metrics(c_tp: int, c_fn: int, u_tp: int, u_fn: int,
+                       u_pos: int, total: int, n_rules: int) -> dict:
+    """Shared confusion-matrix closure — identical formula for the
+    pandas and the distributed scorer, so the two paths can only differ
+    in the integer counts they feed in (pinned equal by the parity
+    test). Degenerate overrides mirror EnvPolicyEvaluator.py:231-244."""
     u_fp = max(0, u_pos - u_tp)
     u_tn = max(0, total - (u_tp + u_fn + u_fp))
-
-    # degenerate overrides (EnvPolicyEvaluator.py:231-244)
     precision = 1.0 if (u_tp + u_fp) == 0 else u_tp / (u_tp + u_fp)
     recall = 1.0 if (u_tp + u_fn) == 0 else u_tp / (u_tp + u_fn)
     specificity = 1.0 if (u_tn + u_fp) == 0 else u_tn / (u_tn + u_fp)
@@ -105,8 +113,69 @@ def score_policy(opr_transactions: pd.DataFrame, rules: pd.DataFrame,
         "c_tp": c_tp, "c_fn": c_fn, "u_tp": u_tp, "u_fn": u_fn,
         "u_fp": u_fp, "u_tn": u_tn, "precision": precision, "recall": recall,
         "specificity": specificity, "fpr": fpr, "accuracy": accuracy,
-        "n_rules": int(len(rules)),
+        "n_rules": n_rules,
     }
+
+
+def score_policy_ray(opr_transactions, rules: pd.DataFrame,
+                     universe_transactions=None,
+                     universe_total: int | None = None,
+                     num_buckets: int = 16) -> dict:
+    """Distributed ``score_policy``: transaction/universe sides are Ray
+    DATASETS that stream through partial-sum stages — nothing but
+    O(num_buckets) count rows ever reaches the driver (the fix for the
+    job-loop's window ``to_pandas()``, VERDICT r3 #1; reference
+    semantics src/eval/EnvPolicyEvaluator.py:202-252).
+
+    - policy broadcast: the (small, top-k-capped) rules frame goes
+      through the object store ONCE via ``ray.put``, read per task.
+    - c-pass: ``map_batches`` partial (n, tp) sums over the raw
+      transaction stream — no shuffle.
+    - u-pass: one hash(items)-bucketed shuffle; per bucket dedup →
+      classify → partial (distinct, allowed) sums. The universe side
+      (obs ∪ opr distinct transactions) reuses the same fused pass.
+
+    Returns the identical dict ``score_policy`` returns (same
+    ``_confusion_metrics`` closure; parity-pinned in tests)."""
+    import ray
+
+    from .analytics import bucketed_group_agg
+
+    rules_ref = ray.put(rules[["antecedent", "consequent"]]
+                        if len(rules) else rules)
+
+    def c_partial(b: pd.DataFrame) -> pd.DataFrame:
+        allowed = policy_allows(b, ray.get(rules_ref))
+        return pd.DataFrame({"n": [np.int64(len(b))],
+                             "tp": [np.int64(allowed.sum())]})
+
+    def dedup_allow(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates("items").reset_index(drop=True)
+        allowed = policy_allows(u, ray.get(rules_ref))
+        return pd.DataFrame({"n": [np.int64(len(u))],
+                             "tp": [np.int64(allowed.sum())]})
+
+    def sums(ds) -> tuple[int, int]:
+        df = ds.to_pandas()
+        return ((int(df["n"].sum()), int(df["tp"].sum()))
+                if len(df) else (0, 0))
+
+    n, c_tp = sums(opr_transactions.map_batches(
+        c_partial, batch_format="pandas"))
+    u_n, u_tp = sums(bucketed_group_agg(
+        opr_transactions.select_columns(["items"]), ["items"],
+        dedup_allow, num_buckets=num_buckets))
+    c_fn, u_fn = n - c_tp, u_n - u_tp
+    if universe_transactions is not None:
+        univ_n, u_pos = sums(bucketed_group_agg(
+            universe_transactions.select_columns(["items"]), ["items"],
+            dedup_allow, num_buckets=num_buckets))
+        default_total = univ_n
+    else:
+        u_pos, default_total = u_tp, u_n  # window-scale degeneracy
+    total = universe_total if universe_total is not None else default_total
+    return _confusion_metrics(c_tp, c_fn, u_tp, u_fn, u_pos, total,
+                              n_rules=int(len(rules)))
 
 
 def rbac_policy(transactions: pd.DataFrame, user_col: str = "conv_id") -> pd.DataFrame:

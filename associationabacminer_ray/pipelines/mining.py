@@ -37,7 +37,8 @@ from .rules import (
 def mine_window(transcripts_path: str, spec: WindowSpec, mode: str = "exact",
                 max_k: int = 2, min_support: int = 2, num_buckets: int = 64,
                 metric: str = "cscore", greedy: bool = False,
-                max_rounds: int = 10) -> dict:
+                max_rounds: int = 10, top_rules: int | None = None,
+                beta: float = 1.0) -> dict:
     """Mine one obs window; returns a policy dict (rules + stats),
     the abac_policies document analog (src/EnvAbacRuleMiner.py:207-232)."""
     t0 = time.perf_counter()
@@ -93,7 +94,13 @@ def mine_window(transcripts_path: str, spec: WindowSpec, mode: str = "exact",
         else:
             supports, constants = extract_constant_items(supports, n_tx)
         rules = rules_from_supports(supports, n_transactions=n_tx,
-                                    min_support=min_support)
+                                    min_support=min_support, beta=beta)
+        if top_rules is not None:
+            # policy-size cap BEFORE constant reinjection (the job-loop
+            # semantics, src/job/job_executor.py:120-130 analog): the
+            # head is taken over mined rules, constants rejoin every
+            # surviving rule afterwards
+            rules = rules.head(top_rules)
         rules = reinject_constant_items(rules, constants)
     return {
         "window_id": spec.window_id,

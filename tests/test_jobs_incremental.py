@@ -98,6 +98,20 @@ class TestJobs:
         second = run_jobs(corpus, jobs, results_dir=res_dir)
         assert (second["precision"] == -1.0).all()
 
+    def test_distributed_job_matches_pandas_parity(self, ray_session, corpus):
+        """The distributed run_one_job (mine_window + score_policy_ray,
+        VERDICT r3 #1) must reproduce the pandas path's scores
+        row-for-row — identical integer confusion counts, so identical
+        float metrics (shared _confusion_metrics closure)."""
+        from associationabacminer_ray.pipelines.jobs import run_one_job
+
+        jobs = generate_jobs(datetime(2024, 1, 1), datetime(2024, 1, 25),
+                             grid={"min_support": [2, 3]})[:3]
+        for job in jobs:
+            got = run_one_job(corpus, job, distributed=True)
+            want = run_one_job(corpus, job, distributed=False)
+            assert got == want, f"job {job.job_id}: {got} != {want}"
+
     def test_aggregate_scores_by_config(self, ray_session, corpus):
         from associationabacminer_ray.pipelines.evaluate import aggregate_scores
 
