@@ -144,3 +144,134 @@ def _to_object_ndarray(values):
     except ImportError:  # pragma: no cover
         pass
     return np.asarray(values)
+
+
+# --------------------------------------------------------------------------
+# Byte-level segmented polynomial hashing (VERDICT r3 #2): hash every
+# k-byte shingle / every \S+ token of a string column with NO per-piece
+# Python object. The UTF-8 buffer comes out of Arrow zero-copy; a
+# prefix-sum polynomial over the raw bytes gives any substring's hash as
+# (PS[e] − PS[s]) · P⁻ˢ in O(1), all mod 2⁶⁴ (P odd ⇒ invertible), then
+# a SplitMix64 finalize for avalanche. Hashes are pure functions of the
+# byte CONTENT (position cancels), so they are batch-split invariant —
+# pinned by a property test. Byte-level shingles equal char-level ones
+# on ASCII text and differ only on multi-byte code points (the standard
+# large-scale-dedup tradeoff; candidate recall, not correctness).
+
+_POLY_P = U64(0x9E3779B97F4A7C15 | 1)          # odd ⇒ invertible mod 2^64
+_POLY_P_INV = U64(pow(0x9E3779B97F4A7C15 | 1, -1, 1 << 64))
+
+
+def utf8_bytes_view(values) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 byte buffer, int64 offsets[n+1]) of a string column's
+    UTF-8 data — zero-copy when ``values`` is an Arrow string array;
+    one C-level conversion for pandas/numpy/list inputs. Nulls read as
+    empty strings. Offsets are ABSOLUTE positions into the buffer (an
+    Arrow slice may not start at 0)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = pd.Series(values)
+        arr = pa.array(arr.where(arr.notna(), ""), type=pa.large_string())
+    else:
+        arr = values
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(pc.cast(arr, pa.large_string()), "")
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int64, count=len(arr) + 1,
+                        offset=arr.offset * 8)
+    data = (np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None
+            else np.empty(0, np.uint8))
+    if off[0] != 0 or (len(off) and off[-1] != len(data)):
+        # sliced array: trim to the slice's byte range and rebase so
+        # out-of-slice bytes can never leak into a byte scan
+        data = data[off[0]:off[-1]]
+        off = off - off[0]
+    return data, off
+
+
+def poly_prefix(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """PS[i] = Σ_{j<i} (data[j]+1)·Pʲ and ipw[i] = P⁻ⁱ (mod 2⁶⁴).
+    The +1 keeps NUL bytes distinct from absent bytes."""
+    n = len(data)
+    pw = np.empty(n + 1, U64)
+    pw[0] = U64(1)
+    ipw = np.empty(n + 1, U64)
+    ipw[0] = U64(1)
+    ps = np.empty(n + 1, U64)
+    ps[0] = U64(0)
+    if n:
+        with np.errstate(over="ignore"):
+            np.cumprod(np.full(n, _POLY_P, U64), out=pw[1:])
+            np.cumprod(np.full(n, _POLY_P_INV, U64), out=ipw[1:])
+            np.cumsum((data.astype(U64) + U64(1)) * pw[:n], out=ps[1:])
+    return ps, ipw
+
+
+def segment_poly_hashes(ps: np.ndarray, ipw: np.ndarray,
+                        starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Content hash of each byte range [s, e): position-independent
+    (the P⁻ˢ factor cancels the global offset), SplitMix64-finalized."""
+    with np.errstate(over="ignore"):
+        raw = (ps[ends] - ps[starts]) * ipw[starts]
+        # fold in the length so a range of NULs differs from a shorter one
+        return splitmix64(raw ^ (ends - starts).astype(U64))
+
+
+def char_shingle_hashes_bytes(values, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte shingle hashes of every string, flattened, plus int64
+    doc offsets — the vectorized replacement for per-shingle Python
+    slicing. Strings shorter than k contribute ONE whole-text shingle
+    (empty included)."""
+    data, off = utf8_bytes_view(values)
+    lens = off[1:] - off[:-1]
+    counts = np.maximum(np.int64(1), lens - (k - 1))
+    out_off = np.empty(len(lens) + 1, np.int64)
+    out_off[0] = 0
+    np.cumsum(counts, out=out_off[1:])
+    total = int(out_off[-1])
+    starts = (np.arange(total, dtype=np.int64)
+              - np.repeat(out_off[:-1], counts)
+              + np.repeat(off[:-1], counts))
+    ends = np.minimum(starts + k, np.repeat(off[1:], counts))
+    ps, ipw = poly_prefix(data)
+    return segment_poly_hashes(ps, ipw, starts, ends), out_off
+
+
+# RE2 \S = [^\t\n\f\r ] — byte-exact at UTF-8 level (continuation bytes
+# are ≥ 0x80, never delimiters), so byte tokenization ≡ char tokenization
+_RE2_DELIM = np.zeros(256, bool)
+_RE2_DELIM[[9, 10, 12, 13, 32]] = True
+
+
+def re2_token_hashes(values) -> tuple[np.ndarray, np.ndarray]:
+    """Hash every ``\\S+`` token of every string (RE2 semantics, the
+    TokenStats/Chunker/SQL-oracle definition) with no per-token Python
+    object: byte-mask token spans + segmented polynomial hashing.
+    Returns (uint64 token hashes, int64 per-doc token offsets)."""
+    data, off = utf8_bytes_view(values)
+    n = len(data)
+    n_docs = len(off) - 1
+    if n == 0:
+        return np.empty(0, U64), np.zeros(n_docs + 1, np.int64)
+    is_tok = ~_RE2_DELIM[data]
+    prev = np.empty(n, bool)
+    prev[0] = False
+    prev[1:] = is_tok[:-1]
+    nxt = np.empty(n, bool)
+    nxt[-1] = False
+    nxt[:-1] = is_tok[1:]
+    # doc boundaries break token runs
+    doc_starts = off[:-1][off[:-1] < n]
+    prev[doc_starts] = False
+    doc_last = off[1:] - 1
+    doc_last = doc_last[(doc_last >= 0) & (doc_last < n)]
+    nxt[doc_last] = False
+    starts = np.nonzero(is_tok & ~prev)[0]
+    ends = np.nonzero(is_tok & ~nxt)[0] + 1
+    ps, ipw = poly_prefix(data)
+    hashes = segment_poly_hashes(ps, ipw, starts, ends)
+    tok_off = np.searchsorted(starts, off).astype(np.int64)
+    return hashes, tok_off

@@ -143,7 +143,7 @@ def minhash_candidate_pairs_ds(ds, num_perm: int = 64, num_bands: int = 16,
     cross-band duplicate pairs are deduped inside the verification's
     pair buckets instead of on the driver)."""
     exploded = ds.map_batches(
-        MinHashLSH, batch_format="pandas", concurrency=auto_concurrency(),
+        MinHashLSH, batch_format="pyarrow", concurrency=auto_concurrency(),
         fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands,
                                "shingle_k": shingle_k})
 
@@ -521,7 +521,7 @@ def q_containment_dups(sf_dir: str, window: int = 16, stride: int = 1,
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     exploded = ds.map_batches(
-        RollingWindowHashes, batch_format="pandas",
+        RollingWindowHashes, batch_format="pyarrow",
         concurrency=auto_concurrency(),
         fn_constructor_kwargs={"window": window, "stride": stride,
                                "winnow": winnow})
@@ -737,7 +737,7 @@ def q_benchmark_contamination(sf_dir: str, window: int = 16) -> pd.DataFrame:
 
     bench = (_docs(sf_dir, ["doc_id", "text"])
              .map_batches(side_filter(True), batch_format="pyarrow")
-             .map_batches(RollingWindowHashes, batch_format="pandas",
+             .map_batches(RollingWindowHashes, batch_format="pyarrow",
                           concurrency=auto_concurrency(),
                           fn_constructor_kwargs=kw))
     bench_hashes = np.unique(np.concatenate([
@@ -748,7 +748,7 @@ def q_benchmark_contamination(sf_dir: str, window: int = 16) -> pd.DataFrame:
 
     train = (_docs(sf_dir, ["doc_id", "text"])
              .map_batches(side_filter(False), batch_format="pyarrow")
-             .map_batches(RollingWindowHashes, batch_format="pandas",
+             .map_batches(RollingWindowHashes, batch_format="pyarrow",
                           concurrency=auto_concurrency(),
                           fn_constructor_kwargs=kw))
 

@@ -601,3 +601,120 @@ class TestBmpCodec:
         hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 32, 0, 0, 54)
         with pytest.raises(NotImplementedError):
             decode_bmp(hdr + info + b"\x00" * 32)
+
+
+class TestByteHashKernels:
+    """Byte-level segmented polynomial hashing (VERDICT r3 #2): the
+    vectorized shingle/token extraction must be a pure function of doc
+    content — batch-split invariant — and RollingWindowHashes must be
+    row-identical to the per-doc reference fold in every mode."""
+
+    @staticmethod
+    def _texts():
+        rng = np.random.default_rng(7)
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta",
+                 "eta", "theta"]
+        texts = [" ".join(rng.choice(words, int(n)))
+                 for n in rng.integers(0, 60, 40)]
+        texts += [texts[3] + " " + texts[5], "", "ab", "x\ty  z\nq",
+                  None]
+        return texts
+
+    def test_shingle_hashes_split_invariant_and_counts(self):
+        from associationabacminer_ray.functions.hashing import (
+            char_shingle_hashes_bytes,
+        )
+
+        texts = self._texts()
+        h, off = char_shingle_hashes_bytes(pd.Series(texts), k=5)
+        # per-doc counts match the Python-slicing definition
+        for i, t in enumerate(texts):
+            t = t or ""
+            assert off[i + 1] - off[i] == max(1, len(t) - 4)
+        # batch-split invariance: content-only hashes
+        for cut in (1, 7, len(texts) - 2):
+            h1, _ = char_shingle_hashes_bytes(pd.Series(texts[:cut]), k=5)
+            h2, _ = char_shingle_hashes_bytes(pd.Series(texts[cut:]), k=5)
+            assert np.array_equal(np.concatenate([h1, h2]), h)
+        # identical shingle content → identical hash across docs
+        ha, _ = char_shingle_hashes_bytes(pd.Series(["abcde", "zabcde"]), k=5)
+        assert ha[0] == ha[2]  # 'abcde' appears at both docs
+
+    def test_token_hashes_match_re2_and_content(self):
+        import re
+
+        from associationabacminer_ray.functions.hashing import (
+            re2_token_hashes,
+        )
+
+        texts = self._texts()
+        token_re = re.compile(r"[^\t\n\f\r ]+")
+        th, toff = re2_token_hashes(pd.Series(texts))
+        for i, t in enumerate(texts):
+            assert toff[i + 1] - toff[i] == len(token_re.findall(t or ""))
+        a, _ = re2_token_hashes(pd.Series(["hello world foo"]))
+        b, _ = re2_token_hashes(pd.Series(["world hello", "hello"]))
+        assert a[0] == b[1] == b[2] and a[1] == b[0]
+        assert len({int(x) for x in np.concatenate([a, b])}) == 3
+
+    def test_rolling_window_parity_with_per_doc_reference(self):
+        import re
+
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        from associationabacminer_ray.functions.hashing import (
+            mix_with_seed,
+            re2_token_hashes,
+        )
+        from associationabacminer_ray.stages.dedup import (
+            RollingWindowHashes,
+            _winnow_select,
+        )
+
+        texts = self._texts()
+        ids = np.arange(len(texts), dtype=np.int64)
+        batch = pd.DataFrame({"doc_id": ids, "text": texts})
+        token_re = re.compile(r"[^\t\n\f\r ]+")
+
+        def reference(window, stride, winnow, seed=17):
+            pos_mix = RollingWindowHashes(window=window, seed=seed).pos_mix
+            rows = []
+            for doc_id, t in zip(ids, batch["text"].fillna("")):
+                if len(token_re.findall(t)) < window:
+                    continue
+                th, _ = re2_token_hashes(pd.Series([t]))
+                h = mix_with_seed(th, seed)
+                win = sliding_window_view(h, window)[::stride]
+                with np.errstate(over="ignore"):
+                    folded = np.bitwise_xor.reduce(
+                        win * pos_mix[None, :], axis=1)
+                if winnow and len(folded) > winnow:
+                    folded = _winnow_select(folded, winnow)
+                for f in folded:
+                    rows.append((doc_id, f, len(folded)))
+            return pd.DataFrame(rows, columns=["doc_id", "win_hash",
+                                               "n_windows"])
+
+        for kw in ({}, {"stride": 3}, {"winnow": 12}, {"winnow": 4},
+                   {"window": 4, "winnow": 3}):
+            got = RollingWindowHashes(**kw)(batch).reset_index(drop=True)
+            want = reference(kw.get("window", 16), kw.get("stride", 1),
+                             kw.get("winnow", 0)).reset_index(drop=True)
+            assert len(got) == len(want) > 0
+            for c in ("doc_id", "win_hash", "n_windows"):
+                assert np.array_equal(got[c].to_numpy(),
+                                      want[c].to_numpy()), (kw, c)
+        # arrow and pandas inputs agree; split invariance
+        import pyarrow as pa
+
+        st = RollingWindowHashes(winnow=12)
+        arrow_out = st(pa.table(
+            {"doc_id": ids,
+             "text": pd.Series(texts).astype(object)})).to_pandas()
+        pandas_out = st(batch)
+        assert np.array_equal(arrow_out["win_hash"].to_numpy(),
+                              pandas_out["win_hash"].to_numpy())
+        st2 = RollingWindowHashes()
+        split = pd.concat([st2(batch.iloc[:17]), st2(batch.iloc[17:])],
+                          ignore_index=True)
+        assert split.equals(st2(batch).reset_index(drop=True))
