@@ -74,24 +74,57 @@ def q_transcripts_view(sf_dir: str):
 
 
 def _cached_event_transcripts_parquet(sf_dir: str) -> list[str]:
-    """Materialize the events→transcripts mapping to a /tmp parquet once
-    per sf level (deterministic) so the conv-partitioned pipelines can
-    run on it (one events file ⇒ no conversation spans shards)."""
+    """Materialize the events→transcripts mapping to /tmp parquet shards
+    once per sf level (deterministic) so the conv-partitioned pipelines
+    can run on it. STREAMED (VERDICT r3 #6): each conv-hash bucket is
+    written as its own file INSIDE the ``map_groups`` worker — no
+    full-table ``to_pandas`` on the driver, and per-file conversation
+    locality holds by construction (the partitioned pipeline's contract)
+    instead of by trusting block boundaries. Publish is atomic
+    (tmp-dir → rename), so a failed build never half-populates the
+    cache and a concurrent builder simply loses the rename race."""
+    import glob
     import os
 
     import pyarrow.parquet as pq
 
+    from ..functions.hashing import hash_strings
+
     tag = sf_dir.strip("/").replace("/", "_")
     out_dir = f"/tmp/graft_tr_cache/{tag}"
-    path = os.path.join(out_dir, "transcripts.parquet")
-    if not os.path.exists(path):
-        os.makedirs(out_dir, exist_ok=True)
-        df = transcripts_from_events(f"{sf_dir}/events.parquet") \
-            .to_pandas()[["conv_id", "role", "tool"]]
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
-                       path + ".tmp")
-        os.replace(path + ".tmp", path)
-    return [path]
+    if not os.path.isdir(out_dir):
+        num_buckets = 16
+        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
+
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[["conv_id", "role", "tool"]].copy()
+            b["bucket"] = (hash_strings(b["conv_id"])
+                           % np.uint64(num_buckets)).astype(np.int32)
+            return b
+
+        def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            bid = int(g["bucket"].iloc[0])
+            pq.write_table(
+                pa.Table.from_pandas(g.drop(columns=["bucket"]),
+                                     preserve_index=False),
+                f"{tmp_dir}/bucket_{bid:04d}.parquet")
+            return pd.DataFrame({"bucket": [bid],
+                                 "rows": [np.int64(len(g))]})
+
+        (transcripts_from_events(f"{sf_dir}/events.parquet")
+         .map_batches(add_bucket, batch_format="pandas")
+         .groupby("bucket")
+         .map_groups(write_bucket, batch_format="pandas")
+         .materialize())
+        try:
+            os.replace(tmp_dir, out_dir)
+        except OSError:
+            # another process published first; its cache is equivalent
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    return sorted(glob.glob(f"{out_dir}/*.parquet"))
 
 
 def q_support_weighted(sf_dir: str):
