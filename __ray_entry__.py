@@ -55,7 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from associationabacminer_ray.pipelines import universe as U
     from associationabacminer_ray.pipelines import mixture as MX
 
-    return {
+    q = {
         # mining / transcript pipelines (exact mode — oracle-checked)
         "transcripts_view": A.q_transcripts_view,
         "support_items": A.q_support_items,
@@ -260,6 +260,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (distributed wedge-check — the graph op beyond components)
         "copurchase_triangles": C.q_copurchase_triangles,
     }
+    # Driver-gate window ordering (VERDICT r3 #3): the driver's
+    # correctness recorder caps at ~50 entries in dict order, so the
+    # highest-risk evidence leads — the 17 pinned goldens (regression
+    # pins, not independently derived), the newest query families
+    # (mixture/packing, robust stats, graph, curation/assembly
+    # compositions), and every round-4 addition. The full 139-entry
+    # replay log lives in scripts/local_gate.py output (committed per
+    # round as GATE_REPLAY_r*.txt).
+    first = [
+        # pinned goldens
+        "greedy_policy", "windowed_mining", "windowed_sketch_sweep",
+        "policy_scores", "policy_scores_universe", "hll_role_convs",
+        "crosscorpus_dedup", "rule_audience_overlap", "simhash_bands",
+        "simhash_dups", "knn_ivf", "multimodal_features",
+        "value_quantiles_dd", "type_value_quantiles_dd",
+        "f2_moment_sketch", "kmeans_centroids", "weighted_sample",
+        # curation / assembly compositions + graph family
+        "curation_pipeline", "assembly_pipeline", "clean_pipeline",
+        "benchmark_contamination", "dedup_components",
+        "neardup_canonical", "label_centroids", "copurchase_triangles",
+        # mixture / packing family
+        "packed_chunks", "mixture_sample", "source_upsample",
+        "above_median_docs", "token_fertility",
+        # robust-stats / sequence family (round 3 wave)
+        "value_outliers", "type_drift", "user_streaks",
+        "spend_dense_rank", "weighted_median", "spend_gini",
+        "event_pairs_1h", "value_zscore_outliers", "hourly_share",
+        "token_len_hist", "orders_above_cust_avg", "moving_sum",
+        # dedup family (kernel rewrite this round)
+        "minhash_dups", "containment_dups", "ngram_dups",
+    ]
+    ordered = {k: q[k] for k in first}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 # closed-form plant eligibility (pipelines.text_pipelines:
