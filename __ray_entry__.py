@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f2_moment_sketch": S.q_f2_moment_sketch,
         "greedy_policy": S.q_greedy_policy,
         "windowed_mining": S.q_windowed_mining,
+        # derived-oracle twin of the mining chain (VERDICT r3 #5): same
+        # engine path over the events-derived transcripts, composed SQL
+        "windowed_mining_events": S.q_windowed_mining_events,
         "windowed_sketch_sweep": S.q_windowed_sketch_sweep,
         "policy_scores": S.q_policy_scores,
         "policy_scores_universe": S.q_policy_scores_universe,
@@ -270,7 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round as GATE_REPLAY_r*.txt).
     first = [
         # pinned goldens
-        "greedy_policy", "windowed_mining", "windowed_sketch_sweep",
+        "greedy_policy", "windowed_mining", "windowed_mining_events",
+        "windowed_sketch_sweep",
         "policy_scores", "policy_scores_universe", "hll_role_convs",
         "crosscorpus_dedup", "rule_audience_overlap", "simhash_bands",
         "simhash_dups", "knn_ivf", "multimodal_features",
@@ -896,6 +900,55 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ITEMS_CTE}
             SELECT conv_id, string_agg(item, ',' ORDER BY item) AS items
             FROM t GROUP BY conv_id
+        """,
+        # composed-SQL derivation of the full mine_windows chain
+        # (VERDICT r3 #5): per obs window — distinct (conv, item) pairs,
+        # the fused tx-count sentinel (n_tx = ALL distinct convs), the
+        # 64-item expansion guard (oversized convs contribute 1-itemsets
+        # only, so pairs exclude them while n_tx keeps them), min_support
+        # =2 on pairs, constant extraction (singles with support >= n_tx
+        # among the min_support survivors leave mining and prune every
+        # pair they touch below k=2), and rule expansion (each surviving
+        # pair yields exactly 2 rules at max_consequent=1)
+        "windowed_mining_events": """
+            WITH wins(window_id, lo, hi) AS (VALUES
+              ('obs-20240101-20240108', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+              ('obs-20240108-20240115', TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'),
+              ('obs-20240115-20240122', TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22'),
+              ('obs-20240122-20240129', TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29')),
+            t AS (SELECT DISTINCT w.window_id,
+                         'conv-' || CAST(e.user_id AS VARCHAR) AS conv_id,
+                         e.event_type || '=k' || regexp_extract(e.props, '[0-9]+') AS item
+                  FROM events e JOIN wins w ON e.ts >= w.lo AND e.ts < w.hi),
+            n AS (SELECT window_id, COUNT(DISTINCT conv_id) AS n_tx
+                  FROM t GROUP BY window_id),
+            sz AS (SELECT window_id, conv_id, COUNT(*) AS n_items
+                   FROM t GROUP BY window_id, conv_id),
+            singles AS (SELECT window_id, item, COUNT(*) AS c
+                        FROM t GROUP BY window_id, item),
+            consts AS (SELECT s.window_id, s.item
+                       FROM singles s JOIN n USING (window_id)
+                       WHERE s.c >= n.n_tx AND s.c >= 2),
+            pairs AS (SELECT a.window_id, a.item AS ia, b.item AS ib
+                      FROM t a
+                      JOIN t b ON a.window_id = b.window_id
+                             AND a.conv_id = b.conv_id AND a.item < b.item
+                      JOIN sz ON sz.window_id = a.window_id
+                             AND sz.conv_id = a.conv_id
+                      WHERE sz.n_items <= 64
+                      GROUP BY a.window_id, a.item, b.item
+                      HAVING COUNT(*) >= 2),
+            good AS (SELECT p.window_id FROM pairs p
+                     WHERE NOT EXISTS (SELECT 1 FROM consts c
+                                       WHERE c.window_id = p.window_id
+                                         AND c.item IN (p.ia, p.ib)))
+            SELECT w.window_id,
+                   CAST(COALESCE(n.n_tx, 0) AS BIGINT) AS n_transactions,
+                   CAST(2 * COALESCE(g.np, 0) AS BIGINT) AS n_rules
+            FROM wins w
+            LEFT JOIN n USING (window_id)
+            LEFT JOIN (SELECT window_id, COUNT(*) AS np
+                       FROM good GROUP BY window_id) g USING (window_id)
         """,
         "role_activity": """
             SELECT event_type AS role,

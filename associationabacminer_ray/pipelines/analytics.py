@@ -91,14 +91,16 @@ def _cached_event_transcripts_parquet(sf_dir: str) -> list[str]:
     from ..functions.hashing import hash_strings
 
     tag = sf_dir.strip("/").replace("/", "_")
-    out_dir = f"/tmp/graft_tr_cache/{tag}"
+    # _v2: carries ts so the windowed-mining derived-oracle twin can
+    # apply its window predicate on the same cache (VERDICT r3 #5)
+    out_dir = f"/tmp/graft_tr_cache_v2/{tag}"
     if not os.path.isdir(out_dir):
         num_buckets = 16
         tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
         os.makedirs(tmp_dir, exist_ok=True)
 
         def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[["conv_id", "role", "tool"]].copy()
+            b = b[["conv_id", "role", "tool", "ts"]].copy()
             b["bucket"] = (hash_strings(b["conv_id"])
                            % np.uint64(num_buckets)).astype(np.int32)
             return b

@@ -345,6 +345,31 @@ def q_windowed_mining(sf_dir: str) -> pd.DataFrame:
     ])
 
 
+def q_windowed_mining_events(sf_dir: str) -> pd.DataFrame:
+    """Derived-oracle twin of ``q_windowed_mining`` (VERDICT r3 #5): the
+    SAME ``mine_windows`` engine path — window pushdown read, transaction
+    formation, exact supports with the 64-item expansion guard and the
+    fused tx-count sentinel, constant extraction, rule expansion — run
+    over the events-derived transcripts, which DuckDB can recompute from
+    the ``events`` view. This turns the mining chain's pinned-golden
+    evidence into a composed-SQL derivation; the original pin stays for
+    the synthetic multi-shard corpus."""
+    from datetime import datetime
+
+    from .analytics import _cached_event_transcripts_parquet
+    from .mining import mine_windows
+
+    paths = _cached_event_transcripts_parquet(sf_dir)
+    results = mine_windows(paths, datetime(2024, 1, 1), datetime(2024, 1, 31),
+                           obs_days=7, opr_days=2, step_days=7,
+                           max_k=2, min_support=2)
+    return pd.DataFrame([
+        {"window_id": r["window_id"], "n_transactions": r["n_transactions"],
+         "n_rules": r["n_rules"]}
+        for r in results
+    ])
+
+
 def q_windowed_sketch_sweep(sf_dir: str) -> pd.DataFrame:
     """Sliding-window sketch sweep over the incremental daily store:
     each day's partials are built ONCE, every window is a merge of its
