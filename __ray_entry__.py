@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_mining_events": S.q_windowed_mining_events,
         "windowed_sketch_sweep": S.q_windowed_sketch_sweep,
         "policy_scores": S.q_policy_scores,
+        # derived-oracle twin of the mine->score chain (VERDICT r3 #5)
+        "policy_scores_events": S.q_policy_scores_events,
         "policy_scores_universe": S.q_policy_scores_universe,
         # near-dup / text / multimodal: planted-recovery or pinned-golden
         # oracles since r3 except simhash_bands and the Bernoulli sampler
@@ -275,7 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned goldens
         "greedy_policy", "windowed_mining", "windowed_mining_events",
         "windowed_sketch_sweep",
-        "policy_scores", "policy_scores_universe", "hll_role_convs",
+        "policy_scores", "policy_scores_events", "policy_scores_universe",
+        "hll_role_convs",
         "crosscorpus_dedup", "rule_audience_overlap", "simhash_bands",
         "simhash_dups", "knn_ivf", "multimodal_features",
         "value_quantiles_dd", "type_value_quantiles_dd",
@@ -900,6 +903,111 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ITEMS_CTE}
             SELECT conv_id, string_agg(item, ',' ORDER BY item) AS items
             FROM t GROUP BY conv_id
+        """,
+        # composed-SQL derivation of the mine->score policy chain
+        # (VERDICT r3 #5): obs supports (min_support=2, 64-item guard),
+        # rule expansion with cscore = (support_ab/n_tx +
+        # support_ab/support_a)/2 (IDENTICAL float64 op sequence to
+        # functions.scoring.cscore at beta=1), top-20 by (cscore DESC,
+        # antecedent, consequent), then the opr confusion matrix at
+        # transaction granularity with the observed obs UNION opr
+        # distinct-items universe (score_policy universe_transactions
+        # mode) and the _bp fold floor(x*1e4+0.5)
+        "policy_scores_events": """
+            WITH tr AS (SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                               event_type || '=k' || regexp_extract(props, '[0-9]+') AS item,
+                               ts
+                        FROM events),
+            obs AS (SELECT DISTINCT conv_id, item FROM tr
+                    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-22'),
+            opr AS (SELECT DISTINCT conv_id, item FROM tr
+                    WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'),
+            n_obs AS (SELECT COUNT(DISTINCT conv_id) AS n_tx FROM obs),
+            osz AS (SELECT conv_id, COUNT(*) AS n_items FROM obs GROUP BY conv_id),
+            s1 AS (SELECT item, COUNT(*) AS c FROM obs GROUP BY item
+                   HAVING COUNT(*) >= 2),
+            p2 AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS c
+                   FROM obs a JOIN obs b ON a.conv_id = b.conv_id AND a.item < b.item
+                   JOIN osz z ON z.conv_id = a.conv_id
+                   WHERE z.n_items <= 64
+                   GROUP BY a.item, b.item HAVING COUNT(*) >= 2),
+            rules_all AS (
+                SELECT ia AS antecedent, ib AS consequent,
+                       p2.c AS support_ab, sa.c AS support_a
+                FROM p2 JOIN s1 sa ON sa.item = p2.ia
+                UNION ALL
+                SELECT ib, ia, p2.c, sb.c
+                FROM p2 JOIN s1 sb ON sb.item = p2.ib),
+            pol AS (SELECT antecedent, consequent FROM rules_all, n_obs
+                    ORDER BY (CAST(support_ab AS DOUBLE) / CAST(n_tx AS DOUBLE)
+                              + CAST(support_ab AS DOUBLE) / CAST(support_a AS DOUBLE))
+                             / 2.0 DESC,
+                             antecedent, consequent
+                    LIMIT 20),
+            nr AS (SELECT COUNT(*) AS n_rules FROM pol),
+            obstx AS (SELECT conv_id, string_agg(item, ',' ORDER BY item) AS items
+                      FROM obs GROUP BY conv_id),
+            oprtx AS (SELECT conv_id, string_agg(item, ',' ORDER BY item) AS items
+                      FROM opr GROUP BY conv_id),
+            opr_allowed AS (
+                SELECT o.conv_id, o.items,
+                       EXISTS (SELECT 1 FROM pol r
+                               JOIN opr x ON x.conv_id = o.conv_id
+                                         AND x.item = r.antecedent
+                               JOIN opr y ON y.conv_id = o.conv_id
+                                         AND y.item = r.consequent) AS ok
+                FROM oprtx o),
+            obs_allowed AS (
+                SELECT o.conv_id, o.items,
+                       EXISTS (SELECT 1 FROM pol r
+                               JOIN obs x ON x.conv_id = o.conv_id
+                                         AND x.item = r.antecedent
+                               JOIN obs y ON y.conv_id = o.conv_id
+                                         AND y.item = r.consequent) AS ok
+                FROM obstx o),
+            cpass AS (SELECT COUNT(*) AS n,
+                             COALESCE(SUM(CASE WHEN ok THEN 1 ELSE 0 END), 0) AS tp
+                      FROM opr_allowed),
+            upass AS (SELECT COUNT(*) AS nu,
+                             COALESCE(SUM(CASE WHEN ok THEN 1 ELSE 0 END), 0) AS utp
+                      FROM (SELECT items, BOOL_OR(ok) AS ok
+                            FROM opr_allowed GROUP BY items)),
+            univ AS (SELECT COUNT(*) AS total,
+                            COALESCE(SUM(CASE WHEN ok THEN 1 ELSE 0 END), 0) AS upos
+                     FROM (SELECT items, BOOL_OR(ok) AS ok
+                           FROM (SELECT items, ok FROM obs_allowed
+                                 UNION ALL
+                                 SELECT items, ok FROM opr_allowed)
+                           GROUP BY items)),
+            m AS (SELECT cpass.tp AS c_tp, cpass.n - cpass.tp AS c_fn,
+                         upass.utp AS u_tp, upass.nu - upass.utp AS u_fn,
+                         GREATEST(0, univ.upos - upass.utp) AS u_fp,
+                         univ.total AS total, nr.n_rules AS n_rules
+                  FROM cpass, upass, univ, nr),
+            m2 AS (SELECT *,
+                          GREATEST(0, total - (u_tp + u_fn + u_fp)) AS u_tn
+                   FROM m)
+            SELECT CAST(c_tp AS BIGINT) AS c_tp, CAST(c_fn AS BIGINT) AS c_fn,
+                   CAST(u_tp AS BIGINT) AS u_tp, CAST(u_fn AS BIGINT) AS u_fn,
+                   CAST(u_fp AS BIGINT) AS u_fp, CAST(u_tn AS BIGINT) AS u_tn,
+                   CAST(n_rules AS BIGINT) AS n_rules,
+                   'obs-20240101-20240122' AS window_id,
+                   CAST(FLOOR((CASE WHEN u_tp + u_fp = 0 THEN 1.0
+                               ELSE CAST(u_tp AS DOUBLE) / (u_tp + u_fp) END)
+                              * 10000.0 + 0.5) AS BIGINT) AS precision_bp,
+                   CAST(FLOOR((CASE WHEN u_tp + u_fn = 0 THEN 1.0
+                               ELSE CAST(u_tp AS DOUBLE) / (u_tp + u_fn) END)
+                              * 10000.0 + 0.5) AS BIGINT) AS recall_bp,
+                   CAST(FLOOR((CASE WHEN u_tn + u_fp = 0 THEN 1.0
+                               ELSE CAST(u_tn AS DOUBLE) / (u_tn + u_fp) END)
+                              * 10000.0 + 0.5) AS BIGINT) AS specificity_bp,
+                   CAST(FLOOR((CASE WHEN u_fp + u_tn = 0 THEN 0.0
+                               ELSE CAST(u_fp AS DOUBLE) / (u_fp + u_tn) END)
+                              * 10000.0 + 0.5) AS BIGINT) AS fpr_bp,
+                   CAST(FLOOR((CASE WHEN total = 0 THEN 1.0
+                               ELSE CAST(u_tp + u_tn AS DOUBLE) / total END)
+                              * 10000.0 + 0.5) AS BIGINT) AS accuracy_bp
+            FROM m2
         """,
         # composed-SQL derivation of the full mine_windows chain
         # (VERDICT r3 #5): per obs window — distinct (conv, item) pairs,

@@ -422,6 +422,41 @@ def _mine_obs_policy(sf_dir: str, n_rules: int):
     return paths, spec, obs_tx, rules
 
 
+def q_policy_scores_events(sf_dir: str) -> pd.DataFrame:
+    """Derived-oracle twin of ``q_policy_scores`` (VERDICT r3 #5): the
+    SAME mine→score chain — obs-window supports, rule expansion +
+    cscore ranking, top-20 policy, opr-window confusion matrix with the
+    observed obs∪opr transaction universe — over the events-derived
+    transcripts so DuckDB recomputes every count (and the cscore
+    ordering) from the ``events`` view. Turns the policy-scoring
+    pinned-golden evidence into an independent SQL derivation."""
+    from datetime import datetime
+
+    from ..functions.windows import WindowSpec, read_window
+    from .analytics import _cached_event_transcripts_parquet
+    from .evaluate import score_policy
+    from .itemsets import exact_itemset_supports
+    from .itemsets import transactions as tx_pipeline
+    from .rules import rules_from_supports
+
+    paths = _cached_event_transcripts_parquet(sf_dir)
+    spec = WindowSpec(datetime(2024, 1, 1), datetime(2024, 1, 22),
+                      datetime(2024, 1, 22), datetime(2024, 1, 29))
+    obs = read_window(paths, spec, "obs", columns=["conv_id", "role", "tool"])
+    obs_tx = tx_pipeline(obs, num_buckets=8).to_pandas()
+    supports = exact_itemset_supports(obs, max_k=2, num_buckets=8,
+                                      min_support=2).to_pandas()
+    rules = rules_from_supports(supports, n_transactions=len(obs_tx),
+                                min_support=2).head(20)
+    opr = read_window(paths, spec, "opr", columns=["conv_id", "role", "tool"])
+    opr_tx = tx_pipeline(opr, num_buckets=8).to_pandas()
+    universe = pd.concat([obs_tx[["items"]], opr_tx[["items"]]],
+                         ignore_index=True)
+    scores = score_policy(opr_tx, rules, universe_transactions=universe)
+    scores["window_id"] = spec.window_id
+    return _fold_score_floats(pd.DataFrame([scores]))
+
+
 def q_policy_scores_universe(sf_dir: str) -> pd.DataFrame:
     """A11+A12 end-to-end at the reference's TRUE granularity: mine a
     policy on the obs window, turn its rules into enumerable statements,

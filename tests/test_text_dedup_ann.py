@@ -718,3 +718,52 @@ class TestByteHashKernels:
         split = pd.concat([st2(batch.iloc[:17]), st2(batch.iloc[17:])],
                           ignore_index=True)
         assert split.equals(st2(batch).reset_index(drop=True))
+
+
+class TestCrosscorpusBloomEnvelope:
+    """The Bloom-mode cross-corpus dedup pin (golden_oracles) is a
+    regression pin, not a derivation — this is the derived ENVELOPE
+    (VERDICT r3 #5): per-doc, Bloom membership must be a superset of
+    exact membership (no under-drop, ever — a Bloom has no false
+    negatives), and the over-drop count must sit inside the false-
+    positive budget the filter was sized for (fpr=1e-3, with wide
+    deterministic headroom)."""
+
+    def test_bloom_superset_and_fp_budget(self):
+        import ray
+
+        from associationabacminer_ray.functions.hashing import hash_strings
+        from associationabacminer_ray.pipelines.text_pipelines import (
+            _docs,
+            _ref_corpus_hashes,
+        )
+        from associationabacminer_ray.sketches import BloomFilter
+        from associationabacminer_ray.udaf import BloomAgg
+
+        ref_hashes = _ref_corpus_hashes(SF).materialize()
+        n_ref = ref_hashes.count()
+        shape = BloomFilter.for_capacity(max(n_ref, 1), fpr=0.001)
+        blob = ref_hashes.aggregate(
+            BloomAgg("h", num_bits=shape.num_bits,
+                     num_hashes=shape.num_hashes, alias="bloom"))["bloom"]
+        bloom = BloomFilter.from_bytes(blob)
+        exact = np.sort(np.concatenate(
+            [b["h"].to_numpy() for b in
+             ref_hashes.iter_batches(batch_format="pandas")]))
+
+        n_probes = 0
+        n_over = 0
+        for b in _docs(SF, ["doc_id", "text"]).iter_batches(
+                batch_format="pandas"):
+            h = hash_strings(b["text"])
+            seen_exact = np.isin(h, exact)
+            seen_bloom = bloom.contains_hashed(h)
+            # no under-drop: exact membership implies Bloom membership
+            assert not (seen_exact & ~seen_bloom).any()
+            n_probes += int((~seen_exact).sum())
+            n_over += int((seen_bloom & ~seen_exact).sum())
+        assert n_probes > 0
+        # fp budget: E[over-drop] = fpr * n_unseen; 20x + 5 headroom
+        # keeps the assertion deterministic-corpus-safe while still
+        # catching a mis-sized or corrupted filter outright
+        assert n_over <= 20 * 0.001 * n_probes + 5, (n_over, n_probes)
