@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from typing import Callable, Sequence
 
 import pandas as pd
@@ -47,25 +48,56 @@ def _part_path(ckpt_dir: str, pid: int) -> str:
 
 def write_partition(ckpt_dir: str, pid: int, sketches: dict[str, Sketch],
                     input_files: Sequence[str], row_count: int,
-                    cfg_hash: str) -> str:
+                    cfg_hash: str, wall_s: float | None = None) -> str:
     """Atomic write: tmp file + rename, so a killed run never leaves a
-    half-written partition that resume would trust."""
+    half-written partition that resume would trust. ``wall_s`` is the
+    partition's compute wall time — the per-partition metric record
+    (straggler/skew diagnosis on resume: a partition whose recompute
+    takes 10x its neighbors is a skewed shard)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     path = _part_path(ckpt_dir, pid)
     tmp = path + ".tmp"
+    n = len(sketches)
     tbl = pa.table(
         {
             "name": list(sketches.keys()),
             "blob": [s.to_bytes() for s in sketches.values()],
-            "partition_id": [pid] * len(sketches),
-            "input_files": [json.dumps(list(input_files))] * len(sketches),
-            "row_count": [row_count] * len(sketches),
-            "config_hash": [cfg_hash] * len(sketches),
+            "partition_id": [pid] * n,
+            "input_files": [json.dumps(list(input_files))] * n,
+            "row_count": [row_count] * n,
+            "config_hash": [cfg_hash] * n,
+            "wall_s": [float(wall_s) if wall_s is not None else -1.0] * n,
         }
     )
     pq.write_table(tbl, tmp)
     os.replace(tmp, path)
     return path
+
+
+def checkpoint_metrics(ckpt_dir: str) -> pd.DataFrame:
+    """Per-partition metrics table from a checkpoint directory: one row
+    per partition (partition_id, row_count, wall_s, n_sketches,
+    config_hash) — the run's lineage + metrics ledger. Pre-``wall_s``
+    checkpoints read as wall_s = -1 (unknown)."""
+    rows = []
+    if os.path.isdir(ckpt_dir):
+        for fname in sorted(os.listdir(ckpt_dir)):
+            if not (fname.startswith("part-") and fname.endswith(".parquet")):
+                continue
+            try:
+                t = pq.read_table(os.path.join(ckpt_dir, fname))
+            except Exception:
+                continue
+            if not t.num_rows:
+                continue
+            first = {c: t.column(c)[0].as_py() for c in
+                     ("partition_id", "row_count", "config_hash")}
+            wall = (t.column("wall_s")[0].as_py()
+                    if "wall_s" in t.column_names else -1.0)
+            rows.append((int(first["partition_id"]), int(first["row_count"]),
+                         float(wall), t.num_rows, first["config_hash"]))
+    return pd.DataFrame(rows, columns=["partition_id", "row_count", "wall_s",
+                                       "n_sketches", "config_hash"])
 
 
 def completed_partitions(ckpt_dir: str, cfg_hash: str,
@@ -126,8 +158,10 @@ def run_with_checkpoint(
             if ck_inputs == [str(path)]:
                 absorb(pq.read_table(ck_path).to_pandas())
                 continue
+        t0 = time.perf_counter()
         sketches, row_count = compute_partition(pid, path)
-        write_partition(ckpt_dir, pid, sketches, [path], row_count, cfg)
+        write_partition(ckpt_dir, pid, sketches, [path], row_count, cfg,
+                        wall_s=time.perf_counter() - t0)
         absorb(pd.DataFrame({"name": list(sketches.keys()),
                              "blob": [s.to_bytes() for s in sketches.values()]}))
     return merged

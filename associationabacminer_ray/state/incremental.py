@@ -21,6 +21,7 @@ with error bounds carried.
 
 from __future__ import annotations
 
+import time
 from datetime import datetime, timedelta
 
 import numpy as np
@@ -83,9 +84,11 @@ class DailySketchStore:
         while day < end:
             pid = _day_id(day)
             if pid not in done:
+                t0 = time.perf_counter()
                 sketches = self._build_day(transcripts_path, day)
                 write_partition(self.store_dir, pid, sketches,
-                                [str(transcripts_path)], 0, self.cfg)
+                                [str(transcripts_path)], 0, self.cfg,
+                                wall_s=time.perf_counter() - t0)
                 built += 1
             day += timedelta(days=1)
         return built

@@ -120,3 +120,30 @@ def test_resume_lineage_guard_reordered_files(tmp_path):
 def _lineage_compute(pid, path):
     h = hash_ints(np.arange(hash(path) % 50 + pid * 100, hash(path) % 50 + pid * 100 + 60))
     return ({"hll": HyperLogLog(p=10).update_hashed(h)}, 60)
+
+
+def test_checkpoint_metrics_ledger(tmp_path):
+    """The per-partition metrics reader (north-rule 'lineage + metrics'):
+    one row per partition with row_count and recorded wall_s; a
+    pre-wall_s checkpoint file reads as wall_s = -1, not an error."""
+    from associationabacminer_ray.state.checkpoint import checkpoint_metrics
+
+    files = [f"shard{i}" for i in range(4)]
+    cfg = {"v": 1}
+    run_with_checkpoint(files, str(tmp_path), _local_compute, cfg)
+    m = checkpoint_metrics(str(tmp_path)).sort_values("partition_id")
+    assert m["partition_id"].tolist() == [0, 1, 2, 3]
+    assert (m["row_count"] == 500).all()
+    assert (m["wall_s"] >= 0).all()
+    assert (m["n_sketches"] == 2).all()
+    # legacy file without the wall_s column: reader degrades to -1
+    import pyarrow.parquet as pq
+
+    path = os.path.join(str(tmp_path), "part-00000.parquet")
+    t = pq.read_table(path)
+    pq.write_table(t.drop_columns(["wall_s"]), path)
+    m2 = checkpoint_metrics(str(tmp_path)).sort_values("partition_id")
+    assert m2.loc[m2["partition_id"] == 0, "wall_s"].iloc[0] == -1.0
+    # resume still absorbs the legacy partition (schema tolerant)
+    merged = run_with_checkpoint(files, str(tmp_path), _local_compute, cfg)
+    assert merged["hll"].estimate() > 0
