@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_value_quantiles_dd": S.q_type_value_quantiles_dd,
         "f2_moment_sketch": S.q_f2_moment_sketch,
         "greedy_policy": S.q_greedy_policy,
+        # derived-oracle twin of one greedy round (VERDICT r3 #5)
+        "greedy_round1": S.q_greedy_round1,
         "windowed_mining": S.q_windowed_mining,
         # derived-oracle twin of the mining chain (VERDICT r3 #5): same
         # engine path over the events-derived transcripts, composed SQL
@@ -275,7 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round as GATE_REPLAY_r*.txt).
     first = [
         # pinned goldens
-        "greedy_policy", "windowed_mining", "windowed_mining_events",
+        "greedy_policy", "greedy_round1",
+        "windowed_mining", "windowed_mining_events",
         "windowed_sketch_sweep",
         "policy_scores", "policy_scores_events", "policy_scores_universe",
         "hll_role_convs",
@@ -903,6 +906,42 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ITEMS_CTE}
             SELECT conv_id, string_agg(item, ',' ORDER BY item) AS items
             FROM t GROUP BY conv_id
+        """,
+        # composed-SQL derivation of one greedy-cover round (VERDICT r3
+        # #5): uncapped expansion over the (one row per conv)
+        # transactions, min_support=2 candidates, cscore argmax with the
+        # best_rule tie-break (n_items is the constant 2 for k<=2 rules,
+        # so ties fall to antecedent/consequent), exact matched count
+        # (= pair support at round 0 — no covered-filter yet)
+        "greedy_round1": """
+            WITH t AS (SELECT DISTINCT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                              event_type || '=k' || regexp_extract(props, '[0-9]+') AS item
+                       FROM events),
+            n AS (SELECT COUNT(DISTINCT conv_id) AS n_tx FROM t),
+            s1 AS (SELECT item, COUNT(*) AS c FROM t GROUP BY item
+                   HAVING COUNT(*) >= 2),
+            p2 AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS c
+                   FROM t a JOIN t b ON a.conv_id = b.conv_id AND a.item < b.item
+                   GROUP BY a.item, b.item HAVING COUNT(*) >= 2),
+            rules AS (SELECT ia AS antecedent, ib AS consequent,
+                             p2.c AS support_ab, sa.c AS support_a
+                      FROM p2 JOIN s1 sa ON sa.item = p2.ia
+                      UNION ALL
+                      SELECT ib, ia, p2.c, sb.c
+                      FROM p2 JOIN s1 sb ON sb.item = p2.ib),
+            best AS (SELECT antecedent, consequent, support_ab, n_tx,
+                            (CAST(support_ab AS DOUBLE) / CAST(n_tx AS DOUBLE)
+                             + CAST(support_ab AS DOUBLE) / CAST(support_a AS DOUBLE))
+                            / 2.0 AS cscore
+                     FROM rules, n
+                     ORDER BY cscore DESC, antecedent, consequent
+                     LIMIT 1)
+            SELECT CAST(0 AS BIGINT) AS round, antecedent, consequent,
+                   CAST(support_ab AS BIGINT) AS support_ab,
+                   CAST(support_ab AS BIGINT) AS covered_this_round,
+                   CAST(n_tx AS BIGINT) AS uncovered_before,
+                   CAST(FLOOR(cscore * 10000.0 + 0.5) AS BIGINT) AS cscore_bp
+            FROM best
         """,
         # composed-SQL derivation of the mine->score policy chain
         # (VERDICT r3 #5): obs supports (min_support=2, 64-item guard),

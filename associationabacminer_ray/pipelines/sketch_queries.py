@@ -307,6 +307,28 @@ def q_greedy_policy(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_greedy_round1(sf_dir: str) -> pd.DataFrame:
+    """Derived-oracle twin for the greedy engine's ROUND ARITHMETIC
+    (VERDICT r3 #5): one greedy round over the events transactions —
+    uncapped itemset expansion, min_support=2 rule candidates, the
+    cscore argmax with the (fewer-constraints, lexicographic) tie-break,
+    and the exact matched-count — is a closed-form SQL argmax. The
+    multi-round loop (Bloom covered-filter, per-round recount) stays
+    evidenced by the ray-vs-pandas parity pytest; this pins the
+    per-round math to an independent derivation."""
+    tx = transactions(transcripts_from_events(f"{sf_dir}/events.parquet"),
+                      num_buckets=16)
+    out = greedy_cover_ray(tx, metric="cscore", max_rounds=1,
+                           min_support=2)
+    if "cscore" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in (
+            ("round", np.int64), ("antecedent", object), ("consequent", object),
+            ("support_ab", np.int64), ("covered_this_round", np.int64),
+            ("uncovered_before", np.int64), ("cscore_bp", np.int64))})
+    out["cscore_bp"] = _fold_bp_strict(out.pop("cscore"))
+    return out
+
+
 def _window_corpus_n(sf_dir: str) -> int:
     """ONE sizing map for every window-query fixture (duplicating it
     risks a corpus/daily-store size mismatch)."""
