@@ -19,7 +19,6 @@ comparable and the script refuses unless --force.
 """
 
 import argparse
-import glob
 import json
 import os
 import sys
@@ -96,13 +95,7 @@ def main():
     from associationabacminer_ray.pipelines.mixture import q_assembly_pipeline
 
     t0 = time.perf_counter()
-    out = q_assembly_pipeline(corpus)
-    # consume as a training job would: stream to partitioned parquet
-    out_path = f"{args.out}/packed"
-    os.makedirs(out_path, exist_ok=True)
-    for f in glob.glob(f"{out_path}/*.parquet"):
-        os.remove(f)
-    out = out.materialize()
+    out = q_assembly_pipeline(corpus).materialize()
     n_out = out.count()
     elapsed = time.perf_counter() - t0
     stats = out.stats()
