@@ -37,12 +37,18 @@ OFFSET = 10_000_000
 
 
 def membw_probe(samples: int = 5) -> float:
+    """Steady-state single-thread read bandwidth — the SAME measure as
+    bench.py's probe (ones + sum on a reused buffer). The previous
+    zeros+copy-per-sample form paid fresh page-fault/allocation cost
+    every sample and read 0.1 GB/s on hosts whose streaming bandwidth
+    (and actual pipeline throughput) were squarely in the healthy
+    band, so the gate refused on healthy machines."""
+    a = np.ones(250_000_000 // 8)
     vals = []
     for _ in range(samples):
-        a = np.zeros(2 ** 26, dtype=np.uint8)
         t = time.perf_counter()
-        a.copy()
-        vals.append(0.0625 / (time.perf_counter() - t))
+        a.sum()
+        vals.append(a.nbytes / (time.perf_counter() - t) / 1e9)
     return float(np.min(vals))
 
 
