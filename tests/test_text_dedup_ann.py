@@ -39,6 +39,49 @@ class TestTokenStats:
 
 
 class TestLangId:
+    def test_vectorized_parity_with_per_doc(self):
+        """The Arrow-vectorized predict (per-(lang,word) RE2 presence
+        sums) must equal the per-doc token-set reference on adversarial
+        inputs: boundary cases (digits/punct adjacent to stopwords),
+        multi-language mixes, ties, accents, empty/None."""
+        import pyarrow as pa
+
+        rng = np.random.default_rng(11)
+        vocab = (["the", "and", "of", "der", "und", "die", "el", "la",
+                  "le", "est", "de", "que", "un", "en", "is"]
+                 + ["xx", "the1", "1the", "thee", "a-the", "the.", ".de",
+                    "ZU", "Mit", "qué", "für", "naïve"])
+        texts = [" ".join(rng.choice(vocab, int(n)))
+                 for n in rng.integers(0, 30, 120)]
+        texts += ["", None, "the", "the the der der", "der1 el? la!",
+                  "de de de", "und,la;est", "THE AND OF", "äöü éè"]
+        stage = LangId()
+        preds_vec = stage._predict_arrow(
+            pa.compute.fill_null(pa.array(texts, pa.string()), ""))
+        preds_ref = [stage._predict_one(t or "") for t in texts]
+        assert preds_vec.to_pylist() == preds_ref
+
+    def test_stopword_alternation_parity(self):
+        """TokenStats' single-alternation stopword count must equal the
+        per-word \\b-count sum (distinct words occupy disjoint maximal
+        word runs, so the non-overlapping alternation count is exact)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        rng = np.random.default_rng(13)
+        vocab = ["the", "and", "of", "to", "a", "in", "is", "that",
+                 "for", "with", "a", "aa", "the1", "xthe", "a_a",
+                 "a.a", "in-to", "??", "IS"]
+        texts = [" ".join(rng.choice(vocab, int(n)))
+                 for n in rng.integers(0, 40, 100)]
+        texts += ["a a a", "athata", "that.that,that", ""]
+        stage = TokenStats()
+        lower = pc.utf8_lower(pa.array(texts, pa.string()))
+        got = pc.count_substring_regex(lower, stage.stop_pat).to_numpy()
+        want = sum(pc.count_substring_regex(lower, rf"\b{w}\b").to_numpy()
+                   for w in sorted(stage.stop))
+        assert np.array_equal(got, want)
+
     def test_profiles(self):
         df = pd.DataFrame({"text": [
             "the house and the garden of a friend is that way",
