@@ -266,6 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3: exact triangle count on the strong co-purchase graph
         # (distributed wedge-check — the graph op beyond components)
         "copurchase_triangles": C.q_copurchase_triangles,
+        # round 4: CMS inner-product join-cardinality estimation
+        # (Cormode-Muthukrishnan §4.2) + its exact distributed twin
+        "join_size_exact": S.q_join_size_exact,
+        "join_size_cms": S.q_join_size_cms,
     }
     # Driver-gate window ordering (VERDICT r3 #3): the driver's
     # correctness recorder caps at ~50 entries in dict order, so the
@@ -298,8 +302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_dense_rank", "weighted_median", "spend_gini",
         "event_pairs_1h", "value_zscore_outliers", "hourly_share",
         "token_len_hist", "orders_above_cust_avg", "moving_sum",
-        # dedup family (kernel rewrite this round)
+        # dedup family (kernel rewrite round 4)
         "minhash_dups", "containment_dups", "ngram_dups",
+        # round-4 additions
+        "join_size_exact", "join_size_cms",
     ]
     ordered = {k: q[k] for k in first}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2469,6 +2475,10 @@ def oracle_sql() -> dict[str, str]:
         # exact triangles on the strong co-purchase graph: every
         # triangle {a<b<c} counted once as wedge (b,c) at min node a —
         # pipelines.components.copurchase_triangles
+        "join_size_exact": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_join
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        """,
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

@@ -19,9 +19,10 @@ import ray.data as rd
 from ..functions.hashing import hash_any
 from ..pipelines.itemsets import sketched_itemset_supports, transactions
 from ..pipelines.rules import greedy_cover_ray
-from ..sketches import CountSketch, ThetaKMV
+from ..sketches import CountMinSketch, CountSketch, ThetaKMV
 from ..sources.transcripts import transcripts_from_events
 from ..udaf import (
+    CmsAgg,
     CountSketchAgg,
     DDSketchAgg,
     HllAgg,
@@ -550,3 +551,87 @@ def _fold_score_floats(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype.kind == "f":
             df[c + "_bp"] = _fold_bp_strict(df.pop(c))
     return df
+
+# --------------------------------------------------------------- join size
+# CMS inner-product join-cardinality estimation (Cormode & Muthukrishnan,
+# "An improved data stream summary: the count-min sketch and its
+# applications", §4.2) — the classic sketch answer to "how big would this
+# join be?" without running it. The reference's msearch count probes
+# (src/eval/EnvPolicyEvaluator.py:200-240) answer per-rule conjunctive
+# cardinalities; this is the same question asked of a KEY EQUI-JOIN, at
+# one O(width·depth) blob per side instead of a shuffle.
+
+JOIN_CMS_WIDTH = 1 << 15
+JOIN_CMS_DEPTH = 4
+JOIN_CMS_SEED = 7
+
+
+def _column_cms(path: str, col: str, width: int, depth: int,
+                seed: int) -> "CountMinSketch":
+    """One CMS over a parquet column: pruned read → per-batch hash →
+    ONE global CmsAgg (per-block partial sketches, element-wise int64
+    merge — associative and bit-identical across partition splits).
+    No shuffle; one ~width·depth·8-byte blob reaches the driver."""
+
+    ds = rd.read_parquet(path, columns=[col])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(hash_any(t[col]))})
+
+    agg = ds.map_batches(add_h, batch_format="pyarrow").aggregate(
+        CmsAgg("h", width=width, depth=depth, seed=seed, alias="cms"))
+    return CountMinSketch.from_bytes(bytes(agg["cms"]))
+
+
+def q_join_size_cms(sf_dir: str, width: int = JOIN_CMS_WIDTH,
+                    depth: int = JOIN_CMS_DEPTH,
+                    seed: int = JOIN_CMS_SEED) -> pd.DataFrame:
+    """Estimated |events ⋈ orders ON user_id = o_custkey| from two
+    independently-built CMSes: ``min_d Σ_w A_d·B_d``. Overestimate-
+    only; error ≤ ε·|A|·|B| w.p. 1−δ (pytest-asserted against the
+    exact twin ``q_join_size_exact``). Deterministic: fixed seed +
+    integer merges → pinned-golden oracle, cross-CPU validated."""
+    a = _column_cms(f"{sf_dir}/events.parquet", "user_id",
+                    width, depth, seed)
+    b = _column_cms(f"{sf_dir}/orders.parquet", "o_custkey",
+                    width, depth, seed)
+    return pd.DataFrame({"n_join_est": [np.int64(a.inner_product(b))]})
+
+
+def q_join_size_exact(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Exact |events ⋈ orders ON user_id = o_custkey| WITHOUT
+    materializing the join: per-side per-key counts (per-batch
+    combiners → one keyed bucket shuffle each), then per-bucket
+    count-products summed — the join's cardinality is
+    Σ_key n_a(key)·n_b(key). Only (key, count) rows ever shuffle, so
+    the exchange is bounded by distinct keys, not rows. Product sums
+    run in Python-int arithmetic (a hot key's n_a·n_b can exceed int64
+    at 10¹²-row scale) and the final count is emitted int64."""
+    from .analytics import bucketed_group_agg
+
+    def keyed_counts(path: str, col: str, side: int) -> "rd.Dataset":
+        ds = rd.read_parquet(path, columns=[col])
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(col, sort=False).size().reset_index(name="n")
+            return pd.DataFrame({"key": g[col].astype(np.int64),
+                                 "n": g["n"].astype(np.int64),
+                                 "side": np.int8(side)})
+
+        return ds.map_batches(partial, batch_format="pandas")
+
+    both = keyed_counts(f"{sf_dir}/events.parquet", "user_id", 0).union(
+        keyed_counts(f"{sf_dir}/orders.parquet", "o_custkey", 1))
+
+    def bucket_product(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["key", "side"], sort=False)["n"].sum()
+             .unstack("side", fill_value=0))
+        if 0 not in m.columns or 1 not in m.columns:
+            return pd.DataFrame({"part": np.array([], object)})
+        tot = int((m[0].astype(object) * m[1].astype(object)).sum())
+        return pd.DataFrame({"part": np.array([tot], object)})
+
+    parts = bucketed_group_agg(both, ["key"], bucket_product,
+                               num_buckets=num_buckets).to_pandas()
+    total = int(sum(parts["part"])) if len(parts) else 0
+    return pd.DataFrame({"n_join": [np.int64(total)]})

@@ -81,6 +81,22 @@ class CountMinSketch(Sketch):
     def estimate_one(self, hashed_key: int) -> int:
         return int(self.estimate_hashed(np.array([hashed_key], dtype=np.uint64))[0])
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size estimate (Cormode & Muthukrishnan §4.2): for two
+        multisets A, B sketched with IDENTICAL (width, depth, seed),
+        ``min_d Σ_w A_d[w]·B_d[w]`` estimates ``Σ_key a(key)·b(key)``
+        = |A ⋈ B|. Always an OVERestimate; with probability 1−δ the
+        error is ≤ ε·|A|·|B| (ε = e/width, δ = e^−depth). Sums run in
+        exact Python-int arithmetic — a row dot can exceed int64 at
+        10¹²-row scale."""
+        self._check_mergeable(other, "width", "depth", "seed")
+        best: int | None = None
+        for d in range(self.depth):
+            row = int(np.sum(self.table[d].astype(object)
+                             * other.table[d].astype(object)))
+            best = row if best is None else min(best, row)
+        return int(best or 0)
+
     # -- merge / serialize --------------------------------------------
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         self._check_mergeable(other, "width", "depth", "seed")

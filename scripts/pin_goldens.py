@@ -63,6 +63,12 @@ GOLDEN = [
     # weighted A-ES sample: per-row keys are pure hash functions, top-k
     # merge deterministic — cross-CPU validated like every pin
     "weighted_sample",
+    # CMS inner-product join-size estimate: table cells are int64 sums
+    # (merge-order independent, bit-identical across partition splits),
+    # inner product a pure function of the two tables — cross-CPU
+    # validated; bounded vs the DERIVED exact twin (join_size_exact)
+    # both in pytest and by the gate running the pair side by side
+    "join_size_cms",
     # NOT pinnable: pfa_features (gram-matrix float partials depend on
     # batch boundaries, so results shift with num_cpus; pytest checks it
     # against direct numpy instead), sketch_topk/value_quantiles

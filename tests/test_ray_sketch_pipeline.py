@@ -255,3 +255,43 @@ class TestNewSketchUDAFs:
             ests.append(sk.f2_estimate())
         assert ests[0] == ests[1]
         assert abs(ests[0] - f2) <= 4.0 * np.sqrt(2.0 / (1 << 13)) * f2
+
+
+class TestJoinSizeEstimate:
+    """CMS inner-product join-cardinality estimation through the real
+    Ray pipelines: overestimate-only, within the ε·|A|·|B| bound, and
+    the exact twin matches a brute-force pandas join."""
+
+    def test_cms_vs_exact_within_bound(self, ray_session):
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            JOIN_CMS_WIDTH,
+            q_join_size_cms,
+            q_join_size_exact,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = int(q_join_size_exact(sf)["n_join"][0])
+        est = int(q_join_size_cms(sf)["n_join_est"][0])
+        ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+        od = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey"])
+        brute = len(ev.merge(od, left_on="user_id", right_on="o_custkey"))
+        assert exact == brute
+        assert est >= exact
+        assert est <= exact + (np.e / JOIN_CMS_WIDTH) * len(ev) * len(od)
+
+    def test_exact_empty_overlap(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            q_join_size_cms,
+            q_join_size_exact,
+        )
+
+        pq.write_table(pa.table({"user_id": pa.array([1, 2, 3], pa.int64())}),
+                       tmp_path / "events.parquet")
+        pq.write_table(pa.table({"o_custkey": pa.array([7, 8], pa.int64())}),
+                       tmp_path / "orders.parquet")
+        assert int(q_join_size_exact(str(tmp_path))["n_join"][0]) == 0
+        # disjoint tiny key sets in a wide table: no collisions → 0
+        assert int(q_join_size_cms(str(tmp_path))["n_join_est"][0]) == 0

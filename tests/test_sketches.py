@@ -108,6 +108,41 @@ class TestCMS:
         cms = CountMinSketch.for_error(epsilon=0.001, delta=0.01)
         assert cms.epsilon <= 0.001 and cms.delta <= 0.011
 
+    def test_inner_product_exact_when_collision_free(self):
+        # disjoint small key sets in a wide table: no collisions, so
+        # the inner product equals the true join size exactly
+        a_keys = np.repeat(np.arange(20), np.arange(1, 21))       # key i ×(i+1)
+        b_keys = np.repeat(np.arange(10, 30), 3)                  # keys 10..29 ×3
+        a = CountMinSketch(width=1 << 14, depth=4).update_hashed(hash_ints(a_keys))
+        b = CountMinSketch(width=1 << 14, depth=4).update_hashed(hash_ints(b_keys))
+        ua, ca = np.unique(a_keys, return_counts=True)
+        ub, cb = np.unique(b_keys, return_counts=True)
+        truth = sum(int(ca[list(ua).index(k)]) * int(cb[list(ub).index(k)])
+                    for k in set(ua) & set(ub))
+        assert a.inner_product(b) == truth
+
+    def test_inner_product_bound_and_overestimate(self):
+        rng = np.random.default_rng(5)
+        a_keys = rng.zipf(1.6, 50_000) % 4000
+        b_keys = rng.zipf(1.6, 30_000) % 4000
+        a = CountMinSketch(width=1 << 12, depth=4).update_hashed(hash_ints(a_keys))
+        b = CountMinSketch(width=1 << 12, depth=4).update_hashed(hash_ints(b_keys))
+        ua, ca = np.unique(a_keys, return_counts=True)
+        ub, cb = np.unique(b_keys, return_counts=True)
+        common, ia, ib = np.intersect1d(ua, ub, return_indices=True)
+        truth = int(np.sum(ca[ia].astype(object) * cb[ib].astype(object)))
+        est = a.inner_product(b)
+        assert est >= truth  # inner product never underestimates
+        assert est <= truth + a.epsilon * len(a_keys) * len(b_keys)
+
+    def test_inner_product_requires_same_params(self):
+        a = CountMinSketch(width=128, depth=3)
+        for bad in (CountMinSketch(width=64, depth=3),
+                    CountMinSketch(width=128, depth=2),
+                    CountMinSketch(width=128, depth=3, seed=9)):
+            with pytest.raises(ValueError):
+                a.inner_product(bad)
+
 
 # ---------------------------------------------------------------- HLL
 class TestHLL:
