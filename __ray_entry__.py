@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (Cormode-Muthukrishnan §4.2) + its exact distributed twin
         "join_size_exact": S.q_join_size_exact,
         "join_size_cms": S.q_join_size_cms,
+        # round 4: dyadic-CMS range counting + its exact twin
+        "range_count_exact": S.q_range_count_exact,
+        "range_count_cms": S.q_range_count_cms,
     }
     # Driver-gate window ordering (VERDICT r3 #3): the driver's
     # correctness recorder caps at ~50 entries in dict order, so the
@@ -306,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dups", "containment_dups", "ngram_dups",
         # round-4 additions
         "join_size_exact", "join_size_cms",
+        "range_count_exact", "range_count_cms",
     ]
     ordered = {k: q[k] for k in first}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2475,6 +2479,16 @@ def oracle_sql() -> dict[str, str]:
         # exact triangles on the strong co-purchase graph: every
         # triangle {a<b<c} counted once as wedge (b,c) at min node a —
         # pipelines.components.copurchase_triangles
+        "range_count_exact": """
+            SELECT r.lo_bp, r.hi_bp,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+                    WHERE CAST(FLOOR(e.value * 10000 + 0.5) AS BIGINT)
+                          BETWEEN r.lo_bp AND r.hi_bp) AS n_rows
+            FROM (VALUES (CAST(0 AS BIGINT), CAST(99999 AS BIGINT)),
+                         (100000, 499999),
+                         (500000, 1499999),
+                         (1500000, 16777215)) AS r(lo_bp, hi_bp)
+        """,
         "join_size_exact": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_join
             FROM events e JOIN orders o ON e.user_id = o.o_custkey

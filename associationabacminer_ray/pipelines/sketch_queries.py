@@ -635,3 +635,126 @@ def q_join_size_exact(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
                                num_buckets=num_buckets).to_pandas()
     total = int(sum(parts["part"])) if len(parts) else 0
     return pd.DataFrame({"n_join": [np.int64(total)]})
+
+
+# ----------------------------------------------------------- range counts
+# Dyadic-decomposition CMS range counting (Cormode & Muthukrishnan §4.2,
+# "range queries"): update every dyadic prefix of the folded value once,
+# answer COUNT(value BETWEEN a AND b) as the sum of ≤2·bits CMS point
+# estimates over the canonical dyadic cover — overestimate-only, like
+# every CMS read. One sketch blob answers ANY range afterwards; the
+# update cost is `bits` prefixes/row (pre-aggregated per batch so the
+# real cost is distinct-values × bits, not rows × bits).
+
+RANGE_CMS_BITS = 24          # universe: folded value ∈ [0, 2^24) bp
+RANGE_CMS_WIDTH = 1 << 16
+RANGE_CMS_DEPTH = 4
+RANGE_CMS_SEED = 7
+# fixed report ranges (bp of events.value): ~median splits + full tail
+RANGE_QUERIES_BP = ((0, 99_999), (100_000, 499_999),
+                    (500_000, 1_499_999), (1_500_000, (1 << 24) - 1))
+
+
+def dyadic_cover(a: int, b: int, bits: int) -> list[tuple[int, int]]:
+    """Canonical disjoint dyadic cover of the INCLUSIVE integer range
+    [a, b] within [0, 2^bits): at level ℓ, cell key k covers
+    [k·2^ℓ, (k+1)·2^ℓ). At most 2·bits cells (property-tested:
+    disjoint, exact union)."""
+    if not (0 <= a <= b < (1 << bits)):
+        raise ValueError(f"range [{a}, {b}] outside universe [0, 2^{bits})")
+    out: list[tuple[int, int]] = []
+    level = 0
+    while a <= b:
+        if a & 1:
+            out.append((level, a))
+            a += 1
+        if b & 1 == 0:
+            out.append((level, b))
+            b -= 1
+        if a > b:
+            break
+        a >>= 1
+        b >>= 1
+        level += 1
+    return out
+
+
+def _dyadic_cell_hashes(levels: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Collision-free (level, key) → uint64 encoding, then the standard
+    mix. key < 2^58 holds for any bits ≤ 58."""
+    from ..functions.hashing import hash_ints
+
+    enc = (keys.astype(np.uint64) << np.uint64(6)) | levels.astype(np.uint64)
+    return hash_ints(enc.astype(np.int64))
+
+
+def q_range_count_cms(sf_dir: str, bits: int = RANGE_CMS_BITS,
+                      width: int = RANGE_CMS_WIDTH,
+                      depth: int = RANGE_CMS_DEPTH,
+                      seed: int = RANGE_CMS_SEED,
+                      ranges: tuple = RANGE_QUERIES_BP) -> pd.DataFrame:
+    """Estimated row counts of fixed value-ranges from ONE dyadic CMS
+    over folded (bp) events.value. The folded value must lie in
+    [0, 2^bits) — out-of-universe input raises rather than silently
+    clips. Deterministic (int64 merges) → pinned-golden oracle; the
+    derived exact twin is ``q_range_count_exact`` and the overestimate
+    bound is pytest-asserted."""
+    from ..functions.scoring import fold_bp
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def prefixes(t: pa.Table) -> pd.DataFrame:
+        v = fold_bp(t["value"].to_numpy(zero_copy_only=False))
+        if v.size and (v.min() < 0 or v.max() >= (1 << bits)):
+            raise ValueError("folded value outside the dyadic universe")
+        # pre-aggregate: distinct values × bits cells, not rows × bits
+        uniq, cnt = np.unique(v, return_counts=True)
+        lv = np.repeat(np.arange(bits, dtype=np.uint64), uniq.size)
+        ky = (uniq[None, :].astype(np.uint64)
+              >> np.arange(bits, dtype=np.uint64)[:, None]).ravel()
+        wt = np.tile(cnt.astype(np.int64), bits)
+        g = pd.DataFrame({"h": _dyadic_cell_hashes(lv, ky), "n": wt})
+        return g.groupby("h", sort=False)["n"].sum().reset_index()
+
+    agg = ds.map_batches(prefixes, batch_format="pyarrow").aggregate(
+        CmsAgg("h", width=width, depth=depth, seed=seed,
+               weight_col="n", alias="cms"))
+    sk = CountMinSketch.from_bytes(bytes(agg["cms"]))
+    rows = []
+    for lo, hi in ranges:
+        cells = dyadic_cover(lo, hi, bits)
+        lv = np.array([c[0] for c in cells], np.uint64)
+        ky = np.array([c[1] for c in cells], np.uint64)
+        est = int(sk.estimate_hashed(_dyadic_cell_hashes(lv, ky))
+                  .astype(object).sum())
+        rows.append((np.int64(lo), np.int64(hi), np.int64(est)))
+    return pd.DataFrame(rows, columns=["lo_bp", "hi_bp", "n_rows_est"])
+
+
+def q_range_count_exact(sf_dir: str,
+                        ranges: tuple = RANGE_QUERIES_BP) -> pd.DataFrame:
+    """Exact twin of ``q_range_count_cms``: per-batch partial counts
+    per report range (ranges × blocks rows to the driver — no
+    shuffle), identical fold semantics, SQL-derived oracle."""
+    from ..functions.scoring import fold_bp
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    lohi = np.array(ranges, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = fold_bp(t["value"].to_numpy(zero_copy_only=False))
+        n = [(np.int64((v >= lo) & (v <= hi)).sum() if v.size else 0)
+             for lo, hi in lohi]
+        return pd.DataFrame({"lo_bp": lohi[:, 0], "hi_bp": lohi[:, 1],
+                             "n_rows": np.asarray(n, np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby(["lo_bp", "hi_bp"], sort=False)["n_rows"].sum()
+           .reset_index())
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    # report order = the fixed RANGE_QUERIES_BP order
+    order = {tuple(r): i for i, r in enumerate(lohi.tolist())}
+    out["_o"] = [order[(lo, hi)] for lo, hi in
+                 zip(out["lo_bp"], out["hi_bp"])]
+    return (out.sort_values("_o").drop(columns="_o")
+            .reset_index(drop=True))

@@ -63,6 +63,9 @@ GOLDEN = [
     # weighted A-ES sample: per-row keys are pure hash functions, top-k
     # merge deterministic — cross-CPU validated like every pin
     "weighted_sample",
+    # dyadic-CMS range counts: same int64 merge-order-exact argument as
+    # join_size_cms; bounded vs the DERIVED exact twin (range_count_exact)
+    "range_count_cms",
     # CMS inner-product join-size estimate: table cells are int64 sums
     # (merge-order independent, bit-identical across partition splits),
     # inner product a pure function of the two tables — cross-CPU

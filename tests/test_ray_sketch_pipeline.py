@@ -295,3 +295,73 @@ class TestJoinSizeEstimate:
         assert int(q_join_size_exact(str(tmp_path))["n_join"][0]) == 0
         # disjoint tiny key sets in a wide table: no collisions → 0
         assert int(q_join_size_cms(str(tmp_path))["n_join_est"][0]) == 0
+
+
+class TestRangeCountCMS:
+    """Dyadic-decomposition CMS range counting: cover correctness
+    (property), overestimate-only + bound vs the exact twin."""
+
+    def test_dyadic_cover_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            dyadic_cover,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1))
+        def check(x, y):
+            a, b = min(x, y), max(x, y)
+            cells = dyadic_cover(a, b, 16)
+            assert len(cells) <= 2 * 16
+            # disjoint and union == [a, b]: total size + boundary check
+            total = 0
+            for lv, k in cells:
+                s, e = k << lv, (k + 1) << lv
+                assert a <= s and e - 1 <= b
+                total += e - s
+            assert total == b - a + 1
+            starts = sorted(k << lv for lv, k in cells)
+            ends = sorted((k + 1) << lv for lv, k in cells)
+            assert starts[0] == a and ends[-1] == b + 1
+            assert all(e == s for s, e in zip(starts[1:], ends[:-1]))
+
+        check()
+
+    def test_out_of_universe_raises(self):
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            dyadic_cover,
+        )
+
+        with pytest.raises(ValueError):
+            dyadic_cover(0, 1 << 24, 24)
+        with pytest.raises(ValueError):
+            dyadic_cover(-1, 5, 24)
+
+    def test_cms_vs_exact_within_bound(self, ray_session):
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            RANGE_CMS_BITS,
+            RANGE_CMS_WIDTH,
+            q_range_count_cms,
+            q_range_count_exact,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        ex = q_range_count_exact(sf)
+        est = q_range_count_cms(sf)
+        m = ex.merge(est, on=["lo_bp", "hi_bp"])
+        assert len(m) == len(ex)
+        over = m["n_rows_est"] - m["n_rows"]
+        assert (over >= 0).all()  # dyadic CMS sums never underestimate
+        # shared-sketch bound: each of <=2*bits cells carries
+        # eps * (N * bits) expected collision mass
+        n_total = 1000 * RANGE_CMS_BITS
+        bound = 2 * RANGE_CMS_BITS * (np.e / RANGE_CMS_WIDTH) * n_total
+        assert (over <= bound).all()
+        # exact twin == brute pandas recount
+        v = pd.read_parquet(f"{sf}/events.parquet", columns=["value"])
+        fold = np.floor(v["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+        for _, r in ex.iterrows():
+            assert r["n_rows"] == int(
+                ((fold >= r["lo_bp"]) & (fold <= r["hi_bp"])).sum())
