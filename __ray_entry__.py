@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 4: dyadic-CMS range counting + its exact twin
         "range_count_exact": S.q_range_count_exact,
         "range_count_cms": S.q_range_count_cms,
+        # round 4: shuffle-free distributed correlation / OLS slope
+        "value_hour_corr": ST.q_value_hour_corr,
     }
     # Driver-gate window ordering (VERDICT r3 #3): the driver's
     # correctness recorder caps at ~50 entries in dict order, so the
@@ -309,7 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dups", "containment_dups", "ngram_dups",
         # round-4 additions
         "join_size_exact", "join_size_cms",
-        "range_count_exact", "range_count_cms",
+        "range_count_exact", "range_count_cms", "value_hour_corr",
     ]
     ordered = {k: q[k] for k in first}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2479,6 +2481,33 @@ def oracle_sql() -> dict[str, str]:
         # exact triangles on the strong co-purchase graph: every
         # triangle {a<b<c} counted once as wedge (b,c) at min node a —
         # pipelines.components.copurchase_triangles
+        "value_hour_corr": """
+            -- identical op sequence to the engine: exact integer sums
+            -- (DuckDB SUM(BIGINT) -> HUGEINT = the driver's Python-int
+            -- merge), ONE float expression, then the shared bp fold
+            WITH s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sx,
+                     SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS sy,
+                     SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)
+                         * CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS sxy,
+                     SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)
+                         * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sxx,
+                     SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)
+                         * CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS syy
+              FROM events)
+            SELECT n,
+                   CAST(FLOOR(
+                     CAST(n*sxy - sx*sy AS DOUBLE)
+                     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                     * 10000 + 0.5) AS BIGINT) AS corr_bp,
+                   CAST(FLOOR(
+                     CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*sxx - sx*sx AS DOUBLE)
+                     * 10000 + 0.5) AS BIGINT) AS slope_bp
+            FROM s
+        """,
         "range_count_exact": """
             SELECT r.lo_bp, r.hi_bp,
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM events e

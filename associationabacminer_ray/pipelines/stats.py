@@ -370,3 +370,46 @@ def q_spend_gini(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_customers": [np.int64(n)],
                          "total_cents": [np.int64(s)],
                          "gini_bp": [np.int64(gini_bp)]})
+
+
+# -------------------------------------------- correlation / regression
+def q_value_hour_corr(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation AND OLS slope between the folded (bp) event
+    value and the event's UTC hour-of-day — the distributed two-pass-
+    free moments shape: per-batch INTEGER partial sums (n, Σx, Σy,
+    Σxy, Σx², Σy² — each batch-safe in int64), merged on the driver in
+    Python-int arithmetic (overflow-safe at any scale; DuckDB's BIGINT
+    SUM widens to HUGEINT the same way), then ONE pinned float op
+    sequence stated identically in the SQL oracle:
+      corr  = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²) · sqrt(n·Syy − Sy²))
+      slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)          (x = hour)
+    both folded to bp. No shuffle anywhere — the reduction is sums."""
+    from ..functions.scoring import fold_bp, fold_bp_strict
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        y = fold_bp(t["value"].to_numpy(zero_copy_only=False))
+        x = pc.hour(t["ts"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(y))],
+            "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [np.dot(x, y)],
+            "sxx": [np.dot(x, x)], "syy": [np.dot(y, y)],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, sx, sy, sxy, sxx, syy = (int(parts[c].astype(object).sum())
+                                for c in ("n", "sx", "sy", "sxy",
+                                          "sxx", "syy"))
+    cov_n = float(n * sxy - sx * sy)
+    varx_n = float(n * sxx - sx * sx)
+    vary_n = float(n * syy - sy * sy)
+    corr = cov_n / (np.sqrt(varx_n) * np.sqrt(vary_n))
+    slope = cov_n / varx_n
+    return pd.DataFrame({
+        "n": [np.int64(n)],
+        "corr_bp": fold_bp_strict([corr], "corr"),
+        "slope_bp": fold_bp_strict([slope], "slope"),
+    })

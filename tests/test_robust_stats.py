@@ -280,3 +280,22 @@ def test_orders_above_cust_avg_direct(ray_session, sf_dir):
     assert ((got["n_above_avg"] < got["n_orders"])
             | (got["n_orders"] == 1)).all()
     assert (got.loc[got["n_orders"] == 1, "n_above_avg"] == 0).all()
+
+
+def test_value_hour_corr_vs_numpy(ray_session):
+    """The shuffle-free moments correlation must equal np.corrcoef /
+    polyfit on the same folded data (one float op sequence, exact
+    integer sums underneath)."""
+    from associationabacminer_ray.pipelines.stats import q_value_hour_corr
+
+    sf = "/root/testdata/sf0.01"
+    got = q_value_hour_corr(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["value", "ts"])
+    x = ev["ts"].dt.hour.to_numpy(np.int64)
+    y = np.floor(ev["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    ref_corr = np.corrcoef(x, y)[0, 1]
+    ref_slope = np.polyfit(x, y, 1)[0]
+    assert int(got["n"][0]) == len(ev)
+    # same statistic to within one bp of the float-library reference
+    assert abs(int(got["corr_bp"][0]) - round(ref_corr * 10000)) <= 1
+    assert abs(int(got["slope_bp"][0]) - round(ref_slope * 10000)) <= 1
