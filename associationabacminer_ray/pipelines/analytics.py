@@ -30,11 +30,23 @@ def _events_transcripts(sf_dir: str):
     return transcripts_from_events(f"{sf_dir}/events.parquet")
 
 
-def bucketed_group_agg(ds, key_cols: list[str], agg_fn, num_buckets: int = 32):
+def bucketed_group_agg(ds, key_cols: list[str], agg_fn, num_buckets: int = 32,
+                       coalesce_to: int | None = None):
     """Grouped aggregation for high-cardinality keys: shuffle on
     hash(key) % B (co-locating each key fully), then one vectorized
     pandas ``agg_fn(group_df) -> df`` per bucket. Avoids Ray's ~ms
-    per-group aggregate overhead (see itemsets.sum_by_key_bucketed)."""
+    per-group aggregate overhead (see itemsets.sum_by_key_bucketed).
+
+    ``coalesce_to``: repartition (split/coalesce, no key shuffle) to
+    this many blocks before the groupby. Ray's sort-based exchange
+    cost scales with INPUT BLOCK COUNT, not bytes (measured: a 500 k-
+    row 16-bucket groupby takes 3.4 s from 200 tiny blocks vs 0.38 s
+    from 32 — PERF #26), and a dataset of NARROW rows derived from a
+    wide read inherits the read's block count with collapsed block
+    sizes at any corpus scale. Set it (callers use ~4× cluster CPUs)
+    when the input rows are orders of magnitude narrower than the
+    stage that produced them; leave None when blocks are already
+    read-sized."""
     from ..functions.hashing import hash_strings
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -56,11 +68,10 @@ def bucketed_group_agg(ds, key_cols: list[str], agg_fn, num_buckets: int = 32):
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return agg_fn(g.drop(columns=["_gb"]))
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby("_gb")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    out = ds.map_batches(add_bucket, batch_format="pandas")
+    if coalesce_to is not None:
+        out = out.repartition(coalesce_to)
+    return out.groupby("_gb").map_groups(per_bucket, batch_format="pandas")
 
 
 def q_transcripts_view(sf_dir: str):

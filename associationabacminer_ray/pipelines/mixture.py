@@ -340,6 +340,10 @@ def q_assembly_pipeline(sf_dir: str, cap: int = PACK_CAP_TOKENS,
         return b.loc[keep, ["doc_id", "source", "n_tokens"]]
 
     kept = flags.map_batches(kept_only, batch_format="pandas")
+    from ..runtime import cluster_cpus
+
+    # same narrow-rows coalesce as the flags' keep-first pass (PERF #26)
     return bucketed_group_agg(kept, ["source"],
                               lambda g: pack_assign(g, cap),
-                              num_buckets=num_buckets)
+                              num_buckets=num_buckets,
+                              coalesce_to=max(32, cluster_cpus()))

@@ -863,7 +863,16 @@ def curation_doc_flags(sf_dir: str,
         out["is_first"] = is_first
         return out
 
-    return bucketed_group_agg(rows, ["h"], mark_first, num_buckets=16)
+    from ..runtime import cluster_cpus
+
+    # flags rows are ~40 B/doc — orders of magnitude narrower than the
+    # text read that set the block count, so coalesce before the
+    # keep-first exchange (PERF #26: sort wall scales with block count,
+    # measured 7.9 s → 1.7 s on the 500 k-doc probe). Post-shuffle
+    # parallelism is bounded by num_buckets, so cpus-many blocks lose
+    # nothing downstream.
+    return bucketed_group_agg(rows, ["h"], mark_first, num_buckets=16,
+                              coalesce_to=max(32, cluster_cpus()))
 
 
 def q_curation_pipeline(sf_dir: str,
