@@ -64,6 +64,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rules_conf": A.q_rules_conf,
         "transactions": A.q_transactions,
         "role_activity": A.q_role_activity,
+        # round 4 (late): integer-exact PageRank over the tool-transition
+        # graph (derived unrolled-SQL oracle) and CMS heavy-change
+        # detection between the even/odd-day halves (sketch = pinned
+        # golden + pytest bound; exact twin = derived SQL)
+        "pagerank_tools": C.q_pagerank_tools,
+        "heavy_changers": S.q_heavy_changers,
+        "heavy_changers_exact": S.q_heavy_changers_exact,
         # event analytics (oracle-checked)
         "hour_histogram": A.q_hour_histogram,
         "daily_event_counts": A.q_daily_event_counts,
@@ -2318,6 +2325,71 @@ def oracle_sql() -> dict[str, str]:
                                THEN (10000 * n_odd) // t.tdd ELSE 0 END))
                         AS BIGINT) AS share_diff_bp
             FROM c, t
+        """,
+        # CMS heavy-changers exact twin: per-tool even/odd-day counts,
+        # integer bp threshold on the absolute delta —
+        # pipelines.sketch_queries.q_heavy_changers_exact
+        "heavy_changers_exact": """
+            WITH f AS (SELECT 'k' || regexp_extract(props, '[0-9]+') AS tool,
+                              (((epoch_us(ts) // 86400000000) % 2) + 2) % 2
+                                  AS parity
+                       FROM events
+                       WHERE props IS NOT NULL AND ts IS NOT NULL),
+            c AS (SELECT tool,
+                         COUNT(*) FILTER (WHERE parity = 0) AS n_even,
+                         COUNT(*) FILTER (WHERE parity = 1) AS n_odd
+                  FROM f GROUP BY tool),
+            t AS (SELECT SUM(n_even) + SUM(n_odd) AS tot FROM c)
+            SELECT tool,
+                   CAST(n_even AS BIGINT) AS n_even,
+                   CAST(n_odd AS BIGINT) AS n_odd,
+                   CAST(ABS(n_even - n_odd) AS BIGINT) AS delta_abs
+            FROM c, t
+            WHERE 10000 * ABS(n_even - n_odd) >= 15 * t.tot
+        """,
+        # integer-exact PageRank over the tool-transition graph: edges
+        # from LAG over the transcript view's turn order, 3 unrolled
+        # iterations of floor(sc·85·w / (100·out_w)) + 150000 restart —
+        # pipelines.components.pagerank_tools (PR_SCALE=1e6, iters=3)
+        "pagerank_tools": """
+            WITH s AS (
+                SELECT 'k' || regexp_extract(props, '[0-9]+') AS tool,
+                       LAG('k' || regexp_extract(props, '[0-9]+')) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events
+                WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+                  AND ts IS NOT NULL AND props IS NOT NULL),
+            e AS (SELECT prev AS src, tool AS dst,
+                         CAST(COUNT(*) AS BIGINT) AS w
+                  FROM s WHERE prev IS NOT NULL GROUP BY prev, tool),
+            n AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+            ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+            s0 AS (SELECT v, CAST(1000000 AS BIGINT) AS sc FROM n),
+            s1 AS (SELECT n.v,
+                          CAST(150000 + COALESCE(
+                              SUM((p.sc * 85 * e.w) // (100 * o.ow)), 0)
+                               AS BIGINT) AS sc
+                   FROM n LEFT JOIN e ON e.dst = n.v
+                          LEFT JOIN ow o ON o.src = e.src
+                          LEFT JOIN s0 p ON p.v = e.src
+                   GROUP BY n.v),
+            s2 AS (SELECT n.v,
+                          CAST(150000 + COALESCE(
+                              SUM((p.sc * 85 * e.w) // (100 * o.ow)), 0)
+                               AS BIGINT) AS sc
+                   FROM n LEFT JOIN e ON e.dst = n.v
+                          LEFT JOIN ow o ON o.src = e.src
+                          LEFT JOIN s1 p ON p.v = e.src
+                   GROUP BY n.v),
+            s3 AS (SELECT n.v,
+                          CAST(150000 + COALESCE(
+                              SUM((p.sc * 85 * e.w) // (100 * o.ow)), 0)
+                               AS BIGINT) AS sc
+                   FROM n LEFT JOIN e ON e.dst = n.v
+                          LEFT JOIN ow o ON o.src = e.src
+                          LEFT JOIN s2 p ON p.v = e.src
+                   GROUP BY n.v)
+            SELECT v AS tool, sc AS pr_scaled FROM s3
         """,
         # gaps-and-islands: consecutive-active-day streaks per user via
         # the day − ROW_NUMBER() island key — pipelines.sequence.user_streaks

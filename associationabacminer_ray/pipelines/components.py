@@ -401,3 +401,123 @@ def copurchase_triangles(sf_dir: str, min_pair_orders: int = 2,
 
 def q_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     return copurchase_triangles(sf_dir)
+
+
+# --------------------------------------------------------------- PageRank
+# Integer-exact damped PageRank over the tool-transition graph of the
+# transcript view (node = tool, edge weight = how often tool a's turn is
+# immediately followed by tool b's within one conversation). The
+# reference has no graph analytics at all; this extends the repo's
+# iterative family (connected components, k-means) with the canonical
+# link-analysis algorithm a training-data pipeline uses to weight
+# sources/tools by centrality.
+#
+# Every quantity is an int64: scores start at PR_SCALE, each edge
+# contributes floor(score_src · 85 · w / (100 · out_w_src)) and each
+# node restarts from floor(PR_SCALE · 15 / 100) — integer sums are
+# order-independent, so the result is bit-identical across any
+# partitioning AND expressible as unrolled integer SQL (derived oracle,
+# no pin). Dangling nodes (in-edges only) keep the restart mass and
+# forward nothing, pinned identically in the SQL.
+#
+# Scale shape: the expensive stage is the stream → transition-cell
+# reduction (one conv-keyed bucketed shuffle over the full corpus, the
+# ``type_transitions`` kernel); the iteration then runs on the
+# cell-bounded edge table (≤ |tools|² rows — the same "cells, never
+# rows" regime as value_histogram/type_drift), so it is driver-side
+# numpy here. If |V| ever outgrew that regime the per-iteration step is
+# the bucketed join + groupby-sum already shipped in ``joins.py``.
+PR_SCALE = 1_000_000
+PR_DAMP_NUM = 85          # damping 0.85 as an integer ratio
+PR_DAMP_DEN = 100
+PR_ITERS = 3
+
+
+def tool_transition_cells(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Distributed (src_tool, dst_tool, w) cells: hash-bucket by
+    conversation, sort each bucket by (conv, ts, event_id) — the
+    transcript view's turn order — and count adjacent tool pairs.
+    Only pre-counted cells leave each bucket."""
+    from ..functions.hashing import hash_ints
+    from .temporal import _ts_us
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "props"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        props = pd.Series(t["props"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "conv": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts_us": _ts_us(t["ts"]),
+            # the transcript view's tool mapping (transcripts.py:174)
+            "tool": "k" + props.str.extract(r"(\d+)", expand=False)
+                            .fillna(""),
+        })
+        df["bucket"] = (hash_ints(df["conv"]) %
+                        np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def pair_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv", "ts_us", "event_id"], kind="mergesort")
+        conv = g["conv"].to_numpy(np.int64)
+        tool = g["tool"].to_numpy(object)
+        keep = np.r_[False, conv[1:] == conv[:-1]]
+        at = np.flatnonzero(keep)
+        pairs = pd.DataFrame({"src": tool[at - 1], "dst": tool[at]})
+        out = (pairs.groupby(["src", "dst"], sort=False)
+               .size().rename("w").reset_index())
+        out["w"] = out["w"].astype(np.int64)
+        return out
+
+    partials = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(lambda g: pair_cells(g.drop(columns=["bucket"])),
+                            batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": [g["src"].iloc[0]],
+            "dst": [g["dst"].iloc[0]],
+            "w": np.array([g["w"].sum()], np.int64),
+        })
+
+    return partials.groupby(["src", "dst"]).map_groups(
+        merge, batch_format="pandas")
+
+
+def pagerank_edges(edges: pd.DataFrame, iters: int = PR_ITERS,
+                   scale: int = PR_SCALE) -> pd.DataFrame:
+    """Integer PageRank on an in-memory (src, dst, w) cell table.
+    Returns (tool, pr_scaled) for every node appearing in any edge."""
+    nodes = np.unique(np.concatenate([edges["src"].to_numpy(object),
+                                      edges["dst"].to_numpy(object)]))
+    idx = {t: i for i, t in enumerate(nodes)}
+    src = edges["src"].map(idx).to_numpy(np.int64)
+    dst = edges["dst"].map(idx).to_numpy(np.int64)
+    w = edges["w"].to_numpy(np.int64)
+    out_w = np.zeros(len(nodes), np.int64)
+    np.add.at(out_w, src, w)
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    score = np.full(len(nodes), scale, np.int64)
+    for _ in range(iters):
+        contrib = (score[src] * PR_DAMP_NUM * w) // (PR_DAMP_DEN * out_w[src])
+        nxt = np.full(len(nodes), base, np.int64)
+        np.add.at(nxt, dst, contrib)
+        score = nxt
+    return pd.DataFrame({"tool": nodes.astype(object),
+                         "pr_scaled": score})
+
+
+def pagerank_tools(sf_dir: str, iters: int = PR_ITERS,
+                   num_buckets: int = 16) -> pd.DataFrame:
+    cells = tool_transition_cells(sf_dir, num_buckets=num_buckets).to_pandas()
+    if not len(cells):
+        return pd.DataFrame({"tool": pd.Series([], dtype=object),
+                             "pr_scaled": pd.Series([], dtype=np.int64)})
+    return pagerank_edges(cells, iters=iters)
+
+
+def q_pagerank_tools(sf_dir: str) -> pd.DataFrame:
+    return pagerank_tools(sf_dir)

@@ -758,3 +758,128 @@ def q_range_count_exact(sf_dir: str,
                  zip(out["lo_bp"], out["hi_bp"])]
     return (out.sort_values("_o").drop(columns="_o")
             .reset_index(drop=True))
+
+
+# ------------------------------------------------- heavy-change detection
+# Cormode/Muthukrishnan-style heavy CHANGERS between two stream windows
+# (the "what's new" query): which tools' counts moved most between the
+# even- and odd-day halves of the corpus (type_drift's A/B convention).
+# The sketch path never holds per-key counts: ONE pass builds a CMS +
+# space-saving top-k PER HALF (grouped mergeable UDAFs — two fixed-size
+# blobs each reach the driver), candidates come from the union of the
+# two top-k heads, and each candidate's delta is a pair of CMS point
+# reads. Overestimate-only per side (ε·N w.p. 1−δ), fixed seed +
+# integer merges → deterministic → pinned-golden oracle; the derived
+# exact twin is ``q_heavy_changers_exact`` and the per-side bound is
+# pytest-asserted against it.
+HC_CMS_WIDTH = 1 << 14
+HC_CMS_DEPTH = 4
+HC_CMS_SEED = 7
+HC_TOPK_CAP = 4096
+HC_THRESHOLD_BP = 15     # report |n_even − n_odd| ≥ 15 bp of total rows
+
+
+def _tool_parity_cells(t: pa.Table) -> pd.DataFrame:
+    """Per-batch (parity, tool, n) pre-counts over the transcript
+    view's tool column — each batch shrinks to ≤ 2·|tools| cells before
+    anything shuffles or aggregates."""
+    from .temporal import _ts_us, day_num_trunc
+
+    t = t.drop_null()
+    props = pd.Series(t["props"].to_numpy(zero_copy_only=False))
+    day = day_num_trunc(_ts_us(t["ts"]))
+    df = pd.DataFrame({
+        # the transcript view's tool mapping (transcripts.py:174)
+        "tool": "k" + props.str.extract(r"(\d+)", expand=False).fillna(""),
+        # numpy % is floor-mod; oracle pins ((x % 2) + 2) % 2
+        "parity": (day % 2).astype(np.int8),
+    })
+    return (df.groupby(["parity", "tool"], sort=False)
+            .size().rename("n").reset_index())
+
+
+def q_heavy_changers(sf_dir: str, threshold_bp: int = HC_THRESHOLD_BP,
+                     width: int = HC_CMS_WIDTH, depth: int = HC_CMS_DEPTH,
+                     seed: int = HC_CMS_SEED,
+                     capacity: int = HC_TOPK_CAP) -> pd.DataFrame:
+    from ..functions.hashing import hash_strings
+    from ..sketches.topk import SpaceSaving
+    from ..udaf import TopKAgg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props", "ts"])
+
+    def cells(t: pa.Table) -> pd.DataFrame:
+        g = _tool_parity_cells(t)
+        g["h"] = hash_strings(g["tool"])
+        return g
+
+    rows = (ev.map_batches(cells, batch_format="pyarrow")
+            .groupby("parity")
+            .aggregate(
+                CmsAgg("h", width=width, depth=depth, seed=seed,
+                       weight_col="n", alias="cms"),
+                TopKAgg("tool", capacity=capacity, weight_col="n",
+                        alias="topk"))
+            .to_pandas())
+
+    empty_cms = CountMinSketch(width=width, depth=depth, seed=seed)
+    cms = {0: empty_cms, 1: empty_cms}
+    top = {0: SpaceSaving(capacity=capacity),
+           1: SpaceSaving(capacity=capacity)}
+    for _, r in rows.iterrows():
+        p = int(r["parity"])
+        cms[p] = CountMinSketch.from_bytes(bytes(r["cms"]))
+        top[p] = SpaceSaving.from_bytes(bytes(r["topk"]))
+
+    cands = sorted({k for k, _, _ in top[0].top()} |
+                   {k for k, _, _ in top[1].top()})
+    if not cands:
+        return pd.DataFrame({
+            "tool": pd.Series([], dtype=object),
+            "n_even_est": pd.Series([], dtype=np.int64),
+            "n_odd_est": pd.Series([], dtype=np.int64),
+            "delta_abs_est": pd.Series([], dtype=np.int64)})
+    h = hash_strings(pd.Series(cands, dtype=object))
+    ne = cms[0].estimate_hashed(h).astype(np.int64)
+    no = cms[1].estimate_hashed(h).astype(np.int64)
+    # exact total stream weight rides the space-saving summaries
+    tot = np.int64(top[0].total + top[1].total)
+    d = np.abs(ne - no)
+    keep = 10000 * d >= np.int64(threshold_bp) * tot
+    return pd.DataFrame({
+        "tool": np.array(cands, object)[keep],
+        "n_even_est": ne[keep],
+        "n_odd_est": no[keep],
+        "delta_abs_est": d[keep]})
+
+
+def q_heavy_changers_exact(sf_dir: str,
+                           threshold_bp: int = HC_THRESHOLD_BP,
+                           num_buckets: int = 8) -> pd.DataFrame:
+    """Exact twin: the same cells merged through one tool-keyed bucket
+    shuffle (cells, never rows), pivoted to per-tool half counts, then
+    the identical integer threshold — SQL-derived oracle."""
+    from .analytics import bucketed_group_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props", "ts"])
+
+    cells = bucketed_group_agg(
+        ev.map_batches(_tool_parity_cells, batch_format="pyarrow"),
+        ["tool"],
+        lambda g: g.groupby(["parity", "tool"], sort=False)["n"]
+        .sum().reset_index(),
+        num_buckets=num_buckets).to_pandas()
+
+    piv = (cells.pivot_table(index="tool", columns="parity", values="n",
+                             aggfunc="sum", fill_value=0)
+           .reindex(columns=[0, 1], fill_value=0))
+    ne = piv[0].to_numpy(np.int64)
+    no = piv[1].to_numpy(np.int64)
+    tot = np.int64(ne.sum() + no.sum())
+    d = np.abs(ne - no)
+    keep = 10000 * d >= np.int64(threshold_bp) * tot
+    return pd.DataFrame({
+        "tool": piv.index.to_numpy(object)[keep],
+        "n_even": ne[keep],
+        "n_odd": no[keep],
+        "delta_abs": d[keep]})

@@ -72,6 +72,12 @@ GOLDEN = [
     # validated; bounded vs the DERIVED exact twin (join_size_exact)
     # both in pytest and by the gate running the pair side by side
     "join_size_cms",
+    # CMS heavy-changers: per-half CMS cells and space-saving heads are
+    # int64 merges in the top-k's EXACT regime (capacity ≫ 100 tools),
+    # so the report is partition-independent — cross-CPU validated;
+    # bounded vs the DERIVED exact twin (heavy_changers_exact) in
+    # pytest and by the gate running the pair side by side
+    "heavy_changers",
     # NOT pinnable: pfa_features (gram-matrix float partials depend on
     # batch boundaries, so results shift with num_cpus; pytest checks it
     # against direct numpy instead), sketch_topk/value_quantiles

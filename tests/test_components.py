@@ -108,3 +108,56 @@ def test_copurchase_triangles_union_find_free(ray_session, sf_dir):
     assert int(got["n_wedges"].iloc[0]) == n_wedges
     assert int(got["n_triangles"].iloc[0]) == n_tri
     assert n_tri > 0  # the sf0.001 corpus genuinely has triangles
+
+
+class TestPageRank:
+    def test_kernel_matches_hand_computation(self):
+        from associationabacminer_ray.pipelines.components import pagerank_edges
+
+        e = pd.DataFrame({"src": ["a", "a", "b"], "dst": ["b", "c", "c"],
+                          "w": np.array([1, 1, 2], np.int64)})
+        out = (pagerank_edges(e, iters=3).set_index("tool")["pr_scaled"]
+               .to_dict())
+        # hand-unrolled integer iterations (see pipelines/components.py)
+        assert out == {"a": 150000, "b": 213750, "c": 395437}
+
+    def test_mass_bounds_and_dangling(self):
+        from associationabacminer_ray.pipelines.components import (
+            PR_SCALE, pagerank_edges)
+
+        # c is dangling (in-edges only): keeps restart mass, forwards none
+        e = pd.DataFrame({"src": ["a", "b"], "dst": ["c", "c"],
+                          "w": np.array([3, 5], np.int64)})
+        out = pagerank_edges(e, iters=4)
+        assert set(out["tool"]) == {"a", "b", "c"}
+        sc = out.set_index("tool")["pr_scaled"]
+        assert sc["a"] == 150000 and sc["b"] == 150000
+        # total mass never exceeds the initial n·SCALE (floor losses only)
+        assert out["pr_scaled"].sum() <= 3 * PR_SCALE
+        assert (out["pr_scaled"] >= 150000).all()
+
+    def test_bucket_count_invariance(self, ray_session, sf_dir):
+        from associationabacminer_ray.pipelines.components import pagerank_tools
+
+        a = (pagerank_tools(sf_dir, num_buckets=4)
+             .sort_values("tool").reset_index(drop=True))
+        b = (pagerank_tools(sf_dir, num_buckets=32)
+             .sort_values("tool").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_matches_duckdb_oracle(self, ray_session, sf_dir):
+        import duckdb
+
+        import __ray_entry__ as E
+        from associationabacminer_ray.pipelines.components import pagerank_tools
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS "
+                    f"SELECT * FROM '{sf_dir}/events.parquet'")
+        oracle = (con.execute(E.oracle_sql()["pagerank_tools"]).df()
+                  .sort_values("tool").reset_index(drop=True))
+        oracle["pr_scaled"] = oracle["pr_scaled"].astype(np.int64)
+        mine = (pagerank_tools(sf_dir).sort_values("tool")
+                .reset_index(drop=True))
+        mine["pr_scaled"] = mine["pr_scaled"].astype(np.int64)
+        pd.testing.assert_frame_equal(mine, oracle)

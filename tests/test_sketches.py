@@ -10,6 +10,7 @@
 """
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from associationabacminer_ray.functions.hashing import (
@@ -568,3 +569,63 @@ class TestDDSketch:
             DDSketch(alpha=0.0)
         with pytest.raises(ValueError):
             DDSketch().quantile(0.5)  # empty
+
+
+class TestHeavyChangers:
+    """CMS heavy-change detection between the even/odd-day halves
+    (pipelines/sketch_queries.q_heavy_changers) vs the derived exact
+    twin."""
+
+    def test_sketch_bounds_and_recall(self, ray_session, sf_dir):
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            HC_CMS_DEPTH, HC_CMS_WIDTH, q_heavy_changers,
+            q_heavy_changers_exact)
+
+        sk = q_heavy_changers(sf_dir).set_index("tool")
+        ex = q_heavy_changers_exact(sf_dir, threshold_bp=0).set_index("tool")
+        n_total = int(ex["n_even"].sum() + ex["n_odd"].sum())
+        eps_n = int(np.ceil(np.e / HC_CMS_WIDTH * n_total))
+        # every reported estimate obeys the per-side CMS guarantee:
+        # exact ≤ estimate ≤ exact + ε·N (overestimate-only)
+        for tool, row in sk.iterrows():
+            assert tool in ex.index
+            e = ex.loc[tool]
+            assert e["n_even"] <= row["n_even_est"] <= e["n_even"] + eps_n
+            assert e["n_odd"] <= row["n_odd_est"] <= e["n_odd"] + eps_n
+        # recall: every exact heavy changer whose margin survives the
+        # worst-case two-sided estimate error must be reported
+        d = (ex["n_even"] - ex["n_odd"]).abs()
+        must_report = ex.index[10000 * (d - 2 * eps_n) >= 15 * n_total]
+        assert set(must_report).issubset(set(sk.index))
+
+    def test_candidates_exact_regime(self, ray_session, sf_dir):
+        # capacity ≫ distinct tools → space-saving is exact, so the
+        # sketch report equals the exact twin row-for-row at this scale
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            q_heavy_changers, q_heavy_changers_exact)
+
+        sk = (q_heavy_changers(sf_dir).sort_values("tool")
+              .reset_index(drop=True))
+        ex = (q_heavy_changers_exact(sf_dir).sort_values("tool")
+              .reset_index(drop=True))
+        assert list(sk["tool"]) == list(ex["tool"])
+        assert (sk["n_even_est"].to_numpy() >= ex["n_even"].to_numpy()).all()
+        assert (sk["n_odd_est"].to_numpy() >= ex["n_odd"].to_numpy()).all()
+
+    def test_exact_twin_matches_duckdb(self, ray_session, sf_dir):
+        import duckdb
+
+        import __ray_entry__ as E
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            q_heavy_changers_exact)
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS "
+                    f"SELECT * FROM '{sf_dir}/events.parquet'")
+        oracle = (con.execute(E.oracle_sql()["heavy_changers_exact"]).df()
+                  .sort_values("tool").reset_index(drop=True))
+        for c in ("n_even", "n_odd", "delta_abs"):
+            oracle[c] = oracle[c].astype(np.int64)
+        mine = (q_heavy_changers_exact(sf_dir).sort_values("tool")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(mine, oracle)
