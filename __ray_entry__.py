@@ -302,6 +302,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups", "knn_ivf", "multimodal_features",
         "value_quantiles_dd", "type_value_quantiles_dd",
         "f2_moment_sketch", "kmeans_centroids", "weighted_sample",
+        "heavy_changers",
+        # round-4 additions (newest evidence first)
+        "heavy_changers_exact", "pagerank_tools",
+        "join_size_exact", "join_size_cms",
+        "range_count_exact", "range_count_cms", "value_hour_corr",
+        # dedup family (kernel rewrite round 4)
+        "minhash_dups", "containment_dups", "ngram_dups",
         # curation / assembly compositions + graph family
         "curation_pipeline", "assembly_pipeline", "clean_pipeline",
         "benchmark_contamination", "dedup_components",
@@ -309,16 +316,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mixture / packing family
         "packed_chunks", "mixture_sample", "source_upsample",
         "above_median_docs", "token_fertility",
-        # robust-stats / sequence family (round 3 wave)
+        # robust-stats / sequence family (round-3 wave, already
+        # gate-validated in CORRECTNESS_r03 + the committed replays —
+        # safe past the ~50-entry driver window)
         "value_outliers", "type_drift", "user_streaks",
         "spend_dense_rank", "weighted_median", "spend_gini",
         "event_pairs_1h", "value_zscore_outliers", "hourly_share",
         "token_len_hist", "orders_above_cust_avg", "moving_sum",
-        # dedup family (kernel rewrite round 4)
-        "minhash_dups", "containment_dups", "ngram_dups",
-        # round-4 additions
-        "join_size_exact", "join_size_cms",
-        "range_count_exact", "range_count_cms", "value_hour_corr",
     ]
     ordered = {k: q[k] for k in first}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
