@@ -71,6 +71,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_tools": C.q_pagerank_tools,
         "heavy_changers": S.q_heavy_changers,
         "heavy_changers_exact": S.q_heavy_changers_exact,
+        # round 4 (late): heavy changers BETWEEN windows served from the
+        # incremental daily sketch store (delta architecture — pinned
+        # golden) + derived-SQL exact twin over conv-day transactions
+        "windowed_heavy_changers": S.q_windowed_heavy_changers,
+        "windowed_heavy_changers_exact": S.q_windowed_heavy_changers_exact,
         # event analytics (oracle-checked)
         "hour_histogram": A.q_hour_histogram,
         "daily_event_counts": A.q_daily_event_counts,
@@ -302,9 +307,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups", "knn_ivf", "multimodal_features",
         "value_quantiles_dd", "type_value_quantiles_dd",
         "f2_moment_sketch", "kmeans_centroids", "weighted_sample",
-        "heavy_changers",
+        "heavy_changers", "windowed_heavy_changers",
         # round-4 additions (newest evidence first)
-        "heavy_changers_exact", "pagerank_tools",
+        "heavy_changers_exact", "windowed_heavy_changers_exact",
+        "pagerank_tools",
         "join_size_exact", "join_size_cms",
         "range_count_exact", "range_count_cms", "value_hour_corr",
         # dedup family (kernel rewrite round 4)
@@ -2350,6 +2356,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ABS(n_even - n_odd) AS BIGINT) AS delta_abs
             FROM c, t
             WHERE 10000 * ABS(n_even - n_odd) >= 15 * t.tot
+        """,
+        # windowed heavy-changers exact twin: per-window itemset supports
+        # over conv-day transactions (the daily store's key), absolute
+        # delta threshold; singles + pairs with the engine's 64-item
+        # expansion guard — pipelines.sketch_queries
+        # .q_windowed_heavy_changers_exact
+        "windowed_heavy_changers_exact": """
+            WITH wins(win, lo, hi) AS (VALUES
+              (1, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+              (2, TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15')),
+            t AS (SELECT DISTINCT w.win,
+                         'conv-' || CAST(e.user_id AS VARCHAR) || '@'
+                             || strftime(e.ts, '%Y-%m-%d') AS txk,
+                         e.event_type || '=k'
+                             || regexp_extract(e.props, '[0-9]+') AS item
+                  FROM events e JOIN wins w ON e.ts >= w.lo AND e.ts < w.hi),
+            sz AS (SELECT win, txk, COUNT(*) AS n_items
+                   FROM t GROUP BY win, txk),
+            singles AS (SELECT win, item AS itemset, COUNT(*) AS c
+                        FROM t GROUP BY win, item),
+            pairs AS (SELECT a.win, a.item || '|' || b.item AS itemset,
+                             COUNT(*) AS c
+                      FROM t a
+                      JOIN t b ON a.win = b.win AND a.txk = b.txk
+                             AND a.item < b.item
+                      JOIN sz ON sz.win = a.win AND sz.txk = a.txk
+                      WHERE sz.n_items <= 64
+                      GROUP BY a.win, a.item, b.item),
+            allsets AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs),
+            c2 AS (SELECT itemset,
+                          COALESCE(SUM(c) FILTER (WHERE win = 1), 0) AS s1,
+                          COALESCE(SUM(c) FILTER (WHERE win = 2), 0) AS s2
+                   FROM allsets GROUP BY itemset)
+            SELECT itemset,
+                   CAST(s1 AS BIGINT) AS s1,
+                   CAST(s2 AS BIGINT) AS s2,
+                   CAST(ABS(s1 - s2) AS BIGINT) AS delta_abs
+            FROM c2 WHERE ABS(s1 - s2) >= 3
         """,
         # integer-exact PageRank over the tool-transition graph: edges
         # from LAG over the transcript view's turn order, 3 unrolled

@@ -883,3 +883,102 @@ def q_heavy_changers_exact(sf_dir: str,
         "n_even": ne[keep],
         "n_odd": no[keep],
         "delta_abs": d[keep]})
+
+
+# ------------------------------------- windowed heavy changers (delta store)
+# Heavy-change detection between two ADJACENT windows served from the
+# incremental daily sketch store: each day's itemset partials (CMS +
+# space-saving + HLL over conv-day transactions) are built ONCE and
+# checkpointed; EITHER window is then a pure blob merge — the delta
+# architecture means answering "what changed between week 1 and week 2"
+# never re-reads the corpus. Candidates come from the merged top-k
+# union (capacity 8192 keeps the merge in the top-k's EXACT regime at
+# both sf levels — 5 588 distinct itemsets over the span at sf0.01),
+# deltas are CMS point-read pairs. Deterministic (int merges, fixed
+# day order) → pinned golden; ``q_windowed_heavy_changers_exact`` is
+# the derived-SQL twin over the same conv-day transaction definition.
+WHC_WINDOWS = (("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"))
+WHC_THRESHOLD = 3        # report |support_w1 − support_w2| ≥ 3 transactions
+WHC_TOPK_CAP = 8192
+WHC_CMS_WIDTH = 1 << 14
+
+
+def _whc_specs():
+    from datetime import datetime
+
+    from ..functions.windows import WindowSpec
+
+    out = []
+    for lo, hi in WHC_WINDOWS:
+        a = datetime.strptime(lo, "%Y-%m-%d")
+        b = datetime.strptime(hi, "%Y-%m-%d")
+        out.append(WindowSpec(a, b, a, a))
+    return out
+
+
+def q_windowed_heavy_changers(sf_dir: str,
+                              threshold: int = WHC_THRESHOLD) -> pd.DataFrame:
+    from datetime import datetime, timedelta
+
+    from ..functions.hashing import hash_strings
+    from ..state.incremental import DailySketchStore
+    from .analytics import _cached_event_transcripts_parquet
+
+    paths = _cached_event_transcripts_parquet(sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = DailySketchStore(f"/tmp/graft_windows/evdaily_{tag}",
+                             cms_width=WHC_CMS_WIDTH,
+                             topk_capacity=WHC_TOPK_CAP)
+    start = datetime.strptime(WHC_WINDOWS[0][0], "%Y-%m-%d")
+    end = datetime.strptime(WHC_WINDOWS[-1][1], "%Y-%m-%d")
+    store.ensure_days(paths, start, end)
+
+    specs = _whc_specs()
+    a = store.window_sketches(specs[0].obs_start, specs[0].obs_end)
+    b = store.window_sketches(specs[1].obs_start, specs[1].obs_end)
+    cands = sorted({k for k, _, _ in a["topk"].top()} |
+                   {k for k, _, _ in b["topk"].top()})
+    if not cands:
+        return pd.DataFrame({"itemset": pd.Series([], dtype=object),
+                             "s1_est": pd.Series([], dtype=np.int64),
+                             "s2_est": pd.Series([], dtype=np.int64),
+                             "delta_abs_est": pd.Series([], dtype=np.int64)})
+    h = hash_strings(pd.Series(cands, dtype=object))
+    s1 = a["cms"].estimate_hashed(h).astype(np.int64)
+    s2 = b["cms"].estimate_hashed(h).astype(np.int64)
+    d = np.abs(s1 - s2)
+    keep = d >= np.int64(threshold)
+    return pd.DataFrame({"itemset": np.array(cands, object)[keep],
+                         "s1_est": s1[keep], "s2_est": s2[keep],
+                         "delta_abs_est": d[keep]})
+
+
+def q_windowed_heavy_changers_exact(
+        sf_dir: str, threshold: int = WHC_THRESHOLD,
+        num_buckets: int = 16) -> pd.DataFrame:
+    """Exact twin: per-window exact supports over conv-day transactions
+    (the store's transaction key), outer-joined support tables (itemset-
+    bounded smalls) and the identical absolute threshold."""
+    from ..functions.windows import read_window
+    from ..state.incremental import add_conv_day
+    from .analytics import _cached_event_transcripts_parquet
+    from .itemsets import exact_itemset_supports
+
+    paths = _cached_event_transcripts_parquet(sf_dir)
+    sup = []
+    for spec in _whc_specs():
+        ds = read_window(paths, spec, "obs",
+                         columns=["conv_id", "role", "tool", "ts"])
+        ds = ds.map_batches(add_conv_day, batch_format="pandas")
+        s = exact_itemset_supports(ds, conv_col="conv_day", max_k=2,
+                                   num_buckets=num_buckets,
+                                   min_support=1).to_pandas()
+        sup.append(s.set_index("itemset")["support"])
+    j = pd.concat(sup, axis=1, keys=["s1", "s2"]).fillna(0).astype(np.int64)
+    d = (j["s1"] - j["s2"]).abs()
+    j = j[d >= threshold]
+    return pd.DataFrame({"itemset": j.index.to_numpy(object),
+                         "s1": j["s1"].to_numpy(np.int64),
+                         "s2": j["s2"].to_numpy(np.int64),
+                         "delta_abs": (j["s1"] - j["s2"]).abs()
+                         .to_numpy(np.int64)})

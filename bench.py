@@ -174,6 +174,7 @@ def run_bench() -> dict:
         return x.to_pandas() if isinstance(x, rd.Dataset) else x
 
     if not headline_only:
+        from associationabacminer_ray.pipelines import components as C
         from associationabacminer_ray.pipelines import mixture as MX
         from associationabacminer_ray.pipelines import sequence as SQ
 
@@ -185,6 +186,9 @@ def run_bench() -> dict:
         # session-wave representatives: sequence packing + islands
         "packed_chunks": MX.q_packed_chunks,
         "user_streaks": SQ.q_user_streaks,
+        # graph-family representative (round 4): stream→cells + integer
+        # iteration
+        "pagerank_tools": C.q_pagerank_tools,
     }).items():
         t0 = time.perf_counter()
         consume(fn(sf_dir))

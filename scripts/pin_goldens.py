@@ -78,6 +78,13 @@ GOLDEN = [
     # bounded vs the DERIVED exact twin (heavy_changers_exact) in
     # pytest and by the gate running the pair side by side
     "heavy_changers",
+    # windowed heavy changers from the daily store: per-day builds are
+    # partition-independent (int64 CMS merges; per-day top-k in its
+    # exact regime), the window merge is a fixed day-order driver loop,
+    # and capacity 8192 keeps the MERGED top-k exact too (5 588 distinct
+    # itemsets over the span at sf0.01) — cross-CPU validated; bounded
+    # vs the DERIVED exact twin (windowed_heavy_changers_exact)
+    "windowed_heavy_changers",
     # NOT pinnable: pfa_features (gram-matrix float partials depend on
     # batch boundaries, so results shift with num_cpus; pytest checks it
     # against direct numpy instead), sketch_topk/value_quantiles

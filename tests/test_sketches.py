@@ -629,3 +629,56 @@ class TestHeavyChangers:
         mine = (q_heavy_changers_exact(sf_dir).sort_values("tool")
                 .reset_index(drop=True))
         pd.testing.assert_frame_equal(mine, oracle)
+
+
+class TestWindowedHeavyChangers:
+    def test_exact_twin_matches_duckdb(self, ray_session, sf_dir):
+        import duckdb
+
+        import __ray_entry__ as E
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            q_windowed_heavy_changers_exact)
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS "
+                    f"SELECT * FROM '{sf_dir}/events.parquet'")
+        oracle = (con.execute(
+            E.oracle_sql()["windowed_heavy_changers_exact"]).df()
+            .sort_values("itemset").reset_index(drop=True))
+        for c in ("s1", "s2", "delta_abs"):
+            oracle[c] = oracle[c].astype(np.int64)
+        mine = (q_windowed_heavy_changers_exact(sf_dir)
+                .sort_values("itemset").reset_index(drop=True))
+        pd.testing.assert_frame_equal(mine, oracle)
+
+    def test_sketch_bounds_and_store_reuse(self, ray_session, sf_dir):
+        from datetime import datetime
+
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            q_windowed_heavy_changers, q_windowed_heavy_changers_exact)
+        from associationabacminer_ray.pipelines.analytics import (
+            _cached_event_transcripts_parquet)
+        from associationabacminer_ray.state.incremental import (
+            DailySketchStore)
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            WHC_CMS_WIDTH, WHC_TOPK_CAP, WHC_WINDOWS)
+
+        sk = q_windowed_heavy_changers(sf_dir).set_index("itemset")
+        ex = (q_windowed_heavy_changers_exact(sf_dir, threshold=0)
+              .set_index("itemset"))
+        # CMS overestimate-only per window, exact candidates at this
+        # capacity: every reported estimate brackets its exact support
+        for iset, row in sk.iterrows():
+            assert iset in ex.index
+            assert row["s1_est"] >= ex.loc[iset, "s1"]
+            assert row["s2_est"] >= ex.loc[iset, "s2"]
+        # delta architecture: the second query call must rebuild ZERO
+        # day partials (everything served from the checkpointed store)
+        tag = sf_dir.strip("/").replace("/", "_")
+        store = DailySketchStore(f"/tmp/graft_windows/evdaily_{tag}",
+                                 cms_width=WHC_CMS_WIDTH,
+                                 topk_capacity=WHC_TOPK_CAP)
+        paths = _cached_event_transcripts_parquet(sf_dir)
+        start = datetime.strptime(WHC_WINDOWS[0][0], "%Y-%m-%d")
+        end = datetime.strptime(WHC_WINDOWS[-1][1], "%Y-%m-%d")
+        assert store.ensure_days(paths, start, end) == 0
