@@ -76,6 +76,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # golden) + derived-SQL exact twin over conv-day transactions
         "windowed_heavy_changers": S.q_windowed_heavy_changers,
         "windowed_heavy_changers_exact": S.q_windowed_heavy_changers_exact,
+        # round 4 (late): rule-CONFIDENCE distribution (the north-star
+        # "support and confidence-score distributions" upgrade) —
+        # DDSketch pin + derived inverted_cdf exact twin
+        "rule_conf_quantiles": S.q_rule_conf_quantiles,
+        "rule_conf_quantiles_exact": S.q_rule_conf_quantiles_exact,
         # event analytics (oracle-checked)
         "hour_histogram": A.q_hour_histogram,
         "daily_event_counts": A.q_daily_event_counts,
@@ -308,9 +313,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_dd", "type_value_quantiles_dd",
         "f2_moment_sketch", "kmeans_centroids", "weighted_sample",
         "heavy_changers", "windowed_heavy_changers",
+        "rule_conf_quantiles",
         # round-4 additions (newest evidence first)
         "heavy_changers_exact", "windowed_heavy_changers_exact",
-        "pagerank_tools",
+        "rule_conf_quantiles_exact", "pagerank_tools",
         "join_size_exact", "join_size_cms",
         "range_count_exact", "range_count_cms", "value_hour_corr",
         # dedup family (kernel rewrite round 4)
@@ -2356,6 +2362,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ABS(n_even - n_odd) AS BIGINT) AS delta_abs
             FROM c, t
             WHERE 10000 * ABS(n_even - n_odd) >= 15 * t.tot
+        """,
+        # rule-confidence distribution exact twin: rules_conf derivation
+        # + the value_quantiles_exact inverted_cdf rank idiom —
+        # pipelines.sketch_queries.q_rule_conf_quantiles_exact
+        "rule_conf_quantiles_exact": """
+            WITH t AS (SELECT DISTINCT
+                           'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                           event_type || '=k'
+                               || regexp_extract(props, '[0-9]+') AS item
+                       FROM events),
+            s1 AS (SELECT item, COUNT(*) AS support FROM t GROUP BY item),
+            p AS (SELECT a.item AS item_a, b.item AS item_b,
+                         COUNT(*) AS support_ab
+                  FROM t a JOIN t b ON a.conv_id = b.conv_id
+                         AND a.item < b.item
+                  GROUP BY a.item, b.item),
+            d AS (SELECT item_a AS antecedent, support_ab FROM p
+                  UNION ALL SELECT item_b, support_ab FROM p),
+            c AS (SELECT (10000 * d.support_ab) // s.support AS conf
+                  FROM d JOIN s1 s ON d.antecedent = s.item),
+            n AS (SELECT COUNT(*) AS n FROM c),
+            r AS (SELECT conf, ROW_NUMBER() OVER (ORDER BY conf) AS rn
+                  FROM c),
+            q(q_pct) AS (VALUES (25), (50), (75), (90), (99))
+            SELECT CAST(q.q_pct AS INTEGER) AS q_pct,
+                   CAST(r.conf AS BIGINT) AS conf_bp
+            FROM r CROSS JOIN n
+            JOIN q ON r.rn = CAST(FLOOR(q.q_pct / 100.0 * (n.n - 1))
+                                  AS BIGINT) + 1
         """,
         # windowed heavy-changers exact twin: per-window itemset supports
         # over conv-day transactions (the daily store's key), absolute

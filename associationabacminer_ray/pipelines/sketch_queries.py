@@ -982,3 +982,93 @@ def q_windowed_heavy_changers_exact(
                          "s2": j["s2"].to_numpy(np.int64),
                          "delta_abs": (j["s1"] - j["s2"]).abs()
                          .to_numpy(np.int64)})
+
+
+# --------------------------------------- rule-confidence distributions
+# The north-star wording upgrades the reference's means-only score
+# aggregation (ScoreAggregator.py:45-47) to DISTRIBUTION tracking of
+# support/confidence. q_value_quantiles* cover events.value; these two
+# cover the RULE-CONFIDENCE distribution itself: the supports shuffle
+# runs once, the singles map (items-bounded) broadcasts via the object
+# store, and every pair block emits its both-direction confidences as
+# integers — the sketch path folds them into ONE DDSketch blob
+# (merge-order-exact → pinned golden), the exact path into ≤10 001
+# conf_bp histogram cells (conf ∈ [0, 10 000]) → inverted_cdf ranks,
+# SQL-derived by composing the rules_conf oracle with the
+# value_quantiles_exact rank idiom.
+RULE_CONF_PCTS = (25, 50, 75, 90, 99)
+
+
+def _rule_conf_stream(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Distributed conf_bp stream (one int64 column)."""
+    import ray
+
+    from ..stages.transactionize import ITEM_SEP
+    from .analytics import _events_transcripts
+    from .itemsets import exact_itemset_supports
+
+    sup = exact_itemset_supports(_events_transcripts(sf_dir), max_k=2,
+                                 num_buckets=num_buckets,
+                                 max_transaction_items=None).materialize()
+    singles_df = sup.filter(expr="k == 1").to_pandas()  # items-bounded
+    singles_ref = ray.put(dict(zip(
+        singles_df["itemset"], singles_df["support"].astype(int))))
+
+    def conf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        sm = _ray.get(singles_ref)
+        p = b[b["k"] == 2]
+        if not len(p):
+            return pd.DataFrame({"conf_bp": pd.Series([], dtype=np.int64)})
+        parts = p["itemset"].str.split("\\" + ITEM_SEP, regex=True)
+        a = parts.str[0].to_numpy(object)
+        c = parts.str[1].to_numpy(object)
+        ab = p["support"].to_numpy(np.int64)
+        sa = np.array([sm[x] for x in a], np.int64)
+        sb = np.array([sm[x] for x in c], np.int64)
+        conf = np.concatenate([(10000 * ab) // sa, (10000 * ab) // sb])
+        return pd.DataFrame({"conf_bp": conf})
+
+    return sup.map_batches(conf_rows, batch_format="pandas")
+
+
+def q_rule_conf_quantiles(sf_dir: str, alpha: float = 0.01) -> pd.DataFrame:
+    """DDSketch quantiles of the rule-confidence distribution (pinned
+    golden — merge-order-exact integer buckets; relative-error bound vs
+    the exact twin asserted in pytest). Estimates are rounded to whole
+    basis points with floor(x + 0.5)."""
+    res = _rule_conf_stream(sf_dir).aggregate(
+        DDSketchAgg("conf_bp", alpha=alpha,
+                    finalize_quantiles=tuple(p / 100 for p in RULE_CONF_PCTS),
+                    alias="dd"))
+    est = np.array([res["dd"][f"q{p / 100}"] for p in RULE_CONF_PCTS], float)
+    return pd.DataFrame({
+        "q_pct": np.array(RULE_CONF_PCTS, np.int32),
+        "est_conf_bp": np.floor(est + 0.5).astype(np.int64),
+    })
+
+
+def q_rule_conf_quantiles_exact(sf_dir: str,
+                                pcts: tuple = RULE_CONF_PCTS) -> pd.DataFrame:
+    """Exact twin: per-batch conf_bp histogram cells (≤10 001 values),
+    driver csum, numpy 'inverted_cdf' rank — derived SQL oracle."""
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("conf_bp", sort=False).size().rename("cnt")
+        return g.reset_index()
+
+    cells_df = (_rule_conf_stream(sf_dir)
+                .map_batches(cells, batch_format="pandas").to_pandas())
+    merged = (cells_df.groupby("conf_bp", sort=True)["cnt"].sum()
+              .reset_index())
+    vals = merged["conf_bp"].to_numpy(np.int64)
+    csum = np.cumsum(merged["cnt"].to_numpy(np.int64))
+    n = int(csum[-1]) if len(csum) else 0
+    pct_arr = np.array(pcts, np.int64)
+    if n == 0:
+        return pd.DataFrame({"q_pct": pct_arr.astype(np.int32),
+                             "conf_bp": np.zeros(len(pct_arr), np.int64)})
+    ranks = np.floor(pct_arr / 100.0 * (n - 1)).astype(np.int64) + 1
+    picked = vals[np.searchsorted(csum, ranks, side="left")]
+    return pd.DataFrame({"q_pct": pct_arr.astype(np.int32),
+                         "conf_bp": picked})

@@ -85,6 +85,12 @@ GOLDEN = [
     # itemsets over the span at sf0.01) — cross-CPU validated; bounded
     # vs the DERIVED exact twin (windowed_heavy_changers_exact)
     "windowed_heavy_changers",
+    # rule-confidence DDSketch quantiles: integer bucket counts merge
+    # order-independently (same argument as value_quantiles_dd) and the
+    # input confidences are pure integers of the supports — cross-CPU
+    # validated; α-bound vs the DERIVED exact twin
+    # (rule_conf_quantiles_exact) asserted in pytest
+    "rule_conf_quantiles",
     # NOT pinnable: pfa_features (gram-matrix float partials depend on
     # batch boundaries, so results shift with num_cpus; pytest checks it
     # against direct numpy instead), sketch_topk/value_quantiles

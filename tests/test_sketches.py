@@ -682,3 +682,36 @@ class TestWindowedHeavyChangers:
         start = datetime.strptime(WHC_WINDOWS[0][0], "%Y-%m-%d")
         end = datetime.strptime(WHC_WINDOWS[-1][1], "%Y-%m-%d")
         assert store.ensure_days(paths, start, end) == 0
+
+
+class TestRuleConfQuantiles:
+    def test_exact_twin_matches_duckdb(self, ray_session, sf_dir):
+        import duckdb
+
+        import __ray_entry__ as E
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            q_rule_conf_quantiles_exact)
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS "
+                    f"SELECT * FROM '{sf_dir}/events.parquet'")
+        oracle = (con.execute(E.oracle_sql()["rule_conf_quantiles_exact"])
+                  .df().sort_values("q_pct").reset_index(drop=True))
+        oracle["q_pct"] = oracle["q_pct"].astype(np.int32)
+        oracle["conf_bp"] = oracle["conf_bp"].astype(np.int64)
+        mine = (q_rule_conf_quantiles_exact(sf_dir)
+                .sort_values("q_pct").reset_index(drop=True))
+        pd.testing.assert_frame_equal(mine, oracle)
+
+    def test_dd_within_alpha_of_exact(self, ray_session, sf_dir):
+        from associationabacminer_ray.pipelines.sketch_queries import (
+            q_rule_conf_quantiles, q_rule_conf_quantiles_exact)
+
+        alpha = 0.01
+        sk = q_rule_conf_quantiles(sf_dir, alpha=alpha)
+        ex = q_rule_conf_quantiles_exact(sf_dir)
+        est = sk["est_conf_bp"].to_numpy(np.int64)
+        tru = ex["conf_bp"].to_numpy(np.int64)
+        # DDSketch guarantee: relative error ≤ alpha on the value
+        # (+1 bp absolute slack for the integer rounding of estimates)
+        assert np.all(np.abs(est - tru) <= alpha * tru + 1)
