@@ -292,6 +292,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_count_cms": S.q_range_count_cms,
         # round 4: shuffle-free distributed correlation / OLS slope
         "value_hour_corr": ST.q_value_hour_corr,
+        # round 4 (late): deterministic hash train/val/test split,
+        # histogram-offset snake-balanced sharding, per-language
+        # quantile-threshold quality filtering
+        "dataset_split": MX.q_dataset_split,
+        "balanced_shards": MX.q_balanced_shards,
+        "quality_topfrac": T.q_quality_topfrac,
     }
     # Driver-gate window ordering (VERDICT r3 #3): the driver's
     # correctness recorder caps at ~50 entries in dict order, so the
@@ -325,8 +331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline", "assembly_pipeline", "clean_pipeline",
         "benchmark_contamination", "dedup_components",
         "neardup_canonical", "label_centroids", "copurchase_triangles",
-        # mixture / packing family
+        # mixture / packing family + round-4-late split/shard/filter
+        # additions (never gate-validated before → in-window)
         "packed_chunks", "mixture_sample", "source_upsample",
+        "dataset_split", "balanced_shards", "quality_topfrac",
         "above_median_docs", "token_fertility",
         # robust-stats / sequence family (round-3 wave, already
         # gate-validated in CORRECTNESS_r03 + the committed replays —
@@ -2749,5 +2757,101 @@ def oracle_sql() -> dict[str, str]:
                                       AND CURRENT ROW))
                         // COUNT(*) OVER () AS BIGINT) AS cume_bp
             FROM spend
+        """,
+        # deterministic train/val/test split: THE sampling hash with
+        # the 0.8/0.9 boundaries stated as exact integer literals
+        # (floor(0.8*2^32), floor(0.9*2^32)) —
+        # pipelines.mixture.q_dataset_split
+        "dataset_split": """
+            WITH h AS (
+              SELECT lang, n_chars,
+                     (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                         % 4294967296 AS hv
+              FROM documents
+              WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+                AND n_chars IS NOT NULL
+            )
+            SELECT CASE WHEN hv < 3435973836 THEN 'train'
+                        WHEN hv < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM h GROUP BY 1, 2
+        """,
+        # snake-order balanced sharding over (n_chars DESC, doc_id)
+        # global rank — pipelines.mixture.q_balanced_shards (S=8, so
+        # period 16; rank p -> p%16 if <8 else 15-(p%16))
+        "balanced_shards": """
+            WITH r AS (
+              SELECT n_chars,
+                     ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                         - 1 AS rank0
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+            )
+            SELECT CAST(CASE WHEN rank0 % 16 < 8 THEN rank0 % 16
+                             ELSE 15 - (rank0 % 16) END AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM r GROUP BY 1
+        """,
+        # per-language top-1/4 quantile filter: threshold = the
+        # (n//4)-th largest quality_bp under (bp DESC, doc_id) order,
+        # keep STRICTLY greater (tie-order independent, so the engine's
+        # histogram derivation and this window derivation agree
+        # exactly) — text_pipelines.q_quality_topfrac; the quality_bp
+        # fragment is the verified quality_scores oracle verbatim
+        "quality_topfrac": """
+            WITH f AS (
+              SELECT doc_id, lang,
+                     GREATEST(length(text), 1) AS denom,
+                     len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^0-9A-Za-z_\\s]')) AS n_words,
+                     len(regexp_extract_all(text, '[^0-9A-Za-z_\\s]'))
+                         AS n_punct,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                     len(regexp_extract_all(lower(text), '\\bthe\\b'))
+                       + len(regexp_extract_all(lower(text), '\\band\\b'))
+                       + len(regexp_extract_all(lower(text), '\\bof\\b'))
+                       + len(regexp_extract_all(lower(text), '\\bto\\b'))
+                       + len(regexp_extract_all(lower(text), '\\ba\\b'))
+                       + len(regexp_extract_all(lower(text), '\\bin\\b'))
+                       + len(regexp_extract_all(lower(text), '\\bis\\b'))
+                       + len(regexp_extract_all(lower(text), '\\bthat\\b'))
+                       + len(regexp_extract_all(lower(text), '\\bfor\\b'))
+                       + len(regexp_extract_all(lower(text), '\\bwith\\b'))
+                         AS stop_hits
+              FROM documents
+            ), r AS (
+              SELECT doc_id, lang,
+                     CAST(n_punct AS DOUBLE) / denom AS punct_ratio,
+                     CAST(n_alpha AS DOUBLE) / denom AS alpha_ratio,
+                     CAST(stop_hits AS DOUBLE) / GREATEST(n_words, 1)
+                         AS stop_ratio,
+                     LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+                         AS length_score
+              FROM f
+            ), q AS (
+              SELECT doc_id, lang,
+                     CAST(FLOOR((0.35*length_score + 0.35*alpha_ratio
+                                 + 0.2*LEAST(GREATEST(stop_ratio*4, 0), 1)
+                                 + 0.1*(1 - LEAST(GREATEST(punct_ratio*4,
+                                                           0), 1)))
+                                *10000 + 0.5) AS BIGINT) AS quality_bp
+              FROM r
+            ), w AS (
+              SELECT doc_id, lang, quality_bp,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY quality_bp DESC, doc_id)
+                         AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM q
+            ), t AS (
+              SELECT lang, quality_bp AS thr FROM w WHERE rn = n // 4
+            )
+            SELECT w.doc_id, w.lang, w.quality_bp
+            FROM w JOIN t USING (lang) WHERE w.quality_bp > t.thr
         """,
     }

@@ -347,3 +347,117 @@ def q_assembly_pipeline(sf_dir: str, cap: int = PACK_CAP_TOKENS,
                               lambda g: pack_assign(g, cap),
                               num_buckets=num_buckets,
                               coalesce_to=max(32, cluster_cpus()))
+
+
+# ------------------------------------------------- deterministic split
+# floor(0.8 * 2^32) and floor(0.9 * 2^32): the train/val boundary of the
+# shared sampling hash. Stated as literals so the SQL oracle can restate
+# them verbatim.
+SPLIT_TRAIN_LT = 3435973836
+SPLIT_VAL_LT = 3865470566
+
+
+def q_dataset_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 in
+    expectation) by THE sampling hash on ``doc_id`` — the split every
+    training run re-derives identically with no stored assignment
+    table, stable under re-partitioning, appends, and re-runs (the
+    property a 100 TB corpus needs: adding documents never moves an
+    existing one across splits). One streamed pass emits per-batch
+    (split, lang) partials; the final combine is a ≤ 3·|langs| row
+    groupby. Extends the reference's ``instance_sample_rate`` Bernoulli
+    skip (``src/experiment/SeparatedVarianceSelector.py:38``) from
+    sample-vs-drop to a persistent multi-way partition."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        hv = sample_hash_values(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        split = np.where(hv < np.uint64(SPLIT_TRAIN_LT), "train",
+                         np.where(hv < np.uint64(SPLIT_VAL_LT), "val",
+                                  "test"))
+        df = pd.DataFrame({
+            "split": split,
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "n_chars": t["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        return (df.groupby(["split", "lang"], sort=False)
+                .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+                .reset_index())
+
+    partials = docs.map_batches(assign, batch_format="pyarrow").to_pandas()
+    out = (partials.groupby(["split", "lang"], sort=True)[["n_docs", "sum_chars"]]
+           .sum().reset_index())
+    return out.astype({"n_docs": np.int64, "sum_chars": np.int64})
+
+
+# --------------------------------------------------- balanced sharding
+BALANCED_NUM_SHARDS = 8
+
+
+def q_balanced_shards(sf_dir: str,
+                      num_shards: int = BALANCED_NUM_SHARDS,
+                      num_buckets: int = 8) -> pd.DataFrame:
+    """Snake-order balanced sharding: rank every document by
+    (n_chars DESC, doc_id ASC) and deal ranks boustrophedon across
+    ``num_shards`` output shards (rank p goes to shard p mod 2S if
+    < S else 2S−1−(p mod 2S)) — the deterministic LPT-style writer
+    assignment that keeps per-shard byte totals within one max-doc of
+    each other without any coordinator state.
+
+    Global rank without a global sort: pass 1 reduces to an
+    ``n_chars`` histogram (bounded by the length domain, a documented
+    small side) whose descending cumsum gives each length's rank
+    OFFSET; pass 2 co-locates equal-length docs (hash(n_chars) % B
+    bucketed shuffle), ranks within a length by ``doc_id`` order, and
+    emits ≤ num_shards partial rows per group. Output = per-shard doc
+    count and byte total (the balance evidence itself)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def hist_partial(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        ln = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(ln, return_counts=True)
+        return pd.DataFrame({"n_chars": u, "n": c.astype(np.int64)})
+
+    cells = (docs.map_batches(hist_partial, batch_format="pyarrow")
+             .to_pandas().groupby("n_chars", sort=True)["n"].sum())
+    # rank offset of a length = count of strictly longer docs
+    # (ascending-aligned arrays so the per-bucket kernel can look
+    # offsets up with one vectorized searchsorted, no per-row dict)
+    lens_asc = cells.index.to_numpy().astype(np.int64)
+    counts_asc = cells.to_numpy().astype(np.int64)
+    # suffix-sum EXCLUDING self = docs strictly longer than this length
+    gt_counts_asc = (np.cumsum(counts_asc[::-1])[::-1] - counts_asc)
+
+    two_s = 2 * num_shards
+
+    def shard_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # the bucket holds MANY lengths (hash(n_chars) % B co-location);
+        # within each length ranks are contiguous, so the shard COUNTS
+        # depend only on (offset, group size) — any within-length order
+        # yields the same multiset of ranks as the (DESC, doc_id) sort
+        ln = g["n_chars"].to_numpy().astype(np.int64)
+        local = g.groupby("n_chars", sort=False).cumcount().to_numpy()
+        off = gt_counts_asc[np.searchsorted(lens_asc, ln)]
+        rank0 = off + local
+        p = rank0 % two_s
+        shard = np.where(p < num_shards, p, two_s - 1 - p)
+        part = (pd.DataFrame({"shard": shard, "sum_chars": ln})
+                .groupby("shard", sort=False)
+                .agg(n_docs=("sum_chars", "size"),
+                     sum_chars=("sum_chars", "sum"))
+                .reset_index())
+        return part
+
+    nn = docs.map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
+    partials = bucketed_group_agg(nn, ["n_chars"], shard_bucket,
+                                  num_buckets=num_buckets).to_pandas()
+    out = (partials.groupby("shard", sort=True)[["n_docs", "sum_chars"]]
+           .sum().reset_index())
+    return out.astype({"shard": np.int64, "n_docs": np.int64,
+                       "sum_chars": np.int64})

@@ -116,6 +116,89 @@ def q_quality_scores(sf_dir: str):
     return out.map_batches(fold, batch_format="pyarrow")
 
 
+QUALITY_TOPFRAC_DEN = 4  # keep the top 1/4 of each language
+
+
+def quality_bp_table(sf_dir: str) -> rd.Dataset:
+    """(doc_id, lang, quality_bp): the TokenStats quality score folded
+    to basis points with the shared fold_bp op sequence, language
+    carried through for per-group selection."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    out = ds.map_batches(TokenStats, batch_format="pyarrow",
+                         concurrency=auto_concurrency())
+
+    def fold(t: pa.Table) -> pa.Table:
+        from ..functions.scoring import fold_bp
+
+        return pa.table({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "lang": t["lang"],
+            "quality_bp": fold_bp(
+                t["quality_score"].to_numpy(zero_copy_only=False)),
+        })
+
+    return out.map_batches(fold, batch_format="pyarrow")
+
+
+def q_quality_topfrac(sf_dir: str, den: int = QUALITY_TOPFRAC_DEN):
+    """Per-language quantile-threshold filtering: keep the documents
+    whose quality score is STRICTLY above that language's top-1/den
+    boundary — 'keep the best quarter of each language', the per-group
+    generalization of the global quality floor in ``curation_doc_flags``.
+
+    The boundary is the k-th largest quality_bp (k = n_lang // den)
+    under (quality_bp DESC, doc_id ASC) order; strict-greater keep
+    makes the selection independent of tie order, so the engine can
+    derive the threshold from a HISTOGRAM instead of a sort: pass 1
+    reduces the scored corpus to (lang, quality_bp) cells (≤ |langs| ×
+    10001 — a documented small side), the driver walks each language's
+    descending cumsum to the k-th row, and pass 2 streams the corpus
+    once against the broadcast {lang: threshold} dict. No global sort,
+    no per-group top-k shuffle — the 100 TB shape for every
+    'top X%% per domain' curation decision.
+
+    The scored table is materialized ONCE (narrow: two ints + lang) and
+    feeds both passes, so TokenStats — the expensive stage — runs a
+    single time."""
+    scored = quality_bp_table(sf_dir).materialize()
+
+    def hist_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "quality_bp": t["quality_bp"].to_numpy(zero_copy_only=False),
+        })
+        return (df.groupby(["lang", "quality_bp"], sort=False)
+                .size().rename("n").reset_index())
+
+    cells = (scored.map_batches(hist_partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["lang", "quality_bp"], sort=True)["n"].sum()
+             .reset_index())
+    thresholds: dict[str, int] = {}
+    for lang, grp in cells.groupby("lang", sort=True):
+        n = int(grp["n"].sum())
+        k = n // den
+        if k == 0:
+            continue  # fewer than den docs: keep nothing (oracle: no row)
+        bp_desc = grp["quality_bp"].to_numpy()[::-1]
+        cum = np.cumsum(grp["n"].to_numpy()[::-1])
+        # k-th largest value = first descending bin whose cumsum ≥ k
+        thresholds[str(lang)] = int(bp_desc[np.searchsorted(cum, k)])
+
+    def keep(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        bp = t["quality_bp"].to_numpy(zero_copy_only=False)
+        # one vectorized comparison per language (domain is tiny),
+        # never a per-row Python lookup
+        mask = np.zeros(len(bp), dtype=bool)
+        for lang, thr in thresholds.items():
+            mask |= (langs == lang) & (bp > thr)
+        return t.filter(pa.array(mask))
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
 def q_langid(sf_dir: str):
     """Heuristic language ID (stopword profiles) vs the labeled lang —
     deterministic argmax with en→de→es→fr tie-break, reproduced in the
