@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": MX.q_dataset_split,
         "balanced_shards": MX.q_balanced_shards,
         "quality_topfrac": T.q_quality_topfrac,
+        # round 4 (late): SemDeDup-style cluster-scoped semantic
+        # near-dup pairs with an integer-exact cosine contract
+        "semantic_neardup": N.q_semantic_neardup,
     }
     # Driver-gate window ordering (VERDICT r3 #3): the driver's
     # correctness recorder caps at ~50 entries in dict order, so the
@@ -335,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (never gate-validated before → in-window)
         "packed_chunks", "mixture_sample", "source_upsample",
         "dataset_split", "balanced_shards", "quality_topfrac",
+        "semantic_neardup",
         "above_median_docs", "token_fertility",
         # robust-stats / sequence family (round-3 wave, already
         # gate-validated in CORRECTNESS_r03 + the committed replays —
@@ -2853,5 +2857,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w.doc_id, w.lang, w.quality_bp
             FROM w JOIN t USING (lang) WHERE w.quality_bp > t.thr
+        """,
+        # SemDeDup-style within-label near-dup pairs: quantize with the
+        # shared fold, evaluate cos >= 3/10 as the cross-multiplied
+        # integer inequality 100*dot^2 >= 9*na*nb with dot > 0 —
+        # pipelines.ann.q_semantic_neardup. list_dot_product returns
+        # DOUBLE but every value here is an integer < 2^53, so the
+        # BIGINT cast is exact; the comparison runs in HUGEINT.
+        "semantic_neardup": """
+            WITH q AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     list_transform(embedding,
+                         x -> CAST(FLOOR(x*1000 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings
+            ), n AS (
+              SELECT vec_id, label, qv,
+                     CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+              FROM q
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+                     CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+                     a.n2 AS na, b.n2 AS nb
+              FROM n a JOIN n b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b, label,
+                   CAST((10000 * CAST(dot AS HUGEINT) * dot)
+                        // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS cos2_bp
+            FROM p
+            WHERE dot > 0
+              AND 100 * CAST(dot AS HUGEINT) * dot
+                  >= 9 * CAST(na AS HUGEINT) * nb
         """,
     }

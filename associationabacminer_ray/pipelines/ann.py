@@ -575,3 +575,77 @@ def q_embedding_topk_pairs(sf_dir: str, k: int = 20,
            .head(k).reset_index(drop=True))
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top[["rank", "id_a", "id_b"]].astype(np.int64)
+
+
+# ------------------------------------------------ SemDeDup-style pairs
+SEMANTIC_QUANT_SCALE = 1000
+SEMANTIC_TAU_NUM = 3     # cosine threshold as the exact rational 3/10
+SEMANTIC_TAU_DEN = 10
+
+
+def q_semantic_neardup(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Cluster-scoped semantic near-duplicate pairs (the SemDeDup shape,
+    Abbas et al. 2023): only pairs INSIDE a cluster are compared, so the
+    all-pairs cost drops from O(N²) to Σ|cluster|² — here the
+    ``label`` column is the cluster key (on unlabeled corpora compose
+    with ``cluster.kmeans`` first, which is how 100 TB runs bound the
+    cluster sizes).
+
+    Integer-exact cosine contract (no float can cross the gate):
+    embeddings are quantized with the shared fold (floor(x·1000 + 0.5)),
+    and the keep rule cos ≥ 3/10 is evaluated as the cross-multiplied
+    integer inequality  100·dot² ≥ 9·‖a‖²·‖b‖²  with dot > 0 — the
+    identical arithmetic the DuckDB oracle states (HUGEINT there, int64
+    here; max |term| ≈ 1.4e16 < 2⁶³). Output carries
+    cos2_bp = (10⁴·dot²) // (‖a‖²·‖b‖²), the bp-folded SQUARED cosine,
+    which is exactly representable on both sides.
+
+    Distribution: one hash(label) % B shuffle co-locates each cluster,
+    then a vectorized int64 Gram matrix per cluster — the partitioning
+    assumption (a cluster fits a worker) is the same one SemDeDup's
+    k-means sharding provides by construction."""
+    emb = _embeddings(sf_dir)
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].astype(np.int64),
+            "label": b["label"].astype(np.int64),
+            "qv": list(np.floor(_stack(b["embedding"]) * SEMANTIC_QUANT_SCALE
+                                + 0.5).astype(np.int64)),
+        })
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        tn2, td2 = SEMANTIC_TAU_NUM ** 2, SEMANTIC_TAU_DEN ** 2
+        for lab, grp in g.groupby("label", sort=False):
+            ids = grp["vec_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            X = np.stack(grp["qv"].to_numpy())[order]
+            dot = X @ X.T
+            n2 = np.einsum("ij,ij->i", X, X)
+            keep = (dot > 0) & (td2 * dot * dot >= tn2 * np.outer(n2, n2))
+            ia, ib = np.nonzero(np.triu(keep, 1))
+            if len(ia) == 0:
+                continue
+            d = dot[ia, ib]
+            out.append(pd.DataFrame({
+                "id_a": ids[ia], "id_b": ids[ib],
+                "label": np.int64(lab),
+                "cos2_bp": (10_000 * d * d) // (n2[ia] * n2[ib]),
+            }))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "label": pd.Series(dtype=np.int64),
+                                 "cos2_bp": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    from .analytics import bucketed_group_agg
+
+    q = emb.map_batches(quantize, batch_format="pandas")
+    return (bucketed_group_agg(q, ["label"], pairs_in_bucket,
+                               num_buckets=num_buckets)
+            .to_pandas().astype(np.int64)
+            .sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))

@@ -98,3 +98,39 @@ def test_quality_topfrac_direct(ray_session, sf_dir):
     n_kept = got.groupby("lang").size()
     for lang, n in n_kept.items():
         assert n <= n_lang[lang] // tp.QUALITY_TOPFRAC_DEN
+
+
+def test_semantic_neardup_direct(ray_session, sf_dir):
+    from associationabacminer_ray.pipelines import ann
+
+    got = ann.q_semantic_neardup(sf_dir)
+    # brute force: same integer arithmetic, plain numpy over the table
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    X = np.floor(np.stack(emb["embedding"].to_numpy()) * 1000 + 0.5).astype(
+        np.int64)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    labs = emb["label"].to_numpy(np.int64)
+    rows = []
+    for lab in np.unique(labs):
+        m = labs == lab
+        sub_ids, sub = ids[m], X[m]
+        o = np.argsort(sub_ids)
+        sub_ids, sub = sub_ids[o], sub[o]
+        dot = sub @ sub.T
+        n2 = np.einsum("ij,ij->i", sub, sub)
+        keep = (dot > 0) & (100 * dot * dot >= 9 * np.outer(n2, n2))
+        ia, ib = np.nonzero(np.triu(keep, 1))
+        for a, b in zip(ia, ib):
+            d = int(dot[a, b])
+            rows.append((int(sub_ids[a]), int(sub_ids[b]), int(lab),
+                         (10_000 * d * d) // int(n2[a] * n2[b])))
+    want = pd.DataFrame(rows, columns=["id_a", "id_b", "label", "cos2_bp"])
+    want = want.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype(
+        np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0  # threshold chosen so natural pairs exist
+    # layout invariance
+    alt = ann.q_semantic_neardup(sf_dir, num_buckets=1)
+    pd.testing.assert_frame_equal(got, alt)
+    # cluster scoping: a pair never crosses labels
+    assert (got["id_a"] != got["id_b"]).all()
