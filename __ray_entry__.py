@@ -299,8 +299,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_shards": MX.q_balanced_shards,
         "quality_topfrac": T.q_quality_topfrac,
         # round 4 (late): SemDeDup-style cluster-scoped semantic
-        # near-dup pairs with an integer-exact cosine contract
+        # near-dup pairs with an integer-exact cosine contract, and the
+        # keep-one canonicalization over their components (recursive-
+        # CTE closure oracle)
         "semantic_neardup": N.q_semantic_neardup,
+        "semantic_canonical": N.q_semantic_canonical,
     }
     # Driver-gate window ordering (VERDICT r3 #3): the driver's
     # correctness recorder caps at ~50 entries in dict order, so the
@@ -338,7 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additions (never gate-validated before → in-window)
         "packed_chunks", "mixture_sample", "source_upsample",
         "dataset_split", "balanced_shards", "quality_topfrac",
-        "semantic_neardup",
+        "semantic_neardup", "semantic_canonical",
         "above_median_docs", "token_fertility",
         # robust-stats / sequence family (round-3 wave, already
         # gate-validated in CORRECTNESS_r03 + the committed replays —
@@ -2889,5 +2892,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE dot > 0
               AND 100 * CAST(dot AS HUGEINT) * dot
                   >= 9 * CAST(na AS HUGEINT) * nb
+        """,
+        # keep-one semantic dedup: min reachable vec_id over the
+        # semantic_neardup edge set, derived IN SQL as a linear
+        # recursive-CTE transitive closure (UNION dedup terminates it)
+        # — pipelines.ann.q_semantic_canonical
+        "semantic_canonical": """
+            WITH RECURSIVE m AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     list_transform(embedding,
+                         x -> CAST(FLOOR(x*1000 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings
+            ), m2 AS (
+              SELECT vec_id, label, qv,
+                     CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+              FROM m
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+                     a.n2 AS na, b.n2 AS nb
+              FROM m2 a JOIN m2 b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+            ), pk AS (
+              SELECT id_a, id_b FROM p
+              WHERE dot > 0
+                AND 100 * CAST(dot AS HUGEINT) * dot
+                    >= 9 * CAST(na AS HUGEINT) * nb
+            ), e AS (
+              SELECT id_a AS u, id_b AS v FROM pk
+              UNION ALL SELECT id_b, id_a FROM pk
+            ), reach(u, v) AS (
+              SELECT DISTINCT u, u FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            )
+            SELECT CAST(u AS BIGINT) AS vec_id,
+                   CAST(MIN(v) AS BIGINT) AS canonical_id
+            FROM reach GROUP BY u
         """,
     }

@@ -583,7 +583,8 @@ SEMANTIC_TAU_NUM = 3     # cosine threshold as the exact rational 3/10
 SEMANTIC_TAU_DEN = 10
 
 
-def q_semantic_neardup(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+def q_semantic_neardup(sf_dir: str, num_buckets: int = 8,
+                       as_dataset: bool = False):
     """Cluster-scoped semantic near-duplicate pairs (the SemDeDup shape,
     Abbas et al. 2023): only pairs INSIDE a cluster are compared, so the
     all-pairs cost drops from O(N²) to Σ|cluster|² — here the
@@ -644,8 +645,28 @@ def q_semantic_neardup(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
     from .analytics import bucketed_group_agg
 
     q = emb.map_batches(quantize, batch_format="pandas")
-    return (bucketed_group_agg(q, ["label"], pairs_in_bucket,
-                               num_buckets=num_buckets)
-            .to_pandas().astype(np.int64)
+    ds = bucketed_group_agg(q, ["label"], pairs_in_bucket,
+                            num_buckets=num_buckets)
+    if as_dataset:
+        return ds
+    return (ds.to_pandas().astype(np.int64)
             .sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_semantic_canonical(sf_dir: str) -> pd.DataFrame:
+    """Keep-one semantic dedup: the SemDeDup pair set collapsed to
+    (vec_id → canonical_id = min reachable vec_id) through the shared
+    ``connected_components`` machinery — the composition a curation run
+    executes to pick one representative per semantic-duplicate group.
+    Only vectors in ≥1 pair appear (singletons are trivially their own
+    canonical). The oracle derives the SAME closure in SQL: a linear
+    recursive CTE over the (verified) semantic_neardup edge set."""
+    from .components import connected_components
+
+    edges = q_semantic_neardup(sf_dir, as_dataset=True)
+    comp = connected_components(edges)
+    out = comp.to_pandas() if hasattr(comp, "to_pandas") else comp
+    out = out.rename(columns={"node": "vec_id", "component": "canonical_id"})
+    return (out.astype(np.int64).sort_values("vec_id", kind="mergesort")
             .reset_index(drop=True))

@@ -134,3 +134,31 @@ def test_semantic_neardup_direct(ray_session, sf_dir):
     pd.testing.assert_frame_equal(got, alt)
     # cluster scoping: a pair never crosses labels
     assert (got["id_a"] != got["id_b"]).all()
+
+
+def test_semantic_canonical_props(ray_session, sf_dir):
+    from associationabacminer_ray.pipelines import ann
+
+    pairs = ann.q_semantic_neardup(sf_dir)
+    got = ann.q_semantic_canonical(sf_dir)
+    # union-find reference over the verified pair set
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    want = pd.DataFrame({"vec_id": nodes,
+                         "canonical_id": [find(n) for n in nodes]}).astype(
+        np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    # canonical is always a member of its own component and the min id
+    assert (got["canonical_id"] <= got["vec_id"]).all()
+    assert set(got["canonical_id"]) <= set(got["vec_id"])
