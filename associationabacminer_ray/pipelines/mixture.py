@@ -363,8 +363,9 @@ def q_dataset_split(sf_dir: str) -> pd.DataFrame:
     training run re-derives identically with no stored assignment
     table, stable under re-partitioning, appends, and re-runs (the
     property a 100 TB corpus needs: adding documents never moves an
-    existing one across splits). One streamed pass emits per-batch
-    (split, lang) partials; the final combine is a ≤ 3·|langs| row
+    existing one across splits). One streamed pass assigns the label;
+    the combine is Ray's native grouped aggregate (per-block partials
+    merged distributedly), so only a ≤ 3·|langs| row
     groupby. Extends the reference's ``instance_sample_rate`` Bernoulli
     skip (``src/experiment/SeparatedVarianceSelector.py:38``) from
     sample-vs-drop to a persistent multi-way partition."""
@@ -378,19 +379,21 @@ def q_dataset_split(sf_dir: str) -> pd.DataFrame:
         split = np.where(hv < np.uint64(SPLIT_TRAIN_LT), "train",
                          np.where(hv < np.uint64(SPLIT_VAL_LT), "val",
                                   "test"))
-        df = pd.DataFrame({
+        return pd.DataFrame({
             "split": split,
             "lang": t["lang"].to_numpy(zero_copy_only=False),
             "n_chars": t["n_chars"].to_numpy(zero_copy_only=False)
             .astype(np.int64),
         })
-        return (df.groupby(["split", "lang"], sort=False)
-                .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
-                .reset_index())
 
-    partials = docs.map_batches(assign, batch_format="pyarrow").to_pandas()
-    out = (partials.groupby(["split", "lang"], sort=True)[["n_docs", "sum_chars"]]
-           .sum().reset_index())
+    from ray.data.aggregate import Count, Sum
+
+    out = (docs.map_batches(assign, batch_format="pyarrow")
+           .groupby(["split", "lang"])
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_chars", alias_name="sum_chars"))
+           .to_pandas()
+           .sort_values(["split", "lang"]).reset_index(drop=True))
     return out.astype({"n_docs": np.int64, "sum_chars": np.int64})
 
 
@@ -424,8 +427,14 @@ def q_balanced_shards(sf_dir: str,
         u, c = np.unique(ln, return_counts=True)
         return pd.DataFrame({"n_chars": u, "n": c.astype(np.int64)})
 
+    from ray.data.aggregate import Sum
+
+    # per-batch partials merged by Ray's grouped aggregate, so the
+    # driver sees at most |length domain| rows, never |blocks| x domain
     cells = (docs.map_batches(hist_partial, batch_format="pyarrow")
-             .to_pandas().groupby("n_chars", sort=True)["n"].sum())
+             .groupby("n_chars").aggregate(Sum("n", alias_name="n"))
+             .to_pandas()
+             .groupby("n_chars", sort=True)["n"].sum())
     # rank offset of a length = count of strictly longer docs
     # (ascending-aligned arrays so the per-bucket kernel can look
     # offsets up with one vectorized searchsorted, no per-row dict)

@@ -171,7 +171,11 @@ def q_quality_topfrac(sf_dir: str, den: int = QUALITY_TOPFRAC_DEN):
         return (df.groupby(["lang", "quality_bp"], sort=False)
                 .size().rename("n").reset_index())
 
+    # Ray-native combine first: the driver sees at most
+    # |langs| x 10001 cells, never |blocks| x cells
     cells = (scored.map_batches(hist_partial, batch_format="pyarrow")
+             .groupby(["lang", "quality_bp"])
+             .aggregate(Sum("n", alias_name="n"))
              .to_pandas()
              .groupby(["lang", "quality_bp"], sort=True)["n"].sum()
              .reset_index())
