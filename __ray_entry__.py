@@ -304,6 +304,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CTE closure oracle)
         "semantic_neardup": N.q_semantic_neardup,
         "semantic_canonical": N.q_semantic_canonical,
+        # round 4 (late): train/test window-leakage detection across
+        # the deterministic hash split (both sides corpus-sized — a
+        # symmetric win_hash shuffle join, no broadcast)
+        "split_leakage": T.q_split_leakage,
     }
     # Driver-gate window ordering (VERDICT r3 #3): the driver's
     # correctness recorder caps at ~50 entries in dict order, so the
@@ -334,7 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 LATE wave (never gate-validated before → in-window):
         # split/shard/filter + semantic dedup pair/canonical
         "dataset_split", "balanced_shards", "quality_topfrac",
-        "semantic_neardup", "semantic_canonical",
+        "semantic_neardup", "semantic_canonical", "split_leakage",
         # dedup family (kernel rewrite round 4)
         "minhash_dups", "containment_dups", "ngram_dups",
         # curation / assembly compositions + graph family
@@ -2931,5 +2935,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS vec_id,
                    CAST(MIN(v) AS BIGINT) AS canonical_id
             FROM reach GROUP BY u
+        """,
+        # train/test leakage across the hash split: distinct 8-token
+        # windows (RE2 \\S+ tokens, the containment_dups convention —
+        # window STRING equality here, 64-bit window-hash equality in
+        # the engine, identical w.h.p.) present on both sides; count
+        # per test doc — text_pipelines.q_split_leakage
+        "split_leakage": """
+            WITH s AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+                     (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+                         % 4294967296 AS hv
+              FROM documents
+            ), w AS (
+              SELECT DISTINCT doc_id, hv,
+                     array_to_string(toks[i:i+7], ' ') AS win
+              FROM s, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+              WHERE len(toks) >= 8
+            ), trw AS (
+              SELECT DISTINCT win FROM w WHERE hv < 3435973836
+            ), te AS (
+              SELECT doc_id, win FROM w WHERE hv >= 3865470566
+            )
+            SELECT CAST(te.doc_id AS BIGINT) AS test_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS leak_windows
+            FROM te JOIN trw USING (win)
+            GROUP BY te.doc_id
         """,
     }

@@ -782,6 +782,74 @@ def q_simhash_bands(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas").to_pandas()
 
 
+# --------------------------------------------------- split leakage
+def q_split_leakage(sf_dir: str, window: int = 8,
+                    num_buckets: int = 16) -> pd.DataFrame:
+    """Train/test LEAKAGE detection across the deterministic hash split
+    (the eval-hygiene composition of ``q_dataset_split`` +
+    ``q_benchmark_contamination``): for every test-split document,
+    count its distinct ``window``-token runs that also occur in ANY
+    train-split document. Output = (test_doc_id, leak_windows) for
+    leaking docs only.
+
+    Unlike benchmark decontamination, BOTH sides here are corpus-sized
+    (train is ~80%%, test ~10%%), so no side can broadcast: the join is
+    one symmetric hash(win_hash) %% B shuffle of distinct
+    (win_hash, doc_id, side) rows — window hashes only, never text —
+    followed by a per-bucket vectorized train-presence probe and a
+    Ray-native count per test doc. Window equality is 64-bit hash
+    equality (the dedup_docs collision caveat: ~n²/2⁶⁴, and the output
+    carries no window strings, so the answer is identical w.h.p.)."""
+    import ray.data  # noqa: F401  (rd already imported at module scope)
+
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import RollingWindowHashes
+    from .analytics import bucketed_group_agg, sample_hash_values
+    from .mixture import SPLIT_TRAIN_LT, SPLIT_VAL_LT
+
+    wh = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        RollingWindowHashes, batch_format="pyarrow",
+        concurrency=auto_concurrency(),
+        fn_constructor_kwargs={"window": window})
+
+    def flag_split(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates(["doc_id", "win_hash"])
+        hv = sample_hash_values(d["doc_id"].to_numpy(np.int64))
+        is_train = hv < np.uint64(SPLIT_TRAIN_LT)
+        is_test = hv >= np.uint64(SPLIT_VAL_LT)
+        d = d.assign(is_train=is_train)[is_train | is_test]
+        return pd.DataFrame({
+            "win_hash": d["win_hash"].to_numpy(np.uint64).astype(np.int64),
+            "doc_id": d["doc_id"].to_numpy(np.int64),
+            "is_train": d["is_train"].to_numpy(bool),
+        })
+
+    flagged = wh.map_batches(flag_split, batch_format="pandas")
+
+    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # block splits may duplicate a doc's window across batches
+        g = g.drop_duplicates(["win_hash", "doc_id", "is_train"])
+        train_h = g.loc[g["is_train"], "win_hash"].unique()
+        te = g[~g["is_train"]]
+        hit = te[np.isin(te["win_hash"].to_numpy(), train_h)]
+        return pd.DataFrame({
+            "test_doc_id": hit["doc_id"].to_numpy(np.int64),
+            "win_hash": hit["win_hash"].to_numpy(np.int64),
+        })
+
+    leaked = bucketed_group_agg(flagged, ["win_hash"], probe_bucket,
+                                num_buckets=num_buckets)
+    out = (leaked.groupby("test_doc_id")
+           .aggregate(Count(alias_name="leak_windows"))
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"test_doc_id": pd.Series(dtype=np.int64),
+                             "leak_windows": pd.Series(dtype=np.int64)})
+    return (out.astype(np.int64)
+            .sort_values("test_doc_id").reset_index(drop=True))
+
+
 # ------------------------------------------------ benchmark decontamination
 BENCH_MOD = 50
 BENCH_RESIDUE = 7

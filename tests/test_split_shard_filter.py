@@ -162,3 +162,32 @@ def test_semantic_canonical_props(ray_session, sf_dir):
     # canonical is always a member of its own component and the min id
     assert (got["canonical_id"] <= got["vec_id"]).all()
     assert set(got["canonical_id"]) <= set(got["vec_id"])
+
+
+def test_split_leakage_direct(ray_session, sf_dir):
+    import re
+
+    got = tp.q_split_leakage(sf_dir)
+    docs = _docs_df(sf_dir).dropna(subset=["doc_id", "text"])
+    hv = sample_hash_values(docs["doc_id"].to_numpy(np.int64))
+    W = 8
+    wins = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = re.findall(r"\S+", text)
+        wins[int(doc_id)] = {" ".join(toks[i:i + W])
+                             for i in range(len(toks) - W + 1)}
+    train_ids = docs["doc_id"].to_numpy(np.int64)[hv < np.uint64(mx.SPLIT_TRAIN_LT)]
+    test_ids = docs["doc_id"].to_numpy(np.int64)[hv >= np.uint64(mx.SPLIT_VAL_LT)]
+    train_wins = set().union(*(wins[int(d)] for d in train_ids)) if len(
+        train_ids) else set()
+    rows = [(int(d), len(wins[int(d)] & train_wins)) for d in sorted(test_ids)
+            if wins[int(d)] & train_wins]
+    want = pd.DataFrame(rows, columns=["test_doc_id", "leak_windows"]).astype(
+        np.int64)
+    if want.empty:
+        assert got.empty
+    else:
+        pd.testing.assert_frame_equal(got, want)
+    # bucket-count invariance
+    alt = tp.q_split_leakage(sf_dir, num_buckets=4)
+    pd.testing.assert_frame_equal(got, alt)
