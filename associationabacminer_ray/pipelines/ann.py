@@ -667,6 +667,9 @@ def q_semantic_canonical(sf_dir: str) -> pd.DataFrame:
     edges = q_semantic_neardup(sf_dir, as_dataset=True)
     comp = connected_components(edges)
     out = comp.to_pandas() if hasattr(comp, "to_pandas") else comp
+    if out.empty:  # no near-dup pair anywhere: defined empty result
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "canonical_id": pd.Series(dtype=np.int64)})
     out = out.rename(columns={"node": "vec_id", "component": "canonical_id"})
     return (out.astype(np.int64).sort_values("vec_id", kind="mergesort")
             .reset_index(drop=True))

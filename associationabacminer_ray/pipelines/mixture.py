@@ -365,8 +365,8 @@ def q_dataset_split(sf_dir: str) -> pd.DataFrame:
     property a 100 TB corpus needs: adding documents never moves an
     existing one across splits). One streamed pass assigns the label;
     the combine is Ray's native grouped aggregate (per-block partials
-    merged distributedly), so only a ≤ 3·|langs| row
-    groupby. Extends the reference's ``instance_sample_rate`` Bernoulli
+    merged distributedly), so at most 3·|langs| rows ever reach the
+    driver. Extends the reference's ``instance_sample_rate`` Bernoulli
     skip (``src/experiment/SeparatedVarianceSelector.py:38``) from
     sample-vs-drop to a persistent multi-way partition."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
