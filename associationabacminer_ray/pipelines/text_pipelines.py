@@ -156,7 +156,7 @@ def q_quality_topfrac(sf_dir: str, den: int = QUALITY_TOPFRAC_DEN):
     descending cumsum to the k-th row, and pass 2 streams the corpus
     once against the broadcast {lang: threshold} dict. No global sort,
     no per-group top-k shuffle — the 100 TB shape for every
-    'top X%% per domain' curation decision.
+    'top X% per domain' curation decision.
 
     The scored table is materialized ONCE (narrow: two ints + lang) and
     feeds both passes, so TokenStats — the expensive stage — runs a
@@ -793,7 +793,7 @@ def q_split_leakage(sf_dir: str, window: int = 8,
     leaking docs only.
 
     Unlike benchmark decontamination, BOTH sides here are corpus-sized
-    (train is ~80%%, test ~10%%), so no side can broadcast: the join is
+    (train is ~80%, test ~10%), so no side can broadcast: the join is
     one symmetric hash(win_hash) %% B shuffle of distinct
     (win_hash, doc_id, side) rows — window hashes only, never text —
     followed by a per-bucket vectorized train-presence probe and a
