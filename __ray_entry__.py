@@ -734,6 +734,7 @@ def oracle_sql() -> dict[str, str]:
         TRANSCRIPTS_FROM_EVENTS_SQL,
     )
     from associationabacminer_ray.pipelines import mixture as _mx
+    from associationabacminer_ray.functions import sqlgen as _sqlgen
 
     # quota / epoch tables restated from the ONE set of constants the
     # engine uses, so the two sides cannot desynchronize
@@ -2698,6 +2699,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_join
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
         """,
+        # DERIVED (not pinned): the CMS estimates themselves rebuilt in
+        # single-statement SQL — SplitMix64 via HUGEINT modular
+        # arithmetic, cell table per depth row, min-over-rows reads
+        # (functions/sqlgen.py; replaces the former pinned goldens)
+        "join_size_cms": _sqlgen.join_size_cms_sql(),
+        "range_count_cms": _sqlgen.range_count_cms_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

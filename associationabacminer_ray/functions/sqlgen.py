@@ -1,0 +1,194 @@
+"""Derived-SQL restatements of the CMS sketch estimates.
+
+The count-min sketch queries (``q_join_size_cms``,
+``q_range_count_cms``) are deterministic pure functions of the corpus:
+int64 cell sums are merge-order independent and the hash chain is
+SplitMix64 over integer keys (``functions.hashing``). That makes the
+ESTIMATE itself — not just an exact twin — independently derivable in
+ANSI-ish SQL: SplitMix64 is three xor-shift-multiply steps mod 2⁶⁴,
+and a 64-bit wraparound multiply is expressible in DuckDB HUGEINT
+(128-bit) arithmetic by splitting the constant into 32-bit halves:
+
+    (a·c) mod 2⁶⁴ = (a·c_lo + ((a·c_hi mod 2³²) << 32)) mod 2⁶⁴
+
+with every intermediate < 2⁹⁷ ⊂ HUGEINT. The generators below emit a
+SINGLE SELECT statement (nested subqueries, no macros — the driver
+gate may not support multi-statement oracles) that rebuilds the CMS
+cell table per depth row and reads it exactly the way
+``sketches/cms.py`` does (point read = min over rows; inner product =
+min over rows of the cell-wise dot). This converts two pinned-golden
+oracles into independent derivations — the SQL recomputes the sketch
+from the raw parquet, it does not restate engine output.
+
+The string-keyed sketches (heavy_changers, hll over SipHash content
+hashes) stay pinned: ``pandas.util.hash_array`` is not reasonably
+SQL-expressible.
+
+Parity with numpy's uint64 semantics is pytest-asserted over random
+64-bit inputs (tests/test_sqlgen.py) and the full oracles are gate-
+checked at both sf levels like every derived entry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+P64 = 1 << 64
+_GAMMA = 0x9E3779B97F4A7C15
+_M1 = 0xBF58476D1CE4E5B9
+_M2 = 0x94D049BB133111EB
+
+
+def _mulmod64(col: str, const: int) -> str:
+    """(col · const) mod 2⁶⁴ as a DuckDB UBIGINT expression (HUGEINT
+    intermediates, 32-bit constant split — see module docstring)."""
+    lo, hi = const & 0xFFFFFFFF, const >> 32
+    return (
+        f"CAST(((CAST({col} AS HUGEINT) * {lo}) + "
+        f"((CAST({col} AS HUGEINT) * {hi}) % 4294967296) * 4294967296) "
+        f"% {P64} AS UBIGINT)"
+    )
+
+
+def splitmix64_select(src_sql: str, in_col: str, out_col: str,
+                      carry: tuple[str, ...] = ()) -> str:
+    """A SELECT computing ``out_col = splitmix64(in_col)`` over
+    ``src_sql`` (a full SELECT producing UBIGINT ``in_col``), carrying
+    the named columns through. Six nested steps, each referencing the
+    previous step's column — no expression blow-up."""
+    pre = (", ".join(carry) + ", ") if carry else ""
+    q = (f"SELECT {pre}CAST((CAST({in_col} AS HUGEINT) + {_GAMMA}) % {P64} "
+         f"AS UBIGINT) AS z0 FROM ({src_sql})")
+    q = f"SELECT {pre}xor(z0, z0 >> 30) AS t1 FROM ({q})"
+    q = f"SELECT {pre}{_mulmod64('t1', _M1)} AS z1 FROM ({q})"
+    q = f"SELECT {pre}xor(z1, z1 >> 27) AS t2 FROM ({q})"
+    q = f"SELECT {pre}{_mulmod64('t2', _M2)} AS z2 FROM ({q})"
+    return f"SELECT {pre}xor(z2, z2 >> 31) AS {out_col} FROM ({q})"
+
+
+def _splitmix64_int(x: int) -> int:
+    with np.errstate(over="ignore"):
+        z = np.uint64(x % P64) + np.uint64(_GAMMA)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_M1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_M2)
+        return int(z ^ (z >> np.uint64(31)))
+
+
+def _seeds_values(seed: int, depth: int) -> str:
+    """The CMS row-seed constants S_i = splitmix64(seed·1315423911 + i)
+    — the exact ``mix_with_seed`` family derivation of
+    ``sketches/cms.py:_rows`` — inlined as a VALUES list."""
+    rows = [
+        f"({i}, CAST({_splitmix64_int(seed * 1315423911 + i)} AS UBIGINT))"
+        for i in range(depth)
+    ]
+    return "VALUES " + ", ".join(rows)
+
+
+def _int_key_cells_sql(table: str, col: str, width: int, alias: str) -> str:
+    """CTE body ``alias(d, cell, n)``: the nonzero CMS cells of one
+    integer key column — base hash h = splitmix64(uint64(key)) (the
+    ``hash_ints`` path), row mix splitmix64(h ⊕ S_d), cell = mix %
+    width. Negative keys wrap into uint64 exactly like numpy's
+    ``astype(uint64)``."""
+    x = (f"SELECT CAST(((CAST({col} AS HUGEINT) % {P64}) + {P64}) % {P64} "
+         f"AS UBIGINT) AS x FROM {table} WHERE {col} IS NOT NULL")
+    base = splitmix64_select(x, "x", "h")
+    mix_in = (f"SELECT s.d AS d, xor(t.h, s.s) AS y "
+              f"FROM ({base}) t CROSS JOIN seeds s")
+    mixed = splitmix64_select(mix_in, "y", "hh", ("d",))
+    return (f"{alias} AS (SELECT d, CAST(hh % {width} AS BIGINT) AS cell, "
+            f"CAST(COUNT(*) AS HUGEINT) AS n FROM ({mixed}) "
+            f"GROUP BY d, cell)")
+
+
+def join_size_cms_sql(width: int = 1 << 15, depth: int = 4,
+                      seed: int = 7) -> str:
+    """Single-statement derivation of ``q_join_size_cms``: rebuild both
+    CMS cell tables from events.user_id / orders.o_custkey and take
+    min over depth rows of the cell-wise dot (``cms.inner_product``).
+    Cells missing on either side contribute 0 to the dot, so the inner
+    join over nonzero cells is exact."""
+    return f"""
+WITH seeds(d, s) AS ({_seeds_values(seed, depth)}),
+{_int_key_cells_sql('events', 'user_id', width, 'a_cells')},
+{_int_key_cells_sql('orders', 'o_custkey', width, 'b_cells')},
+dots AS (SELECT a.d, SUM(a.n * b.n) AS dot
+         FROM a_cells a JOIN b_cells b ON a.d = b.d AND a.cell = b.cell
+         GROUP BY a.d)
+SELECT CAST(CASE WHEN (SELECT COUNT(*) FROM dots) < {depth} THEN 0
+            ELSE (SELECT MIN(dot) FROM dots) END AS BIGINT) AS n_join_est
+"""
+
+
+def _dyadic_cover(a: int, b: int) -> list[tuple[int, int]]:
+    """Canonical disjoint dyadic cover of [a, b] — mirror of
+    ``sketch_queries.dyadic_cover`` (kept separate so the oracle side
+    is an independent restatement, property-tested against it)."""
+    out: list[tuple[int, int]] = []
+    level = 0
+    while a <= b:
+        if a & 1:
+            out.append((level, a))
+            a += 1
+        if b & 1 == 0:
+            out.append((level, b))
+            b -= 1
+        if a > b:
+            break
+        a >>= 1
+        b >>= 1
+        level += 1
+    return out
+
+
+def range_count_cms_sql(bits: int = 24, width: int = 1 << 16,
+                        depth: int = 4, seed: int = 7,
+                        ranges: tuple = ((0, 99_999),
+                                         (100_000, 499_999),
+                                         (500_000, 1_499_999),
+                                         (1_500_000, (1 << 24) - 1))) -> str:
+    """Single-statement derivation of ``q_range_count_cms``: fold
+    events.value to bp (the shared FLOOR(v·10⁴+0.5) op sequence),
+    update every dyadic prefix (key<<6 | level encoding, exactly
+    ``_dyadic_cell_hashes``), then answer each fixed range as the sum
+    over its canonical dyadic cover of min-over-rows cell reads. Cover
+    cells absent from the cell table read 0 (LEFT JOIN + COALESCE) —
+    identical to an all-zero CMS column."""
+    qrows = []
+    for rid, (lo, hi) in enumerate(ranges):
+        for lvl, ky in _dyadic_cover(lo, hi):
+            qrows.append(f"({rid}, CAST({lo} AS BIGINT), "
+                         f"CAST({hi} AS BIGINT), "
+                         f"CAST({(ky << 6) | lvl} AS UBIGINT))")
+    qvals = "VALUES " + ", ".join(qrows)
+    upd_in = (
+        f"SELECT CAST(c.enc AS UBIGINT) AS x, c.n AS n FROM ("
+        f"SELECT (v.v >> l.l) * 64 + l.l AS enc, SUM(v.cnt) AS n "
+        f"FROM (SELECT CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v, "
+        f"COUNT(*) AS cnt FROM events GROUP BY 1) v "
+        f"CROSS JOIN range(0, {bits}) l(l) GROUP BY 1) c")
+    upd_h = splitmix64_select(upd_in, "x", "h", ("n",))
+    upd_mix_in = (f"SELECT s.d AS d, t.n AS n, xor(t.h, s.s) AS y "
+                  f"FROM ({upd_h}) t CROSS JOIN seeds s")
+    upd_mixed = splitmix64_select(upd_mix_in, "y", "hh", ("d", "n"))
+    q_h = splitmix64_select(
+        "SELECT rid, lo, hi, enc, enc AS x FROM q_cells_raw",
+        "x", "h", ("rid", "lo", "hi", "enc"))
+    q_mix_in = (f"SELECT t.rid, t.lo, t.hi, t.enc, s.d AS d, "
+                f"xor(t.h, s.s) AS y FROM ({q_h}) t CROSS JOIN seeds s")
+    q_mixed = splitmix64_select(q_mix_in, "y", "hh",
+                                ("rid", "lo", "hi", "enc", "d"))
+    return f"""
+WITH seeds(d, s) AS ({_seeds_values(seed, depth)}),
+cms AS (SELECT d, CAST(hh % {width} AS BIGINT) AS idx, SUM(n) AS cnt
+        FROM ({upd_mixed}) GROUP BY d, idx),
+q_cells_raw(rid, lo, hi, enc) AS ({qvals}),
+q_idx AS (SELECT rid, lo, hi, enc, d, CAST(hh % {width} AS BIGINT) AS idx
+          FROM ({q_mixed})),
+q_est AS (SELECT rid, lo, hi, enc, MIN(COALESCE(c.cnt, 0)) AS est
+          FROM q_idx q LEFT JOIN cms c ON c.d = q.d AND c.idx = q.idx
+          GROUP BY rid, lo, hi, enc)
+SELECT lo AS lo_bp, hi AS hi_bp, CAST(SUM(est) AS BIGINT) AS n_rows_est
+FROM q_est GROUP BY rid, lo, hi ORDER BY rid
+"""

@@ -63,15 +63,10 @@ GOLDEN = [
     # weighted A-ES sample: per-row keys are pure hash functions, top-k
     # merge deterministic — cross-CPU validated like every pin
     "weighted_sample",
-    # dyadic-CMS range counts: same int64 merge-order-exact argument as
-    # join_size_cms; bounded vs the DERIVED exact twin (range_count_exact)
-    "range_count_cms",
-    # CMS inner-product join-size estimate: table cells are int64 sums
-    # (merge-order independent, bit-identical across partition splits),
-    # inner product a pure function of the two tables — cross-CPU
-    # validated; bounded vs the DERIVED exact twin (join_size_exact)
-    # both in pytest and by the gate running the pair side by side
-    "join_size_cms",
+    # range_count_cms / join_size_cms were pinned through round 4 and
+    # are now fully DERIVED single-statement SQL (the estimate itself,
+    # not a twin): functions/sqlgen.py restates SplitMix64 + the CMS
+    # cell map in HUGEINT modular arithmetic — removed from this list
     # CMS heavy-changers: per-half CMS cells and space-saving heads are
     # int64 merges in the top-k's EXACT regime (capacity ≫ 100 tools),
     # so the report is partition-independent — cross-CPU validated;

@@ -1,0 +1,90 @@
+"""Parity tests for the derived-SQL CMS oracles (functions/sqlgen.py).
+
+The gate-level end-to-end check (Ray pipeline vs the generated SQL at
+two sf levels) runs in scripts/local_gate.py; these tests pin the
+primitives the derivation rests on — SplitMix64 bit-parity between
+numpy uint64 semantics and the generated DuckDB expression, including
+the wraparound edge cases, and the dyadic-cover restatement.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from associationabacminer_ray.functions import sqlgen
+from associationabacminer_ray.functions.hashing import splitmix64
+
+
+def _sql_splitmix(values: np.ndarray) -> np.ndarray:
+    vals = ", ".join(f"(CAST({int(v)} AS UBIGINT))" for v in values)
+    src = f"SELECT x FROM (VALUES {vals}) t(x)"
+    q = sqlgen.splitmix64_select(src, "x", "h")
+    out = duckdb.connect().execute(
+        f"SELECT CAST(h AS HUGEINT) FROM ({q})").fetchall()
+    return np.array([int(r[0]) for r in out], dtype=object)
+
+
+def test_splitmix64_sql_matches_numpy_random():
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 1 << 64, size=256, dtype=np.uint64)
+    want = splitmix64(xs)
+    got = _sql_splitmix(xs)
+    assert [int(w) for w in want] == list(got)
+
+
+def test_splitmix64_sql_wraparound_edges():
+    xs = np.array([0, 1, (1 << 64) - 1, (1 << 63), 0x9E3779B97F4A7C15],
+                  dtype=np.uint64)
+    want = [int(v) for v in splitmix64(xs)]
+    assert want == list(_sql_splitmix(xs))
+
+
+def test_mulmod64_exact():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 1 << 64, size=64, dtype=np.uint64)
+    for const in (0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 1, (1 << 64) - 1):
+        vals = ", ".join(f"(CAST({int(v)} AS UBIGINT))" for v in a)
+        q = (f"SELECT CAST({sqlgen._mulmod64('x', const)} AS HUGEINT) "
+             f"FROM (VALUES {vals}) t(x)")
+        got = [int(r[0]) for r in duckdb.connect().execute(q).fetchall()]
+        want = [(int(v) * const) % (1 << 64) for v in a]
+        assert got == want
+
+
+def test_seed_constants_match_mix_with_seed():
+    from associationabacminer_ray.functions.hashing import mix_with_seed
+
+    # S_i in the VALUES list must equal splitmix64(seed·1315423911+i),
+    # i.e. the constant mix_with_seed folds into every element
+    import re
+
+    seed, depth = 7, 4
+    sql = sqlgen._seeds_values(seed, depth)
+    consts = [int(m) for m in re.findall(r"CAST\((\d+) AS UBIGINT\)", sql)]
+    assert len(consts) == depth
+    h = np.uint64(0)
+    for i in range(depth):
+        want = splitmix64(np.uint64((seed * 1315423911 + i) % (1 << 64)))
+        assert int(want) == consts[i]
+        # and the full row map agrees with sketches/cms.py:_rows
+        assert int(mix_with_seed(h, seed * 1315423911 + i)) == int(
+            splitmix64(h ^ np.uint64(consts[i])))
+
+
+def test_dyadic_cover_restatement_matches_engine():
+    from associationabacminer_ray.pipelines.sketch_queries import dyadic_cover
+
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        a, b = sorted(int(v) for v in rng.integers(0, 1 << 24, size=2))
+        assert sqlgen._dyadic_cover(a, b) == dyadic_cover(a, b, 24)
+
+
+@pytest.mark.parametrize("gen", [sqlgen.join_size_cms_sql,
+                                 sqlgen.range_count_cms_sql])
+def test_generated_sql_is_single_statement(gen):
+    sql = gen()
+    assert ";" not in sql
+    assert "MACRO" not in sql.upper()
