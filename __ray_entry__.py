@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3 (late): temporal family — as-of join, rolling window
         # aggregate, exact-quantile twin of the sketch path
         "asof_attribution": TM.q_asof_attribution,
+        # round 4 (late): interval/range join — per order, same-customer
+        # events inside [o_orderdate, +7d) via time-bucket replication
+        "interval_join": TM.q_interval_join,
         "rolling_user_activity": TM.q_rolling_user_activity,
         "value_quantiles_exact": TM.q_value_quantiles_exact,
         # round 3 (late): document-term ranking + grouped mode
@@ -336,9 +339,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_exact", "join_size_cms",
         "range_count_exact", "range_count_cms", "value_hour_corr",
         # round-4 LATE wave (never gate-validated before → in-window):
-        # split/shard/filter + semantic dedup pair/canonical
+        # split/shard/filter + semantic dedup pair/canonical + the
+        # time-bucket-replicated interval join
         "dataset_split", "balanced_shards", "quality_topfrac",
         "semantic_neardup", "semantic_canonical", "split_leakage",
+        "interval_join",
         # dedup family (kernel rewrite round 4)
         "minhash_dups", "containment_dups", "ngram_dups",
         # curation / assembly compositions + graph family
@@ -1437,6 +1442,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(anchor_event_id AS BIGINT) AS anchor_event_id,
                    CAST(gap_us AS BIGINT) AS gap_us
             FROM j WHERE rn = 1
+        """,
+        # interval join: per 'signup' anchor, same-user events in the
+        # OPEN forward window (anchor_ts, anchor_ts + 7d); value folded
+        # to bp per row before the sum (shared op sequence) so the
+        # aggregate is integer-exact
+        "interval_join": """
+            SELECT CAST(a.event_id AS BIGINT) AS anchor_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_follow,
+                   CAST(SUM(CAST(FLOOR(e.value * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_bp
+            FROM events a
+            JOIN events e
+              ON e.user_id = a.user_id
+             AND e.ts > a.ts
+             AND e.ts < a.ts + INTERVAL 7 DAY
+            WHERE a.event_type = 'signup'
+              AND a.event_id IS NOT NULL AND a.user_id IS NOT NULL
+              AND a.ts IS NOT NULL AND a.value IS NOT NULL
+              AND e.event_id IS NOT NULL AND e.user_id IS NOT NULL
+              AND e.ts IS NOT NULL AND e.value IS NOT NULL
+              AND e.event_type IS NOT NULL AND a.event_type IS NOT NULL
+            GROUP BY a.event_id
         """,
         # trailing-7-day RANGE frame per user; value folded to bp
         # per ROW before the window sum so the total is integer-exact

@@ -179,6 +179,106 @@ def q_asof_attribution(sf_dir: str) -> rd.Dataset:
     return asof_join_events(sf_dir)
 
 
+# ------------------------------------------------------- interval (range) join
+INTERVAL_JOIN_DAYS = 7
+
+
+def interval_join_followups(sf_dir: str,
+                            anchor_type: str = ASOF_ANCHOR_TYPE,
+                            window_days: int = INTERVAL_JOIN_DAYS,
+                            num_buckets: int = 16) -> rd.Dataset:
+    """Distributed INTERVAL (range) JOIN: per ``anchor_type`` event,
+    the count and folded-sum of the SAME user's events with
+    ``ts ∈ (anchor_ts, anchor_ts + window)`` — the forward-window
+    complement of the backward ``asof_join_events``, and the
+    inequality-predicate join Ray Data has no native operator for
+    (the reference's msearch date-range probes,
+    ``src/eval/EnvPolicyEvaluator.py:200-240``, ask the same
+    bounded-window question per rule).
+
+    Shape (the canonical time-bucket replication plan): probe events
+    map to ONE time bucket ``floor(ts / window)``; each anchor
+    replicates to the ≤2 buckets its window overlaps. Both sides
+    shuffle once on hash(user, bucket) — the BIG side never
+    replicates, and a (probe, anchor) pair can meet in exactly one
+    (user, bucket) cell (the probe's own bucket), so the exact
+    predicate filter never double-counts. Per-anchor partials from
+    the ≤2 cells merge in a second small keyed sum. Pair blow-up
+    inside a cell is bounded by one user's events inside a 2·window
+    span (time locality), not the corpus; a user hot enough to break
+    that bound is a salted-join candidate (``pipelines/joins.py``).
+    """
+    win_us = np.int64(window_days * US_PER_DAY)
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = _drop_null(t)
+        ts = _ts_us(t["ts"])
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        etype = t["event_type"].to_numpy(zero_copy_only=False)
+        v_bp = _fold_bp(t["value"])
+        tb = ts // win_us  # floor div on both sides (internal key only)
+        probe = pd.DataFrame({
+            "uid": uid, "tb": tb, "ts": ts, "v_bp": v_bp,
+            "anchor_ts": np.int64(0), "anchor_id": np.int64(0),
+            "side": np.int8(0),
+        })
+        am = etype == anchor_type
+        if not am.any():
+            return probe
+        a_uid, a_ts, a_id = uid[am], ts[am], eid[am]
+        a_tb = a_ts // win_us
+        anchors = pd.DataFrame({
+            "uid": np.concatenate([a_uid, a_uid]),
+            "tb": np.concatenate([a_tb, a_tb + 1]),
+            "ts": np.int64(0), "v_bp": np.int64(0),
+            "anchor_ts": np.concatenate([a_ts, a_ts]),
+            "anchor_id": np.concatenate([a_id, a_id]),
+            "side": np.int8(1),
+        })
+        return pd.concat([probe, anchors], ignore_index=True)
+
+    both = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+
+    _EMPTY = {"anchor_id": np.int64, "n_follow": np.int64,
+              "sum_value_bp": np.int64}
+
+    def cell_join(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0]
+        a = g[g["side"] == 1]
+        if not len(e) or not len(a):
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in _EMPTY.items()})
+        j = e[["uid", "tb", "ts", "v_bp"]].merge(
+            a[["uid", "tb", "anchor_ts", "anchor_id"]], on=["uid", "tb"])
+        j = j[(j["ts"] > j["anchor_ts"])
+              & (j["ts"] < j["anchor_ts"] + win_us)]
+        out = (j.groupby("anchor_id", sort=False)
+               .agg(n_follow=("ts", "size"), sum_value_bp=("v_bp", "sum"))
+               .reset_index())
+        return out.astype(_EMPTY)
+
+    from .analytics import bucketed_group_agg
+
+    partials = bucketed_group_agg(both, ["uid", "tb"], cell_join,
+                                  num_buckets=num_buckets)
+
+    def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("anchor_id", sort=False)[
+            ["n_follow", "sum_value_bp"]].sum().reset_index())
+        return out.astype(_EMPTY)
+
+    return bucketed_group_agg(partials, ["anchor_id"], merge_partials,
+                              num_buckets=max(4, num_buckets // 4))
+
+
+def q_interval_join(sf_dir: str) -> rd.Dataset:
+    return interval_join_followups(sf_dir)
+
+
 # ------------------------------------------------------- rolling window agg
 def rolling_window_agg(sf_dir: str, window_days: int = ROLLING_DAYS,
                        num_buckets: int = 16) -> rd.Dataset:

@@ -209,3 +209,69 @@ def test_null_rows_excluded_matches_oracle(ray_session, tmp_path):
         g = got[sc].sort_values(sc).reset_index(drop=True)
         w = want[sc].sort_values(sc).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w, check_dtype=False), name
+
+
+# ----------------------------------------------------------- interval join
+def test_interval_join_bucket_boundary_no_double_count(ray_session,
+                                                       tmp_path):
+    """An anchor whose 7-day window straddles a time-bucket boundary
+    meets follow events from BOTH of its replicas — each (probe,
+    anchor) pair must still count exactly once (the probe's own bucket
+    is the unique meeting cell), and the open-interval bounds must
+    exclude the anchor instant and the window end."""
+    from associationabacminer_ray.pipelines.temporal import (
+        interval_join_followups,
+    )
+
+    anchor_ts = TS0 + pd.Timedelta(days=5)  # window spans bucket edge
+    sf = _write_events(tmp_path, [
+        (1, anchor_ts, 7, "signup", 1.0, "{}"),
+        # same bucket as the anchor (days 5..6)
+        (2, anchor_ts + DAY, 7, "click", 2.0, "{}"),
+        # next bucket (days 7..11) — only reachable via the +1 replica
+        (3, anchor_ts + 4 * DAY, 7, "click", 3.0, "{}"),
+        # boundary exclusions: equal ts and window end
+        (4, anchor_ts, 7, "click", 5.0, "{}"),
+        (5, anchor_ts + 7 * DAY, 7, "click", 7.0, "{}"),
+        # other user never joins
+        (6, anchor_ts + DAY, 8, "click", 11.0, "{}"),
+    ])
+    out = interval_join_followups(sf).to_pandas()
+    assert out["anchor_id"].tolist() == [1]
+    assert int(out["n_follow"][0]) == 2
+    assert int(out["sum_value_bp"][0]) == 20000 + 30000
+
+
+def test_interval_join_anchor_counts_as_followup_of_earlier_anchor(
+        ray_session, tmp_path):
+    """Two anchors for one user: the later anchor is itself a follow
+    event of the earlier one (probe side is ALL events), and each
+    anchor gets its own independent window."""
+    from associationabacminer_ray.pipelines.temporal import (
+        interval_join_followups,
+    )
+
+    sf = _write_events(tmp_path, [
+        (1, TS0, 7, "signup", 1.0, "{}"),
+        (2, TS0 + 2 * DAY, 7, "signup", 2.0, "{}"),
+        (3, TS0 + 3 * DAY, 7, "click", 4.0, "{}"),
+    ])
+    out = (interval_join_followups(sf).to_pandas()
+           .sort_values("anchor_id").reset_index(drop=True))
+    assert out["anchor_id"].tolist() == [1, 2]
+    assert out["n_follow"].tolist() == [2, 1]
+    assert out["sum_value_bp"].tolist() == [60000, 40000]
+
+
+def test_interval_join_no_anchors_is_empty_not_crash(ray_session,
+                                                     tmp_path):
+    from associationabacminer_ray.pipelines.temporal import (
+        interval_join_followups,
+    )
+
+    sf = _write_events(tmp_path, [
+        (1, TS0, 7, "click", 1.0, "{}"),
+        (2, TS0 + DAY, 7, "click", 2.0, "{}"),
+    ])
+    out = interval_join_followups(sf).to_pandas()
+    assert len(out) == 0
