@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3 (late): sequence bigrams, text bigrams, rolling
         # distinct (7-day active users)
         "type_transitions": SQ.q_type_transitions,
+        # round 4 (late): GSP-style ordered pair support (gaps allowed)
+        "seq_pair_support": SQ.q_seq_pair_support,
         "bigram_counts": TR.q_bigram_counts,
         "rolling_active_users": TM.q_rolling_active_users,
         # round 3 (late): ordered conversion funnel + left-join aggregate
@@ -343,7 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-bucket-replicated interval join
         "dataset_split", "balanced_shards", "quality_topfrac",
         "semantic_neardup", "semantic_canonical", "split_leakage",
-        "interval_join",
+        "interval_join", "seq_pair_support",
         # dedup family (kernel rewrite round 4)
         "minhash_dups", "containment_dups", "ngram_dups",
         # curation / assembly compositions + graph family
@@ -1791,6 +1793,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s WHERE prev IS NOT NULL
             GROUP BY prev, event_type
+        """,
+        # GSP-style ordered pair support with gaps: a user supports
+        # (a, b) iff some a-event is STRICTLY before some b-event,
+        # i.e. min(ts|a) < max(ts|b) — pipelines.sequence.seq_pair_support
+        "seq_pair_support": """
+            WITH ft AS (
+                SELECT user_id, event_type,
+                       MIN(ts) AS mn, MAX(ts) AS mx
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL
+                GROUP BY user_id, event_type)
+            SELECT a.event_type AS antecedent,
+                   b.event_type AS consequent,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ft a
+            JOIN ft b ON a.user_id = b.user_id
+                     AND a.event_type <> b.event_type
+                     AND a.mn < b.mx
+            GROUP BY 1, 2
         """,
         # global top-50 token bigrams (same tokenizer contract as
         # top_terms: lowercase [a-z0-9]+ runs; bigrams never cross

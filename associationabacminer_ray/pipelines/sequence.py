@@ -224,6 +224,86 @@ def q_type_transitions(sf_dir: str) -> rd.Dataset:
     return type_transitions(sf_dir)
 
 
+# ---------------------------------------------- sequential pair support
+def seq_pair_support(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """GSP/PrefixSpan-style length-2 sequential-pattern support: per
+    ORDERED type pair (a, b), the number of users with an ``a`` event
+    STRICTLY before a ``b`` event — gaps allowed, unlike the adjacent
+    bigrams of ``type_transitions``. The sequence analog of the
+    miner's pair support counting (itemset supports ignore order;
+    this is the ordered contract, ``a.min_ts < b.max_ts`` per user —
+    exactly "∃ a-event before b-event").
+
+    Distributed shape: a per-batch (user, type) → (min_ts, max_ts)
+    combiner shrinks the stream to ≤ users×types rows before the ONE
+    user-keyed shuffle; the per-bucket kernel pivots to a users×types
+    timestamp matrix and counts each ordered pair with a vectorized
+    column comparison (the loop is over the |types|² pair grid, O(1)
+    vector ops each — never over rows or users). At most |types|²
+    partial rows leave each bucket."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.drop_null()
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "ts_us": _ts_us(t["ts"]),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+        })
+        g = (df.groupby(["user_id", "event_type"], sort=False)["ts_us"]
+             .agg(mn="min", mx="max").reset_index())
+        return g.astype({"mn": np.int64, "mx": np.int64})
+
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["user_id", "event_type"], sort=False)
+             .agg(mn=("mn", "min"), mx=("mx", "max")).reset_index())
+        mnp = m.pivot(index="user_id", columns="event_type", values="mn")
+        mxp = m.pivot(index="user_id", columns="event_type", values="mx")
+        # NaN marks a type the user never emitted; NaN comparisons are
+        # False, so absence is excluded for free. float64 is EXACT for
+        # |ts_us| < 2^53 (year ~2255) — refuse loudly past that.
+        if np.int64(m["mx"].max()) >= (1 << 53):
+            raise ValueError("ts_us exceeds float64-exact range")
+        A = mnp.to_numpy(np.float64)
+        B = mxp.to_numpy(np.float64)
+        types = mnp.columns.to_numpy(object)
+        rows = []
+        for i, a in enumerate(types):
+            # users with an 'a' strictly before each candidate 'b'
+            n_ab = (A[:, i][:, None] < B).sum(axis=0).astype(np.int64)
+            for j, b in enumerate(types):
+                if i != j and n_ab[j] > 0:
+                    rows.append((a, b, n_ab[j]))
+        if not rows:
+            return pd.DataFrame({
+                "antecedent": pd.Series([], dtype=object),
+                "consequent": pd.Series([], dtype=object),
+                "n_users": pd.Series([], dtype=np.int64)})
+        out = pd.DataFrame(rows,
+                           columns=["antecedent", "consequent", "n_users"])
+        return out.astype({"n_users": np.int64})
+
+    from .analytics import bucketed_group_agg
+
+    cells = bucketed_group_agg(parts, ["user_id"], pair_bucket,
+                               num_buckets=num_buckets).to_pandas()
+    if cells.empty:
+        return pd.DataFrame({"antecedent": pd.Series([], dtype=object),
+                             "consequent": pd.Series([], dtype=object),
+                             "n_users": pd.Series([], dtype=np.int64)})
+    out = (cells.groupby(["antecedent", "consequent"], sort=True)["n_users"]
+           .sum().astype(np.int64).reset_index())
+    return out
+
+
+def q_seq_pair_support(sf_dir: str) -> pd.DataFrame:
+    return seq_pair_support(sf_dir)
+
+
 # ------------------------------------------------------------------- funnel
 FUNNEL_STEPS = ("signup", "view", "purchase")
 

@@ -425,3 +425,66 @@ def test_cohort_retention_dedup_and_offsets(ray_session, tmp_path):
     rows = [(int(r.cohort_week) - w0, int(r.week_offset), int(r.n_users))
             for r in got.itertuples()]
     assert rows == [(0, 0, 1), (0, 2, 1), (1, 0, 1), (1, 1, 1)]
+
+
+# -------------------------------------------------- sequential pair support
+def test_seq_pair_support_gaps_strictness_and_selfpair(ray_session,
+                                                       tmp_path):
+    """Pairs count with GAPS (a … b with events between), equal-ts
+    pairs do NOT count (strictly before), self-pairs (a, a) are
+    excluded, and a user counts once per pair no matter how many
+    witnessing event pairs exist."""
+    from associationabacminer_ray.pipelines.sequence import seq_pair_support
+
+    sf = _write_events(tmp_path, [
+        # user 7: a .. c .. b  (a<b with a gap), plus a second b
+        (1, TS0, 7, "a", 0.0, "{}"),
+        (2, TS0 + 5 * SEC, 7, "c", 0.0, "{}"),
+        (3, TS0 + 9 * SEC, 7, "b", 0.0, "{}"),
+        (4, TS0 + 12 * SEC, 7, "b", 0.0, "{}"),
+        # user 8: x and y at the SAME instant — strictly-before fails
+        (5, TS0, 8, "x", 0.0, "{}"),
+        (6, TS0, 8, "y", 0.0, "{}"),
+        # user 9: two a's — self-pair must not appear
+        (7, TS0, 9, "a", 0.0, "{}"),
+        (8, TS0 + SEC, 9, "a", 0.0, "{}"),
+    ])
+    out = seq_pair_support(sf)
+    got = {(r.antecedent, r.consequent): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == {("a", "c"): 1, ("a", "b"): 1, ("c", "b"): 1}
+
+
+def test_seq_pair_support_matches_bruteforce_random(ray_session, tmp_path):
+    """Randomized parity vs a brute-force pandas recomputation (the SQL
+    oracle's definition) on a corpus wide enough to split across
+    batches and buckets."""
+    from associationabacminer_ray.pipelines.sequence import seq_pair_support
+
+    rng = np.random.default_rng(17)
+    n = 600
+    rows = [(i,
+             TS0 + int(rng.integers(0, 10_000)) * SEC,
+             int(rng.integers(0, 25)),
+             "t" + str(int(rng.integers(0, 6))),
+             0.0, "{}") for i in range(n)]
+    sf = _write_events(tmp_path, rows)
+    got = seq_pair_support(sf, num_buckets=5)
+
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    ft = (df.groupby(["user_id", "event_type"])["ts"]
+          .agg(mn="min", mx="max").reset_index())
+    j = ft.merge(ft, on="user_id", suffixes=("_a", "_b"))
+    j = j[(j["event_type_a"] != j["event_type_b"])
+          & (j["mn_a"] < j["mx_b"])]
+    want = (j.groupby(["event_type_a", "event_type_b"]).size()
+            .rename("n_users").reset_index()
+            .rename(columns={"event_type_a": "antecedent",
+                             "event_type_b": "consequent"})
+            .sort_values(["antecedent", "consequent"])
+            .reset_index(drop=True))
+    got = got.sort_values(["antecedent", "consequent"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_users": np.int64}),
+        want.astype({"n_users": np.int64}))
