@@ -177,6 +177,7 @@ def run_bench() -> dict:
         from associationabacminer_ray.pipelines import components as C
         from associationabacminer_ray.pipelines import mixture as MX
         from associationabacminer_ray.pipelines import sequence as SQ
+        from associationabacminer_ray.pipelines import temporal as TM
 
     for name, fn in ({} if headline_only else {
         "q1_lineitem": R.q1_lineitem,
@@ -189,6 +190,10 @@ def run_bench() -> dict:
         # graph-family representative (round 4): stream→cells + integer
         # iteration
         "pagerank_tools": C.q_pagerank_tools,
+        # round-4 late joins: time-bucket-replicated interval join and
+        # the GSP ordered-pair support (combiner → one user shuffle)
+        "interval_join": TM.q_interval_join,
+        "seq_pair_support": SQ.q_seq_pair_support,
     }).items():
         t0 = time.perf_counter()
         consume(fn(sf_dir))
