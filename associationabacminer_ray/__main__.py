@@ -36,11 +36,22 @@ def _resolve_input(spec: str) -> list[str]:
 
 
 def _init_ray(num_cpus: int | None):
+    """Own the Ray session for a CLI run. Local by default; set
+    ``GRAFT_RAY_ADDRESS`` to attach to an existing cluster instead —
+    ``auto`` is what a ``ray job submit`` entrypoint wants (the job
+    runtime injects the cluster address), any ``ray://...`` URI works
+    from outside. On a cluster the driver never constrains CPUs: the
+    fixed-size cluster is the resource budget (the N vs 4N scaling
+    protocol varies the CLUSTER, not this flag — scripts/submit_job.sh)."""
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 logging_level="ERROR")
+        addr = os.environ.get("GRAFT_RAY_ADDRESS", "local")
+        if addr == "local":
+            ray.init(address="local", num_cpus=num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        else:
+            ray.init(address=addr, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
