@@ -240,6 +240,22 @@ def char_shingle_hashes_bytes(values, k: int = 5) -> tuple[np.ndarray, np.ndarra
     return segment_poly_hashes(ps, ipw, starts, ends), out_off
 
 
+def hash_strings_poly(values) -> np.ndarray:
+    """Whole-string byte-polynomial content hash — the SQL-expressible
+    sibling of ``hash_strings``: splitmix64(Σⱼ (byteⱼ+1)·Pʲ ⊕ len).
+
+    Same fold the shingle/token kernels use (``segment_poly_hashes``),
+    so a DuckDB oracle can recompute it independently with a
+    ``list_reduce`` Horner fold + the splitmix64 SQL steps
+    (``functions.sqlgen.polyhash_select``) — which is exactly why the
+    sketch queries that want a DERIVED estimate oracle (not a pinned
+    golden) key on this instead of the SipHash ``hash_strings``.
+    Nulls hash like ``""`` (the SQL side fills the same way)."""
+    data, off = utf8_bytes_view(values)
+    ps, ipw = poly_prefix(data)
+    return segment_poly_hashes(ps, ipw, off[:-1], off[1:])
+
+
 # RE2 \S = [^\t\n\f\r ] — byte-exact at UTF-8 level (continuation bytes
 # are ≥ 0x80, never delimiters), so byte tokenization ≡ char tokenization
 _RE2_DELIM = np.zeros(256, bool)

@@ -20,9 +20,14 @@ min over rows of the cell-wise dot). This converts two pinned-golden
 oracles into independent derivations — the SQL recomputes the sketch
 from the raw parquet, it does not restate engine output.
 
-The string-keyed sketches (heavy_changers, hll over SipHash content
-hashes) stay pinned: ``pandas.util.hash_array`` is not reasonably
-SQL-expressible.
+String keys are SQL-expressible too when the engine hashes them with
+the byte-polynomial fold (``hashing.hash_strings_poly``): the fold
+Σⱼ (byteⱼ+1)·Pʲ is a ``list_reduce`` Horner recurrence over the code
+points (byte == code point on the ASCII key domains these queries
+use), xor'd with the length and splitmix-finalized. That retires the
+``heavy_changers`` pin (``heavy_changers_sql``). Sketches still keyed
+on SipHash (``pandas.util.hash_array``) stay pinned — that hash is
+not reasonably SQL-expressible.
 
 Parity with numpy's uint64 semantics is pytest-asserted over random
 64-bit inputs (tests/test_sqlgen.py) and the full oracles are gate-
@@ -64,6 +69,31 @@ def splitmix64_select(src_sql: str, in_col: str, out_col: str,
     q = f"SELECT {pre}xor(z1, z1 >> 27) AS t2 FROM ({q})"
     q = f"SELECT {pre}{_mulmod64('t2', _M2)} AS z2 FROM ({q})"
     return f"SELECT {pre}xor(z2, z2 >> 31) AS {out_col} FROM ({q})"
+
+
+_POLY_P = 0x9E3779B97F4A7C15 | 1  # hashing._POLY_P (odd ⇒ invertible)
+
+
+def polyhash_select(src_sql: str, str_col: str, out_col: str,
+                    carry: tuple[str, ...] = ()) -> str:
+    """A SELECT computing ``out_col = hash_strings_poly(str_col)`` over
+    ``src_sql``: Horner ``list_reduce`` fold acc·P + (byte+1) over the
+    REVERSED code points (initial acc 0 via ``list_prepend``), xor'd
+    with the byte length, then the six splitmix64 steps. Byte-exact
+    only for ASCII keys (one byte per code point) — every caller's key
+    domain ('k'+digits tools, '='/'|'-joined items) is ASCII."""
+    lo, hi = _POLY_P & 0xFFFFFFFF, _POLY_P >> 32
+    lam = (f"(a, b) -> CAST(((CAST(a AS HUGEINT) * {lo}) + "
+           f"((CAST(a AS HUGEINT) * {hi}) % 4294967296) * 4294967296 "
+           f"+ b + 1) % {P64} AS UBIGINT)")
+    fold = (f"CASE WHEN length({str_col}) = 0 THEN CAST(0 AS UBIGINT) "
+            f"ELSE list_reduce(list_prepend(CAST(0 AS UBIGINT), "
+            f"list_reverse(list_transform(string_split({str_col}, ''), "
+            f"ch -> CAST(unicode(ch) AS UBIGINT)))), {lam}) END")
+    pre = (", ".join(carry) + ", ") if carry else ""
+    x = (f"SELECT {pre}xor({fold}, CAST(length({str_col}) AS UBIGINT)) "
+         f"AS px FROM ({src_sql})")
+    return splitmix64_select(x, "px", out_col, carry)
 
 
 def _splitmix64_int(x: int) -> int:
@@ -191,4 +221,54 @@ q_est AS (SELECT rid, lo, hi, enc, MIN(COALESCE(c.cnt, 0)) AS est
           GROUP BY rid, lo, hi, enc)
 SELECT lo AS lo_bp, hi AS hi_bp, CAST(SUM(est) AS BIGINT) AS n_rows_est
 FROM q_est GROUP BY rid, lo, hi ORDER BY rid
+"""
+
+
+def heavy_changers_sql(width: int = 1 << 14, depth: int = 4, seed: int = 7,
+                       threshold_bp: int = 15) -> str:
+    """Single-statement derivation of ``q_heavy_changers`` — the
+    ESTIMATE, not just the exact twin: rebuild both per-parity CMS
+    tables from raw events (tool keys poly-hashed exactly like
+    ``hash_strings_poly``), point-read every distinct tool per parity
+    (min over depth rows, absent cells read 0 like an all-zero CMS
+    column) and apply the identical integer bp threshold. Candidates
+    are ALL distinct tools because the engine's space-saving top-k is
+    in its exact regime (distinct tools ≪ capacity) — pinned by
+    ``tests`` asserting the candidate union equals the distinct set.
+    Total stream weight (the threshold denominator) is the exact
+    non-null row count, which the space-saving summaries carry
+    exactly regardless of capacity."""
+    tools_h = polyhash_select("SELECT tool FROM tools", "tool", "h",
+                              ("tool",))
+    mix_in = (f"SELECT t.tool AS tool, s.d AS d, xor(t.h, s.s) AS y "
+              f"FROM ({tools_h}) t CROSS JOIN seeds s")
+    mixed = splitmix64_select(mix_in, "y", "hh", ("tool", "d"))
+    return f"""
+WITH seeds(d, s) AS ({_seeds_values(seed, depth)}),
+f AS (SELECT 'k' || regexp_extract(props, '[0-9]+') AS tool,
+             (((epoch_us(ts) // 86400000000) % 2) + 2) % 2 AS parity
+      FROM events WHERE props IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT parity, tool, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM f GROUP BY parity, tool),
+tools AS (SELECT DISTINCT tool FROM c),
+tc AS (SELECT tool, d, CAST(hh % {width} AS BIGINT) AS cell
+       FROM ({mixed})),
+cms AS (SELECT c.parity, tc.d, tc.cell, SUM(c.n) AS cnt
+        FROM c JOIN tc ON c.tool = tc.tool GROUP BY 1, 2, 3),
+reads AS (SELECT tc.tool, pr.parity, tc.d, COALESCE(m.cnt, 0) AS cnt
+          FROM tc CROSS JOIN (VALUES (0), (1)) pr(parity)
+          LEFT JOIN cms m ON m.parity = pr.parity AND m.d = tc.d
+                 AND m.cell = tc.cell),
+est AS (SELECT tool, parity, MIN(cnt) AS est
+        FROM reads GROUP BY tool, parity),
+piv AS (SELECT tool,
+               COALESCE(SUM(est) FILTER (WHERE parity = 0), 0) AS ne,
+               COALESCE(SUM(est) FILTER (WHERE parity = 1), 0) AS nd
+        FROM est GROUP BY tool),
+tot AS (SELECT SUM(n) AS tot FROM c)
+SELECT tool,
+       CAST(ne AS BIGINT) AS n_even_est,
+       CAST(nd AS BIGINT) AS n_odd_est,
+       CAST(ABS(ne - nd) AS BIGINT) AS delta_abs_est
+FROM piv, tot WHERE 10000 * ABS(ne - nd) >= {threshold_bp} * tot.tot
 """

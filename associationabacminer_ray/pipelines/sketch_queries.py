@@ -768,10 +768,14 @@ def q_range_count_exact(sf_dir: str,
 # space-saving top-k PER HALF (grouped mergeable UDAFs — two fixed-size
 # blobs each reach the driver), candidates come from the union of the
 # two top-k heads, and each candidate's delta is a pair of CMS point
-# reads. Overestimate-only per side (ε·N w.p. 1−δ), fixed seed +
-# integer merges → deterministic → pinned-golden oracle; the derived
-# exact twin is ``q_heavy_changers_exact`` and the per-side bound is
-# pytest-asserted against it.
+# reads. Overestimate-only per side (ε·N w.p. 1−δ). Keys hash with the
+# byte-polynomial fold (``hash_strings_poly``) rather than SipHash, so
+# the ESTIMATE itself has a DERIVED SQL oracle — DuckDB rebuilds both
+# CMS halves from raw events and repeats the point reads
+# (``functions/sqlgen.heavy_changers_sql``; candidates = all distinct
+# tools because 100 tools ≪ capacity 4096 keeps space-saving in its
+# exact regime). ``q_heavy_changers_exact`` stays the exact twin and
+# the per-side bound is pytest-asserted against it.
 HC_CMS_WIDTH = 1 << 14
 HC_CMS_DEPTH = 4
 HC_CMS_SEED = 7
@@ -802,7 +806,7 @@ def q_heavy_changers(sf_dir: str, threshold_bp: int = HC_THRESHOLD_BP,
                      width: int = HC_CMS_WIDTH, depth: int = HC_CMS_DEPTH,
                      seed: int = HC_CMS_SEED,
                      capacity: int = HC_TOPK_CAP) -> pd.DataFrame:
-    from ..functions.hashing import hash_strings
+    from ..functions.hashing import hash_strings_poly
     from ..sketches.topk import SpaceSaving
     from ..udaf import TopKAgg
 
@@ -810,7 +814,9 @@ def q_heavy_changers(sf_dir: str, threshold_bp: int = HC_THRESHOLD_BP,
 
     def cells(t: pa.Table) -> pd.DataFrame:
         g = _tool_parity_cells(t)
-        g["h"] = hash_strings(g["tool"])
+        # poly hash (not SipHash) so the ESTIMATE oracle is a derived
+        # SQL recomputation — functions/sqlgen.heavy_changers_sql
+        g["h"] = hash_strings_poly(g["tool"])
         return g
 
     rows = (ev.map_batches(cells, batch_format="pyarrow")
@@ -839,7 +845,7 @@ def q_heavy_changers(sf_dir: str, threshold_bp: int = HC_THRESHOLD_BP,
             "n_even_est": pd.Series([], dtype=np.int64),
             "n_odd_est": pd.Series([], dtype=np.int64),
             "delta_abs_est": pd.Series([], dtype=np.int64)})
-    h = hash_strings(pd.Series(cands, dtype=object))
+    h = hash_strings_poly(pd.Series(cands, dtype=object))
     ne = cms[0].estimate_hashed(h).astype(np.int64)
     no = cms[1].estimate_hashed(h).astype(np.int64)
     # exact total stream weight rides the space-saving summaries

@@ -67,12 +67,11 @@ GOLDEN = [
     # are now fully DERIVED single-statement SQL (the estimate itself,
     # not a twin): functions/sqlgen.py restates SplitMix64 + the CMS
     # cell map in HUGEINT modular arithmetic — removed from this list
-    # CMS heavy-changers: per-half CMS cells and space-saving heads are
-    # int64 merges in the top-k's EXACT regime (capacity ≫ 100 tools),
-    # so the report is partition-independent — cross-CPU validated;
-    # bounded vs the DERIVED exact twin (heavy_changers_exact) in
-    # pytest and by the gate running the pair side by side
-    "heavy_changers",
+    # CMS heavy-changers was pinned through round 4 and is now fully
+    # DERIVED single-statement SQL (the estimate itself): the engine
+    # keys the CMS on the byte-polynomial string hash, which sqlgen
+    # restates as a list_reduce Horner fold + splitmix64 steps —
+    # removed from this list (functions/sqlgen.heavy_changers_sql)
     # windowed heavy changers from the daily store: per-day builds are
     # partition-independent (int64 CMS merges; per-day top-k in its
     # exact regime), the window merge is a fixed day-order driver loop,

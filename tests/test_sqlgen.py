@@ -83,8 +83,59 @@ def test_dyadic_cover_restatement_matches_engine():
 
 
 @pytest.mark.parametrize("gen", [sqlgen.join_size_cms_sql,
-                                 sqlgen.range_count_cms_sql])
+                                 sqlgen.range_count_cms_sql,
+                                 sqlgen.heavy_changers_sql])
 def test_generated_sql_is_single_statement(gen):
     sql = gen()
     assert ";" not in sql
     assert "MACRO" not in sql.upper()
+
+
+def test_polyhash_sql_matches_hash_strings_poly():
+    """The list_reduce Horner fold + splitmix steps reproduce
+    ``hash_strings_poly`` bit-for-bit on the ASCII key domain
+    (tools, '='/'|'-joined itemset strings), including the empty
+    string and length-1/long edges."""
+    from associationabacminer_ray.functions.hashing import hash_strings_poly
+
+    rng = np.random.default_rng(11)
+    alphabet = np.array(list(
+        "abcdefghijklmnopqrstuvwxyz0123456789=|k_-"))
+    strs = ["", "k", "k0", "k999", "agent=k37|user=k2", "a" * 200] + [
+        "".join(rng.choice(alphabet, size=int(n)))
+        for n in rng.integers(1, 40, size=60)
+    ]
+    py = hash_strings_poly(strs)
+    vals = ", ".join("('" + s + "')" for s in strs)
+    q = sqlgen.polyhash_select(
+        f"SELECT s FROM (VALUES {vals}) t(s)", "s", "h", ("s",))
+    got = dict(duckdb.connect().execute(
+        f"SELECT s, CAST(h AS HUGEINT) FROM ({q})").fetchall())
+    for s, expect in zip(strs, py):
+        assert int(got[s]) == int(expect), s
+
+
+def test_heavy_changers_estimate_matches_derived_sql(ray_session, sf_dir):
+    """End-to-end: the Ray CMS heavy-changers ESTIMATE equals the
+    single-statement SQL derivation row-for-row (same candidates —
+    space-saving exact regime — same point reads, same threshold)."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.sketch_queries import (
+        HC_TOPK_CAP, q_heavy_changers)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet'")
+    n_tools = con.execute(
+        "SELECT COUNT(DISTINCT 'k' || regexp_extract(props, '[0-9]+')) "
+        "FROM events WHERE props IS NOT NULL AND ts IS NOT NULL"
+    ).fetchone()[0]
+    assert n_tools <= HC_TOPK_CAP  # candidates = ALL distinct tools
+    oracle = (con.execute(sqlgen.heavy_changers_sql()).df()
+              .sort_values("tool").reset_index(drop=True))
+    for c in ("n_even_est", "n_odd_est", "delta_abs_est"):
+        oracle[c] = oracle[c].astype(np.int64)
+    mine = (q_heavy_changers(sf_dir).sort_values("tool")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(mine, oracle)
