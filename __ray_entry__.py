@@ -333,12 +333,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups", "knn_ivf", "multimodal_features",
         "value_quantiles_dd", "type_value_quantiles_dd",
         "f2_moment_sketch", "kmeans_centroids", "weighted_sample",
-        "windowed_heavy_changers",
         "rule_conf_quantiles",
-        # round-4 additions (newest evidence first; heavy_changers
-        # graduated from pin to fully derived estimate SQL)
+        # round-4 additions (newest evidence first; both heavy-changer
+        # estimates graduated from pins to fully derived estimate SQL)
         "heavy_changers", "heavy_changers_exact",
-        "windowed_heavy_changers_exact",
+        "windowed_heavy_changers", "windowed_heavy_changers_exact",
         "rule_conf_quantiles_exact", "pagerank_tools",
         "join_size_exact", "join_size_cms",
         "range_count_exact", "range_count_cms", "value_hour_corr",
@@ -2760,6 +2759,10 @@ def oracle_sql() -> dict[str, str]:
         # with the poly string hash restated as a list_reduce Horner
         # fold; point reads + the identical bp threshold
         "heavy_changers": _sqlgen.heavy_changers_sql(),
+        # DERIVED (not pinned): both window CMS tables rebuilt from
+        # raw events (day-build additivity) over the exact twin's
+        # conv-day support CTEs; poly itemset hash + point reads
+        "windowed_heavy_changers": _sqlgen.windowed_heavy_changers_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

@@ -272,3 +272,74 @@ SELECT tool,
        CAST(ABS(ne - nd) AS BIGINT) AS delta_abs_est
 FROM piv, tot WHERE 10000 * ABS(ne - nd) >= {threshold_bp} * tot.tot
 """
+
+
+def windowed_heavy_changers_sql(width: int = 1 << 14, depth: int = 4,
+                                seed: int = 7, threshold: int = 3,
+                                windows: tuple = (
+                                    ("2024-01-01", "2024-01-08"),
+                                    ("2024-01-08", "2024-01-15"))) -> str:
+    """Single-statement derivation of ``q_windowed_heavy_changers`` —
+    the window ESTIMATES served from the incremental daily store, not
+    just the exact twin. Soundness rests on CMS ADDITIVITY: the store
+    updates each day's CMS with that day's per-itemset supports over
+    conv-day transactions (disjoint across days), so the blob-merged
+    window CMS cell table equals one built from whole-window supports
+    — which is what this SQL builds, composing the exact twin's
+    support CTEs (singles + ≤64-item pairs over conv-day transactions,
+    the gate-validated ``windowed_heavy_changers_exact`` fragments)
+    with the poly itemset hash and min-over-rows point reads.
+    Candidates are ALL itemsets with window support ≥ 1 because the
+    merged space-saving top-k is in its exact regime (distinct
+    itemsets ≪ capacity 8192 at both sf levels). Defaults mirror
+    ``sketch_queries.WHC_*``."""
+    wrows = ", ".join(
+        f"({i + 1}, TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+        for i, (lo, hi) in enumerate(windows))
+    isets_h = polyhash_select("SELECT itemset FROM isets", "itemset", "h",
+                              ("itemset",))
+    mix_in = (f"SELECT t.itemset AS itemset, s.d AS d, xor(t.h, s.s) AS y "
+              f"FROM ({isets_h}) t CROSS JOIN seeds s")
+    mixed = splitmix64_select(mix_in, "y", "hh", ("itemset", "d"))
+    return f"""
+WITH seeds(d, s) AS ({_seeds_values(seed, depth)}),
+wins(win, lo, hi) AS (VALUES {wrows}),
+t AS (SELECT DISTINCT w.win,
+             'conv-' || CAST(e.user_id AS VARCHAR) || '@'
+                 || strftime(e.ts, '%Y-%m-%d') AS txk,
+             e.event_type || '=k'
+                 || regexp_extract(e.props, '[0-9]+') AS item
+      FROM events e JOIN wins w ON e.ts >= w.lo AND e.ts < w.hi),
+sz AS (SELECT win, txk, COUNT(*) AS n_items FROM t GROUP BY win, txk),
+singles AS (SELECT win, item AS itemset, COUNT(*) AS c
+            FROM t GROUP BY win, item),
+pairs AS (SELECT a.win, a.item || '|' || b.item AS itemset, COUNT(*) AS c
+          FROM t a
+          JOIN t b ON a.win = b.win AND a.txk = b.txk AND a.item < b.item
+          JOIN sz ON sz.win = a.win AND sz.txk = a.txk
+          WHERE sz.n_items <= 64
+          GROUP BY a.win, a.item, b.item),
+sup AS (SELECT win, itemset, CAST(SUM(c) AS HUGEINT) AS n
+        FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+        GROUP BY win, itemset),
+isets AS (SELECT DISTINCT itemset FROM sup),
+ic AS (SELECT itemset, d, CAST(hh % {width} AS BIGINT) AS cell
+       FROM ({mixed})),
+cms AS (SELECT s.win, ic.d, ic.cell, SUM(s.n) AS cnt
+        FROM sup s JOIN ic ON s.itemset = ic.itemset GROUP BY 1, 2, 3),
+reads AS (SELECT ic.itemset, w.win, ic.d, COALESCE(m.cnt, 0) AS cnt
+          FROM ic CROSS JOIN (SELECT win FROM wins) w
+          LEFT JOIN cms m ON m.win = w.win AND m.d = ic.d
+                 AND m.cell = ic.cell),
+est AS (SELECT itemset, win, MIN(cnt) AS est
+        FROM reads GROUP BY itemset, win),
+piv AS (SELECT itemset,
+               COALESCE(SUM(est) FILTER (WHERE win = 1), 0) AS e1,
+               COALESCE(SUM(est) FILTER (WHERE win = 2), 0) AS e2
+        FROM est GROUP BY itemset)
+SELECT itemset,
+       CAST(e1 AS BIGINT) AS s1_est,
+       CAST(e2 AS BIGINT) AS s2_est,
+       CAST(ABS(e1 - e2) AS BIGINT) AS delta_abs_est
+FROM piv WHERE ABS(e1 - e2) >= {threshold}
+"""

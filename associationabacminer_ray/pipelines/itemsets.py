@@ -204,13 +204,28 @@ def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 
     return out
 
 
+def _itemset_hash_fn(itemset_hash: str):
+    """Resolve the itemset-key hash family: ``"sip"`` (default,
+    ``hash_strings``) or ``"poly"`` — the byte-polynomial fold whose
+    SQL restatement (``functions/sqlgen.polyhash_select``) lets a
+    DuckDB oracle re-derive CMS estimates independently."""
+    if itemset_hash == "poly":
+        from ..functions.hashing import hash_strings_poly
+
+        return hash_strings_poly
+    if itemset_hash != "sip":
+        raise ValueError(f"unknown itemset_hash {itemset_hash!r}")
+    return hash_strings
+
+
 def _bucket_sketch_partials_fn(conv_col: str, max_k: int,
                                max_transaction_items: int | None, cms_width: int,
                                cms_depth: int, topk_capacity: int, hll_p: int,
-                               num_salts: int):
+                               num_salts: int, itemset_hash: str = "sip"):
     """Build the map_groups fn: per conv-bucket, expand itemsets and update
     CMS + space-saving + an HLL of conv_ids; emit serialized partial blobs."""
     num_salts = max(1, num_salts)
+    ihash = _itemset_hash_fn(itemset_hash)
 
     def bucket_sketch_partials(group: pd.DataFrame) -> pd.DataFrame:
         partial = itemset_partials_in_bucket(
@@ -221,7 +236,7 @@ def _bucket_sketch_partials_fn(conv_col: str, max_k: int,
         topk = SpaceSaving(capacity=topk_capacity)
         hll = HyperLogLog(p=hll_p)
         if len(partial):
-            hashes = hash_strings(partial["itemset"])
+            hashes = ihash(partial["itemset"])
             counts = partial["count"].to_numpy()
             cms.update_hashed(hashes, counts)
             topk.update(partial["itemset"].tolist(), counts)
@@ -286,7 +301,8 @@ def _bucket_sketch_partials_coded_fn(max_k: int,
                                      max_transaction_items: int | None,
                                      cms_width: int, cms_depth: int,
                                      topk_capacity: int, hll_p: int,
-                                     num_salts: int, vocab_ref):
+                                     num_salts: int, vocab_ref,
+                                     itemset_hash: str = "sip"):
     """Coded twin of ``_bucket_sketch_partials_fn``: same partial blobs,
     built from (conv_h, code) rows — conv hashes come pre-computed (the
     identical hash family the string path derives in-bucket, so HLL and
@@ -297,6 +313,7 @@ def _bucket_sketch_partials_coded_fn(max_k: int,
     from ..stages.transactionize import itemset_partials_from_codes
 
     num_salts = max(1, num_salts)
+    ihash = _itemset_hash_fn(itemset_hash)
 
     def bucket_sketch_partials(group: pd.DataFrame) -> pd.DataFrame:
         vocab = ray.get(vocab_ref)
@@ -310,7 +327,7 @@ def _bucket_sketch_partials_coded_fn(max_k: int,
         topk = SpaceSaving(capacity=topk_capacity)
         hll = HyperLogLog(p=hll_p)
         if len(partial):
-            hashes = hash_strings(partial["itemset"])
+            hashes = ihash(partial["itemset"])
             counts = partial["count"].to_numpy()
             cms.update_hashed(hashes, counts)
             topk.update(partial["itemset"].tolist(), counts)
@@ -334,7 +351,8 @@ def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int
                               cms_width: int = 1 << 13, cms_depth: int = 4,
                               topk_capacity: int = 4096, hll_p: int = 14,
                               two_phase: bool | None = None,
-                              coded: bool = False) -> dict:
+                              coded: bool = False,
+                              itemset_hash: str = "sip") -> dict:
     """Sketch-mode supports: returns
     ``{"cms": CountMinSketch, "topk": SpaceSaving, "hll": HyperLogLog,
        "n_transactions": int}``.
@@ -360,12 +378,14 @@ def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int
                                  num_buckets=num_buckets)
         fn = _bucket_sketch_partials_coded_fn(
             max_k, max_transaction_items, cms_width, cms_depth,
-            topk_capacity, hll_p, num_salts, vocab_ref)
+            topk_capacity, hll_p, num_salts, vocab_ref,
+            itemset_hash=itemset_hash)
     else:
         pairs = item_pairs(ds, conv_col=conv_col, num_buckets=num_buckets)
         fn = _bucket_sketch_partials_fn(conv_col, max_k, max_transaction_items,
                                         cms_width, cms_depth, topk_capacity,
-                                        hll_p, num_salts)
+                                        hll_p, num_salts,
+                                        itemset_hash=itemset_hash)
     partials = pairs.groupby("bucket").map_groups(fn, batch_format="pandas")
     # two-phase (salted) merge only pays off when the partial count is large
     # enough that a single reduce would bottleneck on one task

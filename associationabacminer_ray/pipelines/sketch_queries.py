@@ -900,9 +900,13 @@ def q_heavy_changers_exact(sf_dir: str,
 # never re-reads the corpus. Candidates come from the merged top-k
 # union (capacity 8192 keeps the merge in the top-k's EXACT regime at
 # both sf levels — 5 588 distinct itemsets over the span at sf0.01),
-# deltas are CMS point-read pairs. Deterministic (int merges, fixed
-# day order) → pinned golden; ``q_windowed_heavy_changers_exact`` is
-# the derived-SQL twin over the same conv-day transaction definition.
+# deltas are CMS point-read pairs. The store keys its CMS on the
+# byte-polynomial itemset hash, so the window ESTIMATES have a fully
+# DERIVED SQL oracle (``functions/sqlgen.windowed_heavy_changers_sql``
+# rebuilds both window CMS tables from raw events — day-build
+# additivity: per-day cell updates sum to whole-window supports per
+# cell); ``q_windowed_heavy_changers_exact`` stays the exact twin over
+# the same conv-day transaction definition.
 WHC_WINDOWS = (("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"))
 WHC_THRESHOLD = 3        # report |support_w1 − support_w2| ≥ 3 transactions
 WHC_TOPK_CAP = 8192
@@ -926,15 +930,17 @@ def q_windowed_heavy_changers(sf_dir: str,
                               threshold: int = WHC_THRESHOLD) -> pd.DataFrame:
     from datetime import datetime, timedelta
 
-    from ..functions.hashing import hash_strings
     from ..state.incremental import DailySketchStore
     from .analytics import _cached_event_transcripts_parquet
 
     paths = _cached_event_transcripts_parquet(sf_dir)
     tag = sf_dir.strip("/").replace("/", "_")
+    # poly itemset hash (not SipHash) so the window ESTIMATES have a
+    # derived SQL oracle — functions/sqlgen.windowed_heavy_changers_sql
     store = DailySketchStore(f"/tmp/graft_windows/evdaily_{tag}",
                              cms_width=WHC_CMS_WIDTH,
-                             topk_capacity=WHC_TOPK_CAP)
+                             topk_capacity=WHC_TOPK_CAP,
+                             itemset_hash="poly")
     start = datetime.strptime(WHC_WINDOWS[0][0], "%Y-%m-%d")
     end = datetime.strptime(WHC_WINDOWS[-1][1], "%Y-%m-%d")
     store.ensure_days(paths, start, end)
@@ -949,7 +955,7 @@ def q_windowed_heavy_changers(sf_dir: str,
                              "s1_est": pd.Series([], dtype=np.int64),
                              "s2_est": pd.Series([], dtype=np.int64),
                              "delta_abs_est": pd.Series([], dtype=np.int64)})
-    h = hash_strings(pd.Series(cands, dtype=object))
+    h = store.hash_itemsets(pd.Series(cands, dtype=object))
     s1 = a["cms"].estimate_hashed(h).astype(np.int64)
     s2 = b["cms"].estimate_hashed(h).astype(np.int64)
     d = np.abs(s1 - s2)

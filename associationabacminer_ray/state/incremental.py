@@ -49,12 +49,16 @@ class DailySketchStore:
 
     def __init__(self, store_dir: str, cms_width: int = 1 << 13,
                  cms_depth: int = 4, topk_capacity: int = 4096, hll_p: int = 14,
-                 max_k: int = 2, max_transaction_items: int | None = 64):
+                 max_k: int = 2, max_transaction_items: int | None = 64,
+                 itemset_hash: str = "sip"):
         self.store_dir = store_dir
         self.params = {
             "cms_width": cms_width, "cms_depth": cms_depth,
             "topk_capacity": topk_capacity, "hll_p": hll_p, "max_k": max_k,
             "max_tx": max_transaction_items, "kind": "daily_itemset_sketches",
+            # part of the config hash: flipping the key-hash family must
+            # invalidate (not silently reuse) existing day checkpoints
+            "itemset_hash": itemset_hash,
         }
         self.cfg = config_hash(self.params)
 
@@ -71,7 +75,7 @@ class DailySketchStore:
             max_transaction_items=self.params["max_tx"],
             cms_width=self.params["cms_width"], cms_depth=self.params["cms_depth"],
             topk_capacity=self.params["topk_capacity"], hll_p=self.params["hll_p"],
-            num_buckets=16,
+            num_buckets=16, itemset_hash=self.params["itemset_hash"],
         )
         return {"cms": res["cms"], "topk": res["topk"], "hll": res["hll"]}
 
@@ -118,5 +122,12 @@ class DailySketchStore:
 
     def estimate_support(self, window_sketches: dict[str, Sketch],
                          itemset: str) -> int:
-        h = hash_strings(np.array([itemset], dtype=object))
+        h = self.hash_itemsets(np.array([itemset], dtype=object))
         return int(window_sketches["cms"].estimate_hashed(h)[0])
+
+    def hash_itemsets(self, values) -> np.ndarray:
+        """The store's itemset-key hash — reads MUST use the same
+        family the day builds used (it is part of the config hash)."""
+        from ..pipelines.itemsets import _itemset_hash_fn
+
+        return _itemset_hash_fn(self.params["itemset_hash"])(values)

@@ -72,13 +72,13 @@ GOLDEN = [
     # keys the CMS on the byte-polynomial string hash, which sqlgen
     # restates as a list_reduce Horner fold + splitmix64 steps —
     # removed from this list (functions/sqlgen.heavy_changers_sql)
-    # windowed heavy changers from the daily store: per-day builds are
-    # partition-independent (int64 CMS merges; per-day top-k in its
-    # exact regime), the window merge is a fixed day-order driver loop,
-    # and capacity 8192 keeps the MERGED top-k exact too (5 588 distinct
-    # itemsets over the span at sf0.01) — cross-CPU validated; bounded
-    # vs the DERIVED exact twin (windowed_heavy_changers_exact)
-    "windowed_heavy_changers",
+    # windowed heavy changers was pinned through round 4 and is now
+    # fully DERIVED single-statement SQL (the window estimates
+    # themselves): the daily store keys its CMS on the byte-polynomial
+    # itemset hash and per-day cell updates sum to whole-window
+    # supports per cell, so the oracle rebuilds both window CMS tables
+    # from raw events — removed from this list
+    # (functions/sqlgen.windowed_heavy_changers_sql)
     # rule-confidence DDSketch quantiles: integer bucket counts merge
     # order-independently (same argument as value_quantiles_dd) and the
     # input confidences are pure integers of the supports — cross-CPU

@@ -677,7 +677,8 @@ class TestWindowedHeavyChangers:
         tag = sf_dir.strip("/").replace("/", "_")
         store = DailySketchStore(f"/tmp/graft_windows/evdaily_{tag}",
                                  cms_width=WHC_CMS_WIDTH,
-                                 topk_capacity=WHC_TOPK_CAP)
+                                 topk_capacity=WHC_TOPK_CAP,
+                                 itemset_hash="poly")
         paths = _cached_event_transcripts_parquet(sf_dir)
         start = datetime.strptime(WHC_WINDOWS[0][0], "%Y-%m-%d")
         end = datetime.strptime(WHC_WINDOWS[-1][1], "%Y-%m-%d")

@@ -84,7 +84,8 @@ def test_dyadic_cover_restatement_matches_engine():
 
 @pytest.mark.parametrize("gen", [sqlgen.join_size_cms_sql,
                                  sqlgen.range_count_cms_sql,
-                                 sqlgen.heavy_changers_sql])
+                                 sqlgen.heavy_changers_sql,
+                                 sqlgen.windowed_heavy_changers_sql])
 def test_generated_sql_is_single_statement(gen):
     sql = gen()
     assert ";" not in sql
@@ -137,5 +138,44 @@ def test_heavy_changers_estimate_matches_derived_sql(ray_session, sf_dir):
     for c in ("n_even_est", "n_odd_est", "delta_abs_est"):
         oracle[c] = oracle[c].astype(np.int64)
     mine = (q_heavy_changers(sf_dir).sort_values("tool")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(mine, oracle)
+
+
+def test_windowed_heavy_changers_matches_derived_sql(ray_session, sf_dir):
+    """End-to-end: the daily-store window ESTIMATES equal the
+    single-statement SQL derivation row-for-row — the CMS-additivity
+    argument (per-day cell updates sum to whole-window supports) plus
+    the poly-hash restatement, checked against real store blobs."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.sketch_queries import (
+        WHC_TOPK_CAP, q_windowed_heavy_changers)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet'")
+    # exact-regime precondition: candidates = every itemset with
+    # window support ≥ 1 (merged top-k never evicts)
+    n_sets = con.execute("""
+        WITH t AS (SELECT DISTINCT
+                       'conv-' || CAST(user_id AS VARCHAR) || '@'
+                           || strftime(ts, '%Y-%m-%d') AS txk,
+                       event_type || '=k'
+                           || regexp_extract(props, '[0-9]+') AS item
+                   FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-01'
+                     AND ts < TIMESTAMP '2024-01-15')
+        SELECT (SELECT COUNT(DISTINCT item) FROM t)
+             + (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT a.item, b.item AS ib FROM t a
+                   JOIN t b ON a.txk = b.txk AND a.item < b.item))
+    """).fetchone()[0]
+    assert n_sets <= WHC_TOPK_CAP
+    oracle = (con.execute(sqlgen.windowed_heavy_changers_sql()).df()
+              .sort_values("itemset").reset_index(drop=True))
+    for c in ("s1_est", "s2_est", "delta_abs_est"):
+        oracle[c] = oracle[c].astype(np.int64)
+    mine = (q_windowed_heavy_changers(sf_dir).sort_values("itemset")
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(mine, oracle)
