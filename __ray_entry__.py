@@ -332,11 +332,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crosscorpus_dedup", "rule_audience_overlap", "simhash_bands",
         "simhash_dups", "knn_ivf", "multimodal_features",
         "value_quantiles_dd", "type_value_quantiles_dd",
-        "f2_moment_sketch", "kmeans_centroids", "weighted_sample",
+        "kmeans_centroids", "weighted_sample",
         "rule_conf_quantiles",
-        # round-4 additions (newest evidence first; both heavy-changer
-        # estimates graduated from pins to fully derived estimate SQL)
-        "heavy_changers", "heavy_changers_exact",
+        # round-4 additions (newest evidence first; the heavy-changer
+        # and AMS-F2 estimates graduated from pins to fully derived
+        # estimate SQL)
+        "f2_moment_sketch", "heavy_changers", "heavy_changers_exact",
         "windowed_heavy_changers", "windowed_heavy_changers_exact",
         "rule_conf_quantiles_exact", "pagerank_tools",
         "join_size_exact", "join_size_cms",
@@ -2763,6 +2764,9 @@ def oracle_sql() -> dict[str, str]:
         # raw events (day-build additivity) over the exact twin's
         # conv-day support CTEs; poly itemset hash + point reads
         "windowed_heavy_changers": _sqlgen.windowed_heavy_changers_sql(),
+        # DERIVED (not pinned): CountSketch signed cell table rebuilt
+        # from raw events; AMS F2 = odd-depth median of Σ cell²
+        "f2_moment_sketch": _sqlgen.f2_moment_sketch_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

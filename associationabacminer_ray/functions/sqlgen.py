@@ -104,12 +104,13 @@ def _splitmix64_int(x: int) -> int:
         return int(z ^ (z >> np.uint64(31)))
 
 
-def _seeds_values(seed: int, depth: int) -> str:
-    """The CMS row-seed constants S_i = splitmix64(seed·1315423911 + i)
-    — the exact ``mix_with_seed`` family derivation of
-    ``sketches/cms.py:_rows`` — inlined as a VALUES list."""
+def _seeds_values(seed: int, depth: int, mult: int = 1315423911) -> str:
+    """The row-seed constants S_i = splitmix64(seed·mult + i) — the
+    exact ``mix_with_seed`` family derivation of ``sketches/cms.py``'s
+    ``_rows`` (mult 1315423911) and ``countsketch.py``'s (2654435761)
+    — inlined as a VALUES list."""
     rows = [
-        f"({i}, CAST({_splitmix64_int(seed * 1315423911 + i)} AS UBIGINT))"
+        f"({i}, CAST({_splitmix64_int(seed * mult + i)} AS UBIGINT))"
         for i in range(depth)
     ]
     return "VALUES " + ", ".join(rows)
@@ -342,4 +343,34 @@ SELECT itemset,
        CAST(e2 AS BIGINT) AS s2_est,
        CAST(ABS(e1 - e2) AS BIGINT) AS delta_abs_est
 FROM piv WHERE ABS(e1 - e2) >= {threshold}
+"""
+
+
+def f2_moment_sketch_sql(width: int = 1 << 14, depth: int = 5,
+                         seed: int = 19) -> str:
+    """Single-statement derivation of ``q_f2_moment_sketch`` — the AMS
+    ESTIMATE itself: rebuild the CountSketch table from raw events
+    ((user_id, event_type) keys poly-hashed; row mix splitmix64(h ⊕
+    S_d) with the countsketch seed family, sign from the mixed hash's
+    bit 62, cell = mix % width), then the median over depth rows of
+    Σ cell² — odd depth makes the median the single middle row (ORDER
+    BY + OFFSET depth//2), integer-exact end to end (HUGEINT sums).
+    Signed per-cell sums are merge-order independent, so the batch
+    combiner's partial counts collapse to per-key totals."""
+    key = "CAST(user_id AS VARCHAR) || chr(31) || event_type"
+    kh = polyhash_select(
+        f"SELECT {key} AS k, CAST(COUNT(*) AS HUGEINT) AS c "
+        f"FROM events GROUP BY 1", "k", "h", ("c",))
+    mix_in = (f"SELECT t.c AS c, s.d AS d, xor(t.h, s.s) AS y "
+              f"FROM ({kh}) t CROSS JOIN seeds s")
+    mixed = splitmix64_select(mix_in, "y", "hh", ("c", "d"))
+    return f"""
+WITH seeds(d, s) AS ({_seeds_values(seed, depth, mult=2654435761)}),
+cells AS (SELECT d, CAST(hh % {width} AS BIGINT) AS cell,
+                 SUM(((CAST(hh >> 62 AS BIGINT) & 2) - 1) * c) AS v
+          FROM ({mixed}) GROUP BY d, cell),
+rows_f2 AS (SELECT d, SUM(v * v) AS f2 FROM cells GROUP BY d)
+SELECT CAST(f2 AS BIGINT) AS est_f2,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_rows
+FROM rows_f2 ORDER BY f2 LIMIT 1 OFFSET {depth // 2}
 """

@@ -128,11 +128,14 @@ def q_f2_moment_sketch(sf_dir: str, width: int = 1 << 14,
     """AMS second-moment estimate of the (user_id, event_type) key
     distribution with NO shuffle at all: per-batch combiner → ONE global
     CountSketchAgg whose merge is element-wise int64 addition —
-    bit-identical across partition splits → pinned-golden oracle,
-    cross-CPU validated.  The exact twin (``stats.q_f2_moment``, one
-    bucketed count shuffle) bounds it in pytest: |est − F2| ≤
-    √(2/width)·F2 with high probability (observed ≪ the bound)."""
-    from ..functions.hashing import hash_strings
+    bit-identical across partition splits. Keys hash with the
+    byte-polynomial fold so the ESTIMATE has a DERIVED SQL oracle
+    (``functions/sqlgen.f2_moment_sketch_sql`` rebuilds the signed
+    cell table and repeats the odd-depth median). The exact twin
+    (``stats.q_f2_moment``, one bucketed count shuffle) bounds it in
+    pytest: |est − F2| ≤ √(2/width)·F2 with high probability
+    (observed ≪ the bound)."""
+    from ..functions.hashing import hash_strings_poly
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
@@ -141,7 +144,7 @@ def q_f2_moment_sketch(sf_dir: str, width: int = 1 << 14,
         key = b["user_id"].astype(str) + "\x1f" + b["event_type"].astype(str)
         g = (pd.DataFrame({"_key": key}).groupby("_key", sort=False)
              .size().reset_index(name="_c"))
-        return pd.DataFrame({"_kh": hash_strings(g["_key"].to_numpy()),
+        return pd.DataFrame({"_kh": hash_strings_poly(g["_key"].to_numpy()),
                              "_c": g["_c"].astype(np.int64)})
 
     agg = ds.map_batches(combine, batch_format="pandas").aggregate(

@@ -55,7 +55,9 @@ GOLDEN = [
     # integer-folded; bounds vs exact asserted in test_sketches
     "value_quantiles_dd",
     "type_value_quantiles_dd",
-    "f2_moment_sketch",
+    # f2_moment_sketch was pinned through round 4 and is now fully
+    # DERIVED single-statement SQL (poly key hash + signed cell table
+    # + odd-depth median) — functions/sqlgen.f2_moment_sketch_sql
     # distributed k-means: every step integral (bp folds, int64 sums,
     # integer argmin with lowest-id ties), so the result is partition-
     # independent — validated at 4/8/32 CPUs like every pin

@@ -85,7 +85,8 @@ def test_dyadic_cover_restatement_matches_engine():
 @pytest.mark.parametrize("gen", [sqlgen.join_size_cms_sql,
                                  sqlgen.range_count_cms_sql,
                                  sqlgen.heavy_changers_sql,
-                                 sqlgen.windowed_heavy_changers_sql])
+                                 sqlgen.windowed_heavy_changers_sql,
+                                 sqlgen.f2_moment_sketch_sql])
 def test_generated_sql_is_single_statement(gen):
     sql = gen()
     assert ";" not in sql
@@ -179,3 +180,20 @@ def test_windowed_heavy_changers_matches_derived_sql(ray_session, sf_dir):
     mine = (q_windowed_heavy_changers(sf_dir).sort_values("itemset")
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(mine, oracle)
+
+
+def test_f2_moment_sketch_matches_derived_sql(ray_session, sf_dir):
+    """End-to-end: the CountSketch AMS-F2 ESTIMATE equals the SQL
+    derivation (signed cell table + odd-depth median) exactly."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.sketch_queries import (
+        q_f2_moment_sketch)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet'")
+    oracle = con.execute(sqlgen.f2_moment_sketch_sql()).df()
+    for c in oracle.columns:
+        oracle[c] = oracle[c].astype(np.int64)
+    pd.testing.assert_frame_equal(q_f2_moment_sketch(sf_dir), oracle)
