@@ -2767,6 +2767,11 @@ def oracle_sql() -> dict[str, str]:
         # DERIVED (not pinned): CountSketch signed cell table rebuilt
         # from raw events; AMS F2 = odd-depth median of Σ cell²
         "f2_moment_sketch": _sqlgen.f2_moment_sketch_sql(),
+        # DERIVED (not pinned): the HLL ESTIMATE itself — registers
+        # rebuilt from raw events (poly hash, clz ladder), exact
+        # HUGEINT harmonic sum, shared-libm linear counting, half-even
+        # rounding (functions/sqlgen.py; replaces the former pin)
+        "hll_role_convs": _sqlgen.hll_role_convs_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

@@ -46,12 +46,20 @@ def q_sketch_topk_itemsets(sf_dir: str, k: int = 50) -> pd.DataFrame:
 
 
 def q_hll_role_convs(sf_dir: str) -> pd.DataFrame:
-    """Per role: HLL-estimated distinct conversations (A15 sketch mode)."""
+    """Per role: HLL-estimated distinct conversations (A15 sketch mode).
+
+    Keys on ``hash_strings_poly`` (not the SipHash ``hash_any``) so the
+    oracle is a DERIVED single-statement SQL recomputation of the
+    estimate itself (``functions.sqlgen.hll_role_convs_sql`` — registers
+    rebuilt from raw events, estimator evaluated with the identical
+    IEEE op sequence), retiring the former pinned golden."""
+    from ..functions.hashing import hash_strings_poly
+
     ds = transcripts_from_events(f"{sf_dir}/events.parquet")
 
     def add_hash(t: pa.Table) -> pa.Table:
         return t.select(["role"]).append_column(
-            "conv_hash", pa.array(hash_any(t["conv_id"])))
+            "conv_hash", pa.array(hash_strings_poly(t["conv_id"])))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     out = hashed.groupby("role").aggregate(

@@ -13,6 +13,7 @@ counting for the small range, per the HyperLogLog++ recommendation.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -73,11 +74,34 @@ class HyperLogLog(Sketch):
             alpha = 0.709
         else:
             alpha = 0.7213 / (1.0 + 1.079 / m)
-        regs = self.registers.astype(np.float64)
-        raw = alpha * m * m / np.sum(np.exp2(-regs))
-        zeros = int(np.count_nonzero(self.registers == 0))
+        # Harmonic sum as an EXACT integer: Σⱼ 2^(−Mⱼ) = S · 2⁻⁶⁴ with
+        # S = Σⱼ 2^(64−Mⱼ) (register values ≤ 64−p+1 ≤ 61, so every
+        # term and the ≤ m·2⁶⁴ total are exact Python ints). This makes
+        # the estimate independent of summation order (the float
+        # np.exp2/np.sum path was pairwise-summation-order dependent)
+        # and lets a DuckDB oracle rebuild S in HUGEINT and reproduce
+        # the estimate bit-for-bit. S→float must avoid the whole-value
+        # cast: DuckDB's HUGEINT→DOUBLE is double-rounded (±1 ulp vs
+        # round-to-nearest), so both sides convert the 32-bit-aligned
+        # halves instead — S>>32 < 2⁵³ for p ≤ 21 and S&(2³²−1) < 2³²
+        # convert EXACTLY, the power-of-two scalings are exact, and the
+        # single final addition is correctly rounded identically
+        # everywhere. The remaining ops (alpha, the division,
+        # m·ln(m/zeros)) are correctly-rounded IEEE / shared-libm on
+        # both sides (math.log ≡ DuckDB ln; numpy's SIMD log differs
+        # by 1 ulp on ~21% of inputs, so the linear-counting branch
+        # deliberately uses math.log).
+        cnt = np.bincount(self.registers)
+        S = 0
+        for r, c in enumerate(cnt.tolist()):
+            if c:
+                S += c << (64 - r)
+        ssum = (float(S >> 32) * 2.0 ** -32
+                + float(S & 0xFFFFFFFF) * 2.0 ** -64)
+        raw = alpha * m * m / ssum
+        zeros = int(cnt[0]) if cnt.size else 0
         if raw <= 2.5 * m and zeros > 0:
-            return float(m * np.log(m / zeros))  # linear counting
+            return float(m * math.log(m / zeros))  # linear counting
         return float(raw)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":

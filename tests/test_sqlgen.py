@@ -86,7 +86,8 @@ def test_dyadic_cover_restatement_matches_engine():
                                  sqlgen.range_count_cms_sql,
                                  sqlgen.heavy_changers_sql,
                                  sqlgen.windowed_heavy_changers_sql,
-                                 sqlgen.f2_moment_sketch_sql])
+                                 sqlgen.f2_moment_sketch_sql,
+                                 sqlgen.hll_role_convs_sql])
 def test_generated_sql_is_single_statement(gen):
     sql = gen()
     assert ";" not in sql
@@ -197,3 +198,99 @@ def test_f2_moment_sketch_matches_derived_sql(ray_session, sf_dir):
     for c in oracle.columns:
         oracle[c] = oracle[c].astype(np.int64)
     pd.testing.assert_frame_equal(q_f2_moment_sketch(sf_dir), oracle)
+
+
+def test_clz64_sql_matches_numpy():
+    """The CASE-ladder clz matches the vectorized ``_clz64`` bit
+    binary-search for random uint64 (nonzero — SQL ladder yields 63 for
+    zero by documented contract, numpy 64)."""
+    from associationabacminer_ray.sketches.hll import _clz64
+
+    rng = np.random.default_rng(11)
+    # spread across magnitudes so every ladder branch fires
+    shifts = rng.integers(0, 64, size=4000, dtype=np.uint64)
+    vals = (rng.integers(1, 2**63, size=4000, dtype=np.uint64)
+            >> shifts) | np.uint64(1)
+    con = duckdb.connect()
+    import pyarrow as pa
+    con.register("t", pa.table({"x": vals}))
+    q = sqlgen.clz64_select("SELECT x, x AS v FROM t", "v", "clz", ("x",))
+    got = con.execute(
+        f"SELECT clz FROM ({q}) ORDER BY x").df()["clz"].to_numpy(np.int64)
+    order = np.argsort(vals)
+    assert np.array_equal(got, _clz64(vals)[order])
+
+
+def test_hugeint_split_to_double_matches_python():
+    """The 32-bit-aligned split conversion the HLL harmonic sum uses —
+    CAST(s//2³² AS DOUBLE)·2⁻³² + CAST(s%2³² AS DOUBLE)·2⁻⁶⁴ — is
+    bit-identical to the Python twin for S up to 2⁷⁹ (each half casts
+    exactly; only the final add rounds, correctly, on both sides).
+    The naive whole-value CAST(HUGEINT AS DOUBLE) is NOT usable: DuckDB
+    double-rounds it ±1 ulp vs Python float(int)."""
+    rng = np.random.default_rng(3)
+    con = duckdb.connect()
+    for _ in range(200):
+        s = int(rng.integers(1, 2**62)) << int(rng.integers(0, 17))
+        s += int(rng.integers(0, 2**40))
+        got = con.execute(
+            f"SELECT CAST(CAST({s} AS HUGEINT) // 4294967296 AS DOUBLE)"
+            f" * power(2.0, -32)"
+            f" + CAST(CAST({s} AS HUGEINT) % 4294967296 AS DOUBLE)"
+            f" * power(2.0, -64)").fetchone()[0]
+        want = (float(s >> 32) * 2.0 ** -32
+                + float(s & 0xFFFFFFFF) * 2.0 ** -64)
+        assert got == want, s
+
+
+def test_hll_sql_estimator_raw_branch(tmp_path):
+    """The generated HLL SQL reproduces the Python estimator on a
+    synthetic corpus sized to exercise the RAW (non-linear-counting)
+    branch at p=6 (m=64: 5000 distinct ≫ 2.5·m), including the exact
+    HUGEINT harmonic sum and half-even rounding."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from associationabacminer_ray.functions.hashing import hash_strings_poly
+    from associationabacminer_ray.sketches.hll import HyperLogLog
+
+    users = np.arange(5000, dtype=np.int64)
+    roles = np.where(users % 2 == 0, "a", "b")
+    con = duckdb.connect()
+    con.register("events", pa.table({
+        "user_id": users, "event_type": roles}))
+    got = (con.execute(sqlgen.hll_role_convs_sql(p=6)).df()
+           .sort_values("role").reset_index(drop=True))
+    want_rows = []
+    for r in ("a", "b"):
+        conv = np.array([f"conv-{u}" for u in users[roles == r]], object)
+        sk = HyperLogLog(p=6)
+        sk.update_hashed(hash_strings_poly(conv))
+        est = sk.estimate()
+        assert est > 2.5 * 64  # raw branch really fired
+        want_rows.append({"role": r,
+                          "est_distinct_convs": np.int64(round(est))})
+    want = pd.DataFrame(want_rows)
+    pd.testing.assert_frame_equal(
+        got.astype({"est_distinct_convs": np.int64}), want)
+
+
+def test_hll_role_convs_matches_derived_sql(ray_session, sf_dir):
+    """End-to-end: the per-role HLL ESTIMATE equals the SQL derivation
+    (register rebuild + exact harmonic sum) bit-for-bit — the former
+    pinned golden, now independently derived."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.sketch_queries import (
+        q_hll_role_convs)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet'")
+    oracle = (con.execute(sqlgen.hll_role_convs_sql()).df()
+              .sort_values("role").reset_index(drop=True))
+    oracle["est_distinct_convs"] = oracle["est_distinct_convs"].astype(
+        np.int64)
+    mine = (q_hll_role_convs(sf_dir).sort_values("role")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(mine, oracle)
