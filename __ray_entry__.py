@@ -2772,6 +2772,10 @@ def oracle_sql() -> dict[str, str]:
         # HUGEINT harmonic sum, shared-libm linear counting, half-even
         # rounding (functions/sqlgen.py; replaces the former pin)
         "hll_role_convs": _sqlgen.hll_role_convs_sql(),
+        # DERIVED (not pinned): A-ES weighted sampling — the selection
+        # itself (splitmix key, shared-libm ln, top-k) rebuilt from raw
+        # events (functions/sqlgen.py; replaces the former pin)
+        "weighted_sample": _sqlgen.weighted_sample_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

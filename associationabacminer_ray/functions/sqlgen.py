@@ -458,3 +458,33 @@ SELECT role,
             END AS BIGINT) AS est_distinct_convs
 FROM ests
 """
+
+
+def weighted_sample_sql(k: int = 20) -> str:
+    """Single-statement derivation of ``q_weighted_sample`` — the
+    Efraimidis–Spirakis A-ES selection itself: per event, u =
+    (splitmix64(event_id)+1)·2⁻⁶⁴ (the ``hash_ints`` path; event_id is
+    nonnegative so the UBIGINT cast matches numpy's ``astype(uint64)``),
+    key = ln(u)/(weight_bp/10000), top-k by key DESC with event_id
+    tiebreak. Every float op is reproduced bit-for-bit: the UBIGINT→
+    DOUBLE cast and each +,/,· are correctly rounded on both sides and
+    DuckDB ``ln`` ≡ ``math.log`` (shared libm — pytest-asserted), which
+    is exactly why the engine's final selection re-keys candidates with
+    ``math.log`` rather than numpy's SIMD log."""
+    f = (f"SELECT event_id, "
+         f"CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS weight_bp, "
+         f"CAST(event_id AS UBIGINT) AS x FROM events "
+         f"WHERE event_id IS NOT NULL AND value IS NOT NULL "
+         f"AND FLOOR(value * 10000 + 0.5) > 0")
+    hashed = splitmix64_select(f, "x", "h", ("event_id", "weight_bp"))
+    return f"""
+WITH keyed AS (
+  SELECT event_id, weight_bp,
+         ln((CAST(h AS DOUBLE) + 1.0) / 18446744073709551616.0)
+         / (CAST(weight_bp AS DOUBLE) / 10000.0) AS key
+  FROM ({hashed}))
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, event_id) AS BIGINT)
+           AS rank,
+       event_id, weight_bp
+FROM keyed ORDER BY key DESC, event_id LIMIT {k}
+"""

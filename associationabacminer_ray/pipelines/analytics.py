@@ -13,6 +13,8 @@ stats, A16 hour histogram, A5/A6 top-k (SURVEY.md §2.5).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -508,10 +510,18 @@ def weighted_sample_events(sf_dir: str,
     generalized to weights; weight = the event's ``value``.
 
     Distributed shape: top-k by key is mergeable, so each batch prunes
-    to its own k rows and the driver reduces blocks×k candidates —
-    never the corpus. Keys are floats but each is a pure per-row
-    function (identical bits on any layout); the pinned-golden oracle
-    is validated cross-CPU like every pin."""
+    to its own k+pad rows and the driver reduces blocks×(k+pad)
+    candidates — never the corpus. The hot per-batch prune ranks with
+    vectorized ``np.log`` (SIMD, ≤1 ulp off glibc) under a pad margin
+    of {pad}; the FINAL selection recomputes the ≤ blocks×(k+pad)
+    candidate keys with ``math.log`` — bit-identical to DuckDB ``ln``
+    — so the result is reproduced exactly by the DERIVED single-
+    statement oracle ``functions.sqlgen.weighted_sample_sql`` (which
+    retired the former pinned golden). A 1-ulp key perturbation can
+    only drop a true top-k row if >pad keys at a batch boundary are
+    ulp-coincident — pytest asserts the padded np-prune is a superset
+    of the exact selection on the real corpus."""
+    pad = 32
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "value"])
 
@@ -530,10 +540,18 @@ def weighted_sample_events(sf_dir: str,
         df = pd.DataFrame({"event_id": ids, "weight_bp": w_bp, "key": key})
         return df.sort_values(["key", "event_id"],
                               ascending=[False, True],
-                              kind="mergesort").head(k)
+                              kind="mergesort").head(k + pad)
 
     cand = (ev.map_batches(per_batch, batch_format="pyarrow")
-            .to_pandas())  # blocks×k candidate rows — bounded small side
+            .to_pandas())  # blocks×(k+pad) candidates — bounded small side
+    # exact re-key with shared-libm log (math.log ≡ DuckDB ln) on the
+    # bounded candidate set only — the hot path stays vectorized
+    from ..functions.hashing import hash_ints as _hi
+    ids = cand["event_id"].to_numpy(np.int64)
+    u = (_hi(ids).astype(np.float64) + 1.0) / 2.0 ** 64
+    w = cand["weight_bp"].to_numpy(np.int64).astype(np.float64) / 10000.0
+    cand = cand.assign(key=np.array(
+        [math.log(x) for x in u], np.float64) / w)
     cand = cand.sort_values(["key", "event_id"], ascending=[False, True],
                             kind="mergesort").head(k)
     out = cand.reset_index(drop=True)

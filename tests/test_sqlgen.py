@@ -294,3 +294,49 @@ def test_hll_role_convs_matches_derived_sql(ray_session, sf_dir):
     mine = (q_hll_role_convs(sf_dir).sort_values("role")
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(mine, oracle)
+
+
+def test_weighted_sample_matches_derived_sql(ray_session, sf_dir):
+    """End-to-end: the A-ES weighted sample equals the SQL derivation
+    row-for-row (splitmix key, shared-libm ln, top-k selection) — the
+    former pinned golden, now independently derived."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.analytics import (
+        weighted_sample_events)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet'")
+    oracle = con.execute(sqlgen.weighted_sample_sql()).df()
+    for c in oracle.columns:
+        oracle[c] = oracle[c].astype(np.int64)
+    pd.testing.assert_frame_equal(weighted_sample_events(sf_dir), oracle)
+
+
+def test_weighted_sample_np_prune_superset_of_exact(ray_session, sf_dir):
+    """The padded np.log per-batch prune keeps every row the exact
+    (math.log) global selection needs — the safety property the pad
+    margin buys on the real corpus."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from associationabacminer_ray.functions.hashing import hash_ints
+    from associationabacminer_ray.functions.scoring import fold_bp_strict
+    from associationabacminer_ray.pipelines.analytics import (
+        WEIGHTED_SAMPLE_K, weighted_sample_events)
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "value"]).drop_null()
+    ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w_bp = fold_bp_strict(t["value"].to_numpy(zero_copy_only=False),
+                          name="value")
+    ok = w_bp > 0
+    ids, w_bp = ids[ok], w_bp[ok]
+    u = (hash_ints(ids).astype(np.float64) + 1.0) / 2.0 ** 64
+    exact_key = np.array([math.log(x) for x in u]) / (w_bp / 10000.0)
+    order = np.lexsort((ids, -exact_key))
+    exact_top = set(ids[order[:WEIGHTED_SAMPLE_K]].tolist())
+    got = set(weighted_sample_events(sf_dir)["event_id"].tolist())
+    assert got == exact_top
