@@ -2776,6 +2776,13 @@ def oracle_sql() -> dict[str, str]:
         # itself (splitmix key, shared-libm ln, top-k) rebuilt from raw
         # events (functions/sqlgen.py; replaces the former pin)
         "weighted_sample": _sqlgen.weighted_sample_sql(),
+        # DERIVED (not pinned): the DDSketch quantile ESTIMATES —
+        # geometric buckets ceil(ln(v)/ln(γ)) rebuilt from raw values,
+        # nearest-rank pick, shared-libm midpoints 2γ^k/(γ+1)
+        # (functions/sqlgen.py; replaces three former pins)
+        "value_quantiles_dd": _sqlgen.value_quantiles_dd_sql(),
+        "type_value_quantiles_dd": _sqlgen.type_value_quantiles_dd_sql(),
+        "rule_conf_quantiles": _sqlgen.rule_conf_quantiles_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

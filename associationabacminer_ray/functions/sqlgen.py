@@ -488,3 +488,133 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, event_id) AS BIGINT)
        event_id, weight_bp
 FROM keyed ORDER BY key DESC, event_id LIMIT {k}
 """
+
+
+def ddsketch_quantiles_sql(vals_sql: str, quantiles: tuple,
+                           alpha: float = 0.01,
+                           group_cols: tuple[str, ...] = (),
+                           qbp_col: str = "q_bp",
+                           est_col: str = "est_value_bp",
+                           finalize: str = "fold_bp",
+                           n_col: str | None = None,
+                           q_keys: tuple | None = None) -> str:
+    """Single-statement derivation of a DDSketch quantile read — the
+    ESTIMATE itself, rebuilt from raw values: bucket key =
+    ceil(ln(v)/ln(γ)) (sign-mirrored for negatives, zero counter),
+    per-bucket counts, nearest-rank pick at GREATEST(1, ceil(q·n)) in
+    ascending value order (negatives by key desc, zero, positives by
+    key asc), midpoint 2γ^k/(γ+1). Bit-parity with ``sketches/
+    ddsketch.py``: per-bucket int64 counts are merge-order exact, ln
+    and pow are shared-libm (math.log/math.pow ≡ DuckDB ln/power —
+    the sketch recomputes boundary keys and scalar midpoints with
+    glibc for exactly this reason), γ is emitted as its repr literal
+    (round-trips to the identical double), and every remaining op is
+    correctly-rounded IEEE on both sides.
+
+    ``vals_sql`` must yield ``group_cols + (v,)`` with v DOUBLE and
+    no NULLs. ``finalize``: 'fold_bp' → floor(est·10⁴+0.5) (the shared
+    fold), 'half_up' → floor(est+0.5) (whole-bp inputs). ``n_col``
+    optionally emits the per-group total count column; ``q_keys``
+    overrides the emitted quantile-key integers (default q·10⁴)."""
+    g = (1.0 + float(alpha)) / (1.0 - float(alpha))
+    gl = f"CAST({g!r} AS DOUBLE)"
+    grp = "".join(f"{c}, " for c in group_cols)
+    part = ("PARTITION BY " + ", ".join(group_cols)) if group_cols else ""
+    keys = (q_keys if q_keys is not None
+            else tuple(int(round(q * 10000)) for q in quantiles))
+    qvals = ", ".join(
+        f"({k}, CAST({q!r} AS DOUBLE))" for k, q in zip(keys, quantiles))
+    fin = ("CAST(FLOOR(est * 10000 + 0.5) AS BIGINT)"
+           if finalize == "fold_bp" else "CAST(FLOOR(est + 0.5) AS BIGINT)")
+    part_q = ("PARTITION BY " + grp + f"qs.{qbp_col}").rstrip(", ")
+    grp_e = "".join(f"ests.{c}, " for c in group_cols)
+    qbp_e = f"ests.{qbp_col}, "
+    if n_col:
+        ncol_sel = f", ns.n_total AS {n_col}"
+        if group_cols:
+            on = " AND ".join(f"ests.{c} = ns.{c}" for c in group_cols)
+            ns_join = f" JOIN ns ON {on}"
+        else:
+            ns_join = " CROSS JOIN ns"
+    else:
+        ncol_sel, ns_join = "", ""
+    return f"""
+WITH qs({qbp_col}, q) AS (VALUES {qvals}),
+vals AS ({vals_sql}),
+buckets AS (
+  SELECT {grp}CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS side,
+         CASE WHEN v = 0 THEN 0
+              ELSE CAST(CEIL(ln(ABS(v)) / ln({gl})) AS BIGINT) END AS key,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY ALL),
+ordered AS (
+  SELECT {grp}side, key, c,
+         SUM(c) OVER ({part} ORDER BY side ASC,
+                      CASE WHEN side = -1 THEN -key ELSE key END ASC) AS cum,
+         SUM(c) OVER ({part}) AS n
+  FROM buckets),
+picks AS (
+  SELECT {grp}qs.{qbp_col} AS {qbp_col}, side, key,
+         ROW_NUMBER() OVER ({part_q}
+             ORDER BY side ASC,
+                      CASE WHEN side = -1 THEN -key ELSE key END ASC) AS rn
+  FROM ordered CROSS JOIN qs
+  WHERE cum >= GREATEST(1, CAST(CEIL(qs.q * CAST(n AS DOUBLE)) AS BIGINT))),
+ests AS (
+  SELECT {grp}{qbp_col}, side, key,
+         CASE WHEN side = 0 THEN 0.0
+              ELSE side * (2.0 * power({gl}, key) / ({gl} + 1.0)) END AS est
+  FROM picks WHERE rn = 1),
+ns AS (SELECT {grp}CAST(SUM(c) AS BIGINT) AS n_total FROM buckets
+       GROUP BY ALL)
+SELECT {grp_e}{qbp_e}{fin} AS {est_col}{ncol_sel} FROM ests{ns_join}
+"""
+
+
+def value_quantiles_dd_sql(alpha: float = 0.01) -> str:
+    """Derivation of ``q_value_quantiles_dd`` (global DDSketch
+    quantiles of events.value, bp-folded)."""
+    return ddsketch_quantiles_sql(
+        "SELECT CAST(value AS DOUBLE) AS v FROM events "
+        "WHERE value IS NOT NULL",
+        (0.01, 0.25, 0.5, 0.75, 0.99), alpha=alpha)
+
+
+def type_value_quantiles_dd_sql(alpha: float = 0.01) -> str:
+    """Derivation of ``q_type_value_quantiles_dd`` (per-event-type
+    grouped DDSketch quantiles — one O(KB) bucket map per type in the
+    engine, one GROUP BY here)."""
+    return ddsketch_quantiles_sql(
+        "SELECT event_type, CAST(value AS DOUBLE) AS v FROM events "
+        "WHERE value IS NOT NULL",
+        (0.01, 0.25, 0.5, 0.75, 0.99), alpha=alpha,
+        group_cols=("event_type",), n_col="n_values")
+
+
+_RULE_CONF_STREAM_SQL = """
+SELECT CAST(conf_bp AS DOUBLE) AS v FROM (
+  WITH t AS (SELECT DISTINCT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                    event_type || '=k' || regexp_extract(props, '[0-9]+')
+                        AS item FROM events),
+  s1 AS (SELECT item, COUNT(*) AS support FROM t GROUP BY item),
+  p AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support_ab
+        FROM t a JOIN t b ON a.conv_id = b.conv_id AND a.item < b.item
+        GROUP BY a.item, b.item),
+  d AS (SELECT item_a AS antecedent, item_b AS consequent, support_ab FROM p
+        UNION ALL SELECT item_b, item_a, support_ab FROM p)
+  SELECT (10000 * d.support_ab) // s.support AS conf_bp
+  FROM d JOIN s1 s ON d.antecedent = s.item)
+"""
+
+
+def rule_conf_quantiles_sql(alpha: float = 0.01,
+                            pcts: tuple = (25, 50, 75, 90, 99)) -> str:
+    """Derivation of ``q_rule_conf_quantiles``: the conf_bp stream is
+    the verified ``rules_conf`` derivation (both-direction integer
+    confidences over the conv transactions), fed through the DDSketch
+    quantile read — the same composition the engine runs (supports →
+    conf rows → grouped bucket counts → nearest-rank pick)."""
+    return ddsketch_quantiles_sql(
+        _RULE_CONF_STREAM_SQL, tuple(p / 100 for p in pcts), alpha=alpha,
+        qbp_col="q_pct", est_col="est_conf_bp", finalize="half_up",
+        q_keys=pcts)

@@ -30,6 +30,7 @@ as CMS/HLL (``udaf.DDSketchAgg``).
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -61,7 +62,10 @@ class DDSketch(Sketch):
             raise ValueError("alpha must be in (0, 1)")
         self.alpha = float(alpha)
         self.gamma = (1.0 + self.alpha) / (1.0 - self.alpha)
-        self._log_gamma = np.log(self.gamma)
+        # glibc log, not np.log: the scalar SIMD log can differ by 1
+        # ulp, and the derived-SQL oracles recompute ln(γ) with DuckDB
+        # ln ≡ math.log (see functions/sqlgen.py)
+        self._log_gamma = math.log(self.gamma)
         empty_k = np.empty(0, dtype=np.int32)
         empty_c = np.empty(0, dtype=np.int64)
         # invariant: keys sorted ascending, counts > 0, parallel arrays
@@ -74,8 +78,19 @@ class DDSketch(Sketch):
     # -- updates ---------------------------------------------------------
     def _keys_of(self, v: np.ndarray) -> np.ndarray:
         # ceil(log_gamma(v)); float64 keys fit comfortably in int32 for
-        # any alpha ≥ 1e-4 (|key| < ~7.1e6)
-        return np.ceil(np.log(v) / self._log_gamma).astype(np.int32)
+        # any alpha ≥ 1e-4 (|key| < ~7.1e6). The hot path stays
+        # vectorized np.log (SIMD, ≤1 ulp off glibc — perturbs the
+        # ratio by ≲1e-12 absolute); only values whose ratio lands
+        # within 1e-9 of an integer — where that perturbation could
+        # flip the ceil — are recomputed with math.log, making the
+        # bucket map bit-identical to the DuckDB oracle's
+        # ceil(ln(v)/ln(γ)) (shared libm) at vectorized speed.
+        r = np.log(v) / self._log_gamma
+        near = np.abs(r - np.rint(r)) < 1e-9
+        if near.any():
+            r[near] = (np.array([math.log(float(x)) for x in v[near]])
+                       / self._log_gamma)
+        return np.ceil(r).astype(np.int32)
 
     def update(self, values: np.ndarray) -> "DDSketch":
         v = np.asarray(values, dtype=np.float64)
@@ -101,7 +116,12 @@ class DDSketch(Sketch):
         return int(self.pos_counts.sum() + self.neg_counts.sum() + self.zero_count)
 
     def _rep(self, key: np.ndarray | int) -> np.ndarray | float:
-        """Bucket midpoint: within relative error alpha of every member."""
+        """Bucket midpoint: within relative error alpha of every member.
+        Scalar keys (the quantile read path) use math.pow ≡ DuckDB
+        power — np.power differs by 1 ulp on some keys, which would
+        break the derived-SQL oracle's bit-parity."""
+        if isinstance(key, (int, np.integer)):
+            return 2.0 * math.pow(self.gamma, key) / (self.gamma + 1.0)
         return 2.0 * np.power(self.gamma, key) / (self.gamma + 1.0)
 
     def quantile(self, q: float) -> float:

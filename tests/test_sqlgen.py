@@ -340,3 +340,55 @@ def test_weighted_sample_np_prune_superset_of_exact(ray_session, sf_dir):
     exact_top = set(ids[order[:WEIGHTED_SAMPLE_K]].tolist())
     got = set(weighted_sample_events(sf_dir)["event_id"].tolist())
     assert got == exact_top
+
+
+@pytest.mark.parametrize("q_name,gen,sort_cols", [
+    ("value_quantiles_dd", "value_quantiles_dd_sql", ["q_bp"]),
+    ("type_value_quantiles_dd", "type_value_quantiles_dd_sql",
+     ["event_type", "q_bp"]),
+    ("rule_conf_quantiles", "rule_conf_quantiles_sql", ["q_pct"]),
+])
+def test_ddsketch_quantiles_match_derived_sql(ray_session, sf_dir, q_name,
+                                              gen, sort_cols):
+    """End-to-end: each DDSketch quantile ESTIMATE equals its SQL
+    derivation (bucket rebuild + nearest-rank pick + shared-libm
+    midpoint) exactly — three former pinned goldens, now derived."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines import sketch_queries as sq
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet'")
+    oracle = (con.execute(getattr(sqlgen, gen)()).df()
+              .sort_values(sort_cols).reset_index(drop=True))
+    mine = (getattr(sq, f"q_{q_name}")(sf_dir)
+            .sort_values(sort_cols).reset_index(drop=True))
+    num = [c for c in oracle.columns if c != "event_type"]
+    pd.testing.assert_frame_equal(
+        mine.astype({c: np.int64 for c in num}),
+        oracle.astype({c: np.int64 for c in num}))
+
+
+def test_ddsketch_boundary_keys_match_duckdb_ln():
+    """The vectorized-with-boundary-recompute ``_keys_of`` agrees with
+    DuckDB's ceil(ln(v)/ln(γ)) on values planted ON the geometric
+    bucket boundaries (γ^k exactly) and ulp-adjacent to them — the
+    cases where numpy's SIMD log could flip the ceil."""
+    import pyarrow as pa
+
+    from associationabacminer_ray.sketches.ddsketch import DDSketch
+
+    sk = DDSketch(alpha=0.01)
+    g = sk.gamma
+    ks = np.arange(-50, 51)
+    exact = np.power(g, ks.astype(np.float64))
+    vals = np.concatenate([exact, np.nextafter(exact, np.inf),
+                           np.nextafter(exact, 0.0)])
+    got = sk._keys_of(vals).astype(np.int64)
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": vals}))
+    want = con.execute(
+        f"SELECT CAST(CEIL(ln(v) / ln(CAST({g!r} AS DOUBLE))) AS BIGINT) "
+        f"FROM t").df().iloc[:, 0].to_numpy(np.int64)
+    assert np.array_equal(got, want)
