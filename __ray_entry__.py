@@ -2783,6 +2783,13 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles_dd": _sqlgen.value_quantiles_dd_sql(),
         "type_value_quantiles_dd": _sqlgen.type_value_quantiles_dd_sql(),
         "rule_conf_quantiles": _sqlgen.rule_conf_quantiles_sql(),
+        # DERIVED (not pinned): SimHash signatures/bands/pairs rebuilt
+        # from raw text — poly token hashes, ±1 bit majority, HUGEINT
+        # bit reassembly; pair recall is pigeonhole-complete so the
+        # oracle verifies every pair directly (functions/sqlgen.py;
+        # replaces two former pins)
+        "simhash_bands": _sqlgen.simhash_bands_sql(),
+        "simhash_dups": _sqlgen.simhash_dups_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

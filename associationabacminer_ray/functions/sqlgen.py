@@ -618,3 +618,67 @@ def rule_conf_quantiles_sql(alpha: float = 0.01,
         _RULE_CONF_STREAM_SQL, tuple(p / 100 for p in pcts), alpha=alpha,
         qbp_col="q_pct", est_col="est_conf_bp", finalize="half_up",
         q_keys=pcts)
+
+
+def _simhash_sigs_cte(seed: int = 3) -> str:
+    """CTE body ``sigs(doc_id, simhash)`` — 64-bit SimHash per document
+    rebuilt from raw text: Python ``str.split()`` tokenization restated
+    as regexp_split on ``\\s+`` with empty edges filtered (whitespace-
+    only/empty text keeps the single empty token, matching
+    ``(t or '').split() or ['']``), per-token
+    mix_with_seed(hash_strings_poly(tok), seed), per-bit ±1 majority
+    over token occurrences, bit j set iff the signed sum is > 0.
+    Integer-exact end to end (HUGEINT bit reassembly)."""
+    const = _splitmix64_int(seed)  # the mix_with_seed fold constant
+    docs = ("SELECT doc_id, COALESCE(text, '') AS text FROM documents")
+    toks = (f"SELECT doc_id, CASE WHEN len(tk) = 0 THEN [''] ELSE tk END "
+            f"AS tk FROM (SELECT doc_id, list_filter("
+            f"regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk "
+            f"FROM ({docs}))")
+    tok = f"SELECT doc_id, unnest(tk) AS token FROM ({toks})"
+    ph = polyhash_select(tok, "token", "h0", ("doc_id",))
+    mixed_in = (f"SELECT doc_id, xor(h0, CAST({const} AS UBIGINT)) AS y "
+                f"FROM ({ph})")
+    h = splitmix64_select(mixed_in, "y", "h", ("doc_id",))
+    return f"""sigs AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(CASE WHEN s > 0
+                            THEN CAST(power(2.0, j) AS HUGEINT)
+                            ELSE 0 END) AS HUGEINT) % {P64} AS UBIGINT)
+             AS simhash
+  FROM (
+    SELECT doc_id, j,
+           SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM ({h}) CROSS JOIN (SELECT unnest(range(64)) AS j)
+    GROUP BY doc_id, j)
+  GROUP BY doc_id)"""
+
+
+def simhash_bands_sql(seed: int = 3) -> str:
+    """Single-statement derivation of ``q_simhash_bands``: the SimHash
+    signature and its 4×16-bit band buckets rebuilt from raw document
+    text (see ``_simhash_sigs_cte``)."""
+    bands = ", ".join(
+        f"CAST((simhash >> {16 * b}) & 65535 AS BIGINT) AS sim_band{b}"
+        for b in range(4))
+    return f"""
+WITH {_simhash_sigs_cte(seed)}
+SELECT doc_id, simhash, {bands} FROM sigs
+"""
+
+
+def simhash_dups_sql(max_hamming: int = 3, seed: int = 3) -> str:
+    """Single-statement derivation of ``q_simhash_dups``: near-dup
+    pairs at Hamming ≤ {max_hamming}. The engine's banded candidate
+    generation is RECALL-COMPLETE here by pigeonhole (≤3 differing
+    bits cannot touch all four 16-bit bands), so the oracle can skip
+    the bands and verify every pair directly: bit_count(xor) over the
+    rebuilt signatures."""
+    return f"""
+WITH {_simhash_sigs_cte(seed)}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""

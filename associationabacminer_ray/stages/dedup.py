@@ -372,14 +372,22 @@ class RollingWindowHashes:
 def simhash_signatures(texts: pd.Series, seed: int = 3) -> np.ndarray:
     """64-bit SimHash per doc from whitespace-token hashes: for each bit,
     sign of Σ(±1) across token hashes — vectorized with unpackbits +
-    reduceat."""
+    reduceat. Tokens hash with the byte-polynomial fold
+    (``hash_strings_poly``, not SipHash) so the signatures — and the
+    band buckets and Hamming-verified pairs built on them — are
+    independently rebuilt by the DERIVED SQL oracles
+    (``functions.sqlgen.simhash_bands_sql`` / ``simhash_dups_sql``,
+    which retired the two former pinned goldens)."""
+    from ..functions.hashing import hash_strings_poly
+
     all_tokens: list[str] = []
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)
     for i, t in enumerate(texts):
         toks = (t or "").split() or [""]
         all_tokens.extend(toks)
         offsets[i + 1] = offsets[i] + len(toks)
-    h = mix_with_seed(hash_strings(np.asarray(all_tokens, dtype=object)), seed)
+    h = mix_with_seed(
+        hash_strings_poly(np.asarray(all_tokens, dtype=object)), seed)
     bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
                          bitorder="little").astype(np.int32)  # (n_tokens, 64)
     contrib = 2 * bits - 1

@@ -392,3 +392,30 @@ def test_ddsketch_boundary_keys_match_duckdb_ln():
         f"SELECT CAST(CEIL(ln(v) / ln(CAST({g!r} AS DOUBLE))) AS BIGINT) "
         f"FROM t").df().iloc[:, 0].to_numpy(np.int64)
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("q_name,gen,sort_cols", [
+    ("simhash_bands", "simhash_bands_sql", ["doc_id"]),
+    ("simhash_dups", "simhash_dups_sql", ["id_a", "id_b"]),
+])
+def test_simhash_matches_derived_sql(ray_session, sf_dir, q_name, gen,
+                                     sort_cols):
+    """End-to-end: SimHash signatures/bands and the Hamming≤3 pairs
+    equal the SQL derivation (poly token hashes, ±1 bit majority,
+    pigeonhole-complete pair verify) — two former pins, now derived."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines import text_pipelines as tp
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    oracle = (con.execute(getattr(sqlgen, gen)()).df()
+              .sort_values(sort_cols).reset_index(drop=True))
+    mine = (getattr(tp, f"q_{q_name}")(sf_dir)
+            .sort_values(sort_cols).reset_index(drop=True))
+    for c in oracle.columns:
+        dt = np.uint64 if c == "simhash" else np.int64
+        oracle[c] = oracle[c].astype(dt)
+        mine[c] = mine[c].astype(dt)
+    pd.testing.assert_frame_equal(mine, oracle)
