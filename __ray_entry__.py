@@ -2790,6 +2790,11 @@ def oracle_sql() -> dict[str, str]:
         # replaces two former pins)
         "simhash_bands": _sqlgen.simhash_bands_sql(),
         "simhash_dups": _sqlgen.simhash_dups_sql(),
+        # DERIVED (not pinned): the Bloom-mode crosscorpus counts —
+        # filter geometry, bit set, and every probe (false positives
+        # included) rebuilt from raw documents (functions/sqlgen.py;
+        # replaces the former pin)
+        "crosscorpus_dedup": _sqlgen.crosscorpus_dedup_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

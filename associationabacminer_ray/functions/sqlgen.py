@@ -682,3 +682,70 @@ FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY id_a, id_b
 """
+
+
+def crosscorpus_dedup_sql(fpr: float = 0.001, seed: int = 11,
+                          max_hashes: int = 32) -> str:
+    """Single-statement derivation of ``q_crosscorpus_dedup`` — the
+    Bloom-mode kept/dropped counts themselves, false positives
+    included: rebuild the reference filter from the even-doc_id corpus
+    (n = reference row count; m₀ = ceil(−n·ln(fpr)/ln²2), k =
+    half-even round(m₀/n·ln2), m = m₀ rounded up to a 64-bit word
+    multiple — shared-libm, matching ``BloomFilter.for_capacity`` +
+    the constructor's word rounding), set bits pos_i = splitmix64(h ⊕ S_i)
+    mod m for the poly text hash h and the precomputed seed constants
+    S_i = splitmix64(seed·2654435761 + i), then probe EVERY document:
+    dropped iff all k of its positions are set. ``max_hashes`` bounds
+    the static seed VALUES list (k ≈ ln2·m/n ≈ 10 at fpr 1e-3; the
+    i < k join ignores the rest)."""
+    seeds = ", ".join(
+        f"({i}, CAST({_splitmix64_int(seed * 2654435761 + i)} AS UBIGINT))"
+        for i in range(max_hashes))
+    refh = polyhash_select(
+        "SELECT text AS s FROM documents WHERE doc_id % 2 = 0", "s", "h")
+    allh = polyhash_select(
+        "SELECT doc_id, source, text AS s FROM documents", "s", "h",
+        ("doc_id", "source"))
+    refmix = splitmix64_select(
+        "SELECT sd.i AS i, xor(r.h, sd.s) AS y "
+        "FROM refh r CROSS JOIN seeds sd", "y", "mx", ("i",))
+    candmix = splitmix64_select(
+        "SELECT a.doc_id AS doc_id, a.source AS source, sd.i AS i, "
+        "xor(a.h, sd.s) AS y FROM allh a CROSS JOIN seeds sd",
+        "y", "mx", ("doc_id", "source", "i"))
+    return f"""
+WITH seeds(i, s) AS (VALUES {seeds}),
+refh AS ({refh}),
+allh AS ({allh}),
+geom AS (
+  SELECT GREATEST(n, 1) AS n,
+         CAST(CEIL((-CAST(GREATEST(n, 1) AS DOUBLE))
+                   * ln(CAST({fpr!r} AS DOUBLE))
+                   / (ln(CAST(2.0 AS DOUBLE)) * ln(CAST(2.0 AS DOUBLE))))
+              AS BIGINT) AS m0
+  FROM (SELECT COUNT(*) AS n FROM refh)),
+geok AS (
+  SELECT n,
+         CASE WHEN m0 % 64 = 0 THEN m0 ELSE (m0 // 64 + 1) * 64 END AS m,
+         GREATEST(1, CAST(CASE
+      WHEN kf - FLOOR(kf) > 0.5 THEN FLOOR(kf) + 1
+      WHEN kf - FLOOR(kf) < 0.5 THEN FLOOR(kf)
+      ELSE FLOOR(kf) + CAST(FLOOR(kf) AS BIGINT) % 2 END AS BIGINT)) AS k
+  FROM (SELECT n, m0, CAST(m0 AS DOUBLE) / CAST(n AS DOUBLE)
+                      * ln(CAST(2.0 AS DOUBLE)) AS kf FROM geom)),
+refbits AS (
+  SELECT DISTINCT CAST(q.mx % CAST(g.m AS UBIGINT) AS BIGINT) AS pos
+  FROM ({refmix}) q CROSS JOIN geok g WHERE q.i < g.k),
+probe AS (
+  SELECT c.doc_id, c.source, COUNT(rb.pos) = ANY_VALUE(g.k) AS seen
+  FROM ({candmix}) c
+  CROSS JOIN geok g
+  LEFT JOIN refbits rb
+    ON rb.pos = CAST(c.mx % CAST(g.m AS UBIGINT) AS BIGINT)
+  WHERE c.i < g.k
+  GROUP BY c.doc_id, c.source)
+SELECT source,
+       CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM probe GROUP BY source
+"""

@@ -507,13 +507,17 @@ def q_clean_pipeline(sf_dir: str, quality_min_bp: int = 7500) -> pd.DataFrame:
 
 def _ref_corpus_hashes(sf_dir: str):
     """The 'previous training set' stand-in (docs with even doc_id) as a
-    Dataset of text hashes — built distributed, never via to_pandas."""
-    from ..functions.hashing import hash_strings
+    Dataset of text hashes — built distributed, never via to_pandas.
+    Hashes with the byte-polynomial fold (SQL-expressible) so the Bloom
+    mode's kept/dropped counts have a DERIVED oracle that rebuilds the
+    filter bit set in SQL (``functions.sqlgen.crosscorpus_dedup_sql``;
+    the exact mode's oracle is text-level and hash-agnostic)."""
+    from ..functions.hashing import hash_strings_poly
 
     def even_text_hash(b: pd.DataFrame) -> pd.DataFrame:
         # vectorized mask (Ray's expr parser can't do `doc_id % 2`)
         keep = b["doc_id"].to_numpy() % 2 == 0
-        return pd.DataFrame({"h": hash_strings(b["text"][keep])})
+        return pd.DataFrame({"h": hash_strings_poly(b["text"][keep])})
 
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(even_text_hash, batch_format="pandas"))
@@ -523,10 +527,10 @@ def _crosscorpus_counts(sf_dir: str, seen_fn) -> pd.DataFrame:
     """Tag every doc kept/dropped by ``seen_fn(uint64 hashes) -> bool[]``
     (broadcast membership probe inside map_batches — no join, no
     shuffle of texts) and report per-source counts."""
-    from ..functions.hashing import hash_strings
+    from ..functions.hashing import hash_strings_poly
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        seen = seen_fn(hash_strings(batch["text"]))
+        seen = seen_fn(hash_strings_poly(batch["text"]))
         return pd.DataFrame({"source": batch["source"],
                              "kept": (~seen).astype(np.int64),
                              "dropped": seen.astype(np.int64)})

@@ -11,6 +11,7 @@ FPR ≈ (1 - e^{-kn/m})^k; merge = bitwise OR (exactly associative).
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -42,8 +43,11 @@ class BloomFilter(Sketch):
 
     @classmethod
     def for_capacity(cls, n: int, fpr: float = 0.01, seed: int = 11) -> "BloomFilter":
-        m = int(np.ceil(-n * np.log(fpr) / (np.log(2) ** 2)))
-        k = max(1, int(round(m / max(n, 1) * np.log(2))))
+        # math.log, not np.log: the scalar SIMD log can differ by 1
+        # ulp, and the derived-SQL crosscorpus oracle recomputes this
+        # geometry with DuckDB ln ≡ math.log (functions/sqlgen.py)
+        m = int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2)))
+        k = max(1, int(round(m / max(n, 1) * math.log(2))))
         return cls(num_bits=m, num_hashes=k, seed=seed)
 
     def _bit_positions(self, hashes: np.ndarray):

@@ -419,3 +419,50 @@ def test_simhash_matches_derived_sql(ray_session, sf_dir, q_name, gen,
         oracle[c] = oracle[c].astype(dt)
         mine[c] = mine[c].astype(dt)
     pd.testing.assert_frame_equal(mine, oracle)
+
+
+def test_crosscorpus_bloom_matches_derived_sql(ray_session, sf_dir):
+    """End-to-end: the Bloom-mode kept/dropped counts — including any
+    false positives — equal the SQL derivation that rebuilds the
+    filter geometry, bit set, and every probe from raw documents."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.text_pipelines import (
+        q_crosscorpus_dedup)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    oracle = (con.execute(sqlgen.crosscorpus_dedup_sql()).df()
+              .sort_values("source").reset_index(drop=True))
+    for c in ("n_kept", "n_dropped"):
+        oracle[c] = oracle[c].astype(np.int64)
+    pd.testing.assert_frame_equal(q_crosscorpus_dedup(sf_dir), oracle)
+
+
+def test_bloom_geometry_word_rounding_matches_sql():
+    """for_capacity's m (ceil formula + 64-bit word round-up) and k
+    (half-even round over the UNROUNDED m) match the SQL geometry CTEs
+    across a sweep of capacities."""
+    from associationabacminer_ray.sketches import BloomFilter
+
+    con = duckdb.connect()
+    for n in (1, 2, 7, 63, 64, 250, 1000, 12345):
+        b = BloomFilter.for_capacity(n, fpr=0.001)
+        row = con.execute(f"""
+            WITH geom AS (
+              SELECT CAST(CEIL((-CAST({n} AS DOUBLE))
+                         * ln(CAST(0.001 AS DOUBLE))
+                         / (ln(CAST(2.0 AS DOUBLE)) * ln(CAST(2.0 AS DOUBLE))))
+                     AS BIGINT) AS m0)
+            SELECT CASE WHEN m0 % 64 = 0 THEN m0
+                        ELSE (m0 // 64 + 1) * 64 END,
+                   GREATEST(1, CAST(CASE
+                     WHEN kf - FLOOR(kf) > 0.5 THEN FLOOR(kf) + 1
+                     WHEN kf - FLOOR(kf) < 0.5 THEN FLOOR(kf)
+                     ELSE FLOOR(kf) + CAST(FLOOR(kf) AS BIGINT) % 2
+                   END AS BIGINT))
+            FROM (SELECT m0, CAST(m0 AS DOUBLE) / CAST({n} AS DOUBLE)
+                             * ln(CAST(2.0 AS DOUBLE)) AS kf FROM geom)
+        """).fetchone()
+        assert (b.num_bits, b.num_hashes) == (row[0], row[1]), n
