@@ -2795,6 +2795,11 @@ def oracle_sql() -> dict[str, str]:
         # included) rebuilt from raw documents (functions/sqlgen.py;
         # replaces the former pin)
         "crosscorpus_dedup": _sqlgen.crosscorpus_dedup_sql(),
+        # DERIVED (not pinned): Theta audiences run in the exact
+        # regime at gate scale, so the rule-audience overlaps equal
+        # exact set counts — the mine→cscore-rank→audience→pairwise
+        # chain restated in SQL (functions/sqlgen.py; former pin)
+        "rule_audience_overlap": _sqlgen.rule_audience_overlap_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

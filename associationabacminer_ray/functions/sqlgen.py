@@ -749,3 +749,66 @@ SELECT source,
        CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM probe GROUP BY source
 """
+
+
+def rule_audience_overlap_sql(n_rules: int = 5) -> str:
+    """Single-statement derivation of ``q_rule_audience_overlap``: the
+    Theta sketches run in the EXACT regime at gate scale (k = 2¹⁶ ≫
+    distinct conversations, trim never fires), so the sketch-algebra
+    overlaps equal exact set counts — restated here as the composed
+    mine→rank→audience chain: supports (min_support 2, both-direction
+    rules), cscore_bp = fold((cov+conf)/2) ranking with (antecedent,
+    consequent) tie-break (the verified ``greedy_round1`` fragment),
+    top-{n_rules} audiences by conv⊇{{ant,cons}} joins, pairwise
+    intersection / union / folded Jaccard over rules with NON-EMPTY
+    audiences (empty audiences produce no sketch in the engine and no
+    cardinality row here)."""
+    return f"""
+WITH t AS (SELECT DISTINCT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                  event_type || '=k' || regexp_extract(props, '[0-9]+')
+                      AS item
+           FROM events),
+n AS (SELECT COUNT(DISTINCT conv_id) AS n_tx FROM t),
+s1 AS (SELECT item, COUNT(*) AS c FROM t GROUP BY item
+       HAVING COUNT(*) >= 2),
+p2 AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS c
+       FROM t a JOIN t b ON a.conv_id = b.conv_id AND a.item < b.item
+       GROUP BY a.item, b.item HAVING COUNT(*) >= 2),
+rules AS (SELECT ia AS antecedent, ib AS consequent,
+                 p2.c AS support_ab, sa.c AS support_a
+          FROM p2 JOIN s1 sa ON sa.item = p2.ia
+          UNION ALL
+          SELECT ib, ia, p2.c, sb.c
+          FROM p2 JOIN s1 sb ON sb.item = p2.ib),
+scored AS (SELECT antecedent, consequent,
+                  CAST(FLOOR(((CAST(support_ab AS DOUBLE)
+                               / CAST(n_tx AS DOUBLE)
+                               + CAST(support_ab AS DOUBLE)
+                               / CAST(support_a AS DOUBLE)) / 2.0)
+                             * 10000.0 + 0.5) AS BIGINT) AS cscore_bp
+           FROM rules, n),
+top_rules AS (SELECT ROW_NUMBER() OVER (ORDER BY cscore_bp DESC,
+                                        antecedent, consequent) - 1 AS rid,
+                     antecedent, consequent,
+                     antecedent || '|' || consequent AS label
+              FROM scored
+              ORDER BY cscore_bp DESC, antecedent, consequent
+              LIMIT {n_rules}),
+aud AS (SELECT r.rid, r.label, t1.conv_id
+        FROM top_rules r
+        JOIN t t1 ON t1.item = r.antecedent
+        JOIN t t2 ON t2.conv_id = t1.conv_id AND t2.item = r.consequent),
+card AS (SELECT rid, ANY_VALUE(label) AS label, COUNT(*) AS nc
+         FROM aud GROUP BY rid),
+inter AS (SELECT a.rid AS ra, b.rid AS rb, COUNT(*) AS ni
+          FROM aud a JOIN aud b ON a.conv_id = b.conv_id AND a.rid < b.rid
+          GROUP BY a.rid, b.rid)
+SELECT ca.label AS rule_a, cb.label AS rule_b,
+       CAST(COALESCE(i.ni, 0) AS BIGINT) AS common_convs,
+       CAST(ca.nc + cb.nc - COALESCE(i.ni, 0) AS BIGINT) AS union_convs,
+       CAST(FLOOR((CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                   / (ca.nc + cb.nc - COALESCE(i.ni, 0)))
+                  * 10000.0 + 0.5) AS BIGINT) AS jaccard_bp
+FROM card ca JOIN card cb ON ca.rid < cb.rid
+LEFT JOIN inter i ON i.ra = ca.rid AND i.rb = cb.rid
+"""

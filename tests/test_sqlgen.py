@@ -466,3 +466,24 @@ def test_bloom_geometry_word_rounding_matches_sql():
                              * ln(CAST(2.0 AS DOUBLE)) AS kf FROM geom)
         """).fetchone()
         assert (b.num_bits, b.num_hashes) == (row[0], row[1]), n
+
+
+def test_rule_audience_overlap_matches_derived_sql(ray_session, sf_dir):
+    """End-to-end: the Theta rule-audience overlaps (exact regime —
+    k ≫ distinct convs) equal the composed mine→rank→audience SQL
+    derivation row-for-row — a former pin, now derived."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.sketch_queries import (
+        q_rule_audience_overlap)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet'")
+    oracle = (con.execute(sqlgen.rule_audience_overlap_sql()).df()
+              .sort_values(["rule_a", "rule_b"]).reset_index(drop=True))
+    for c in ("common_convs", "union_convs", "jaccard_bp"):
+        oracle[c] = oracle[c].astype(np.int64)
+    mine = (q_rule_audience_overlap(sf_dir)
+            .sort_values(["rule_a", "rule_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(mine, oracle)
