@@ -2800,6 +2800,11 @@ def oracle_sql() -> dict[str, str]:
         # exact set counts — the mine→cscore-rank→audience→pairwise
         # chain restated in SQL (functions/sqlgen.py; former pin)
         "rule_audience_overlap": _sqlgen.rule_audience_overlap_sql(),
+        # DERIVED (not pinned): the FULL multi-round greedy set-cover
+        # as a recursive CTE over bitstring conv sets — per-round
+        # argmax, remaining-count denominators, append-then-break
+        # (functions/sqlgen.py; replaces the former pin)
+        "greedy_policy": _sqlgen.greedy_policy_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

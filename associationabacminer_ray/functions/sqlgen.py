@@ -812,3 +812,96 @@ SELECT ca.label AS rule_a, cb.label AS rule_b,
 FROM card ca JOIN card cb ON ca.rid < cb.rid
 LEFT JOIN inter i ON i.ra = ca.rid AND i.rb = cb.rid
 """
+
+
+def greedy_policy_sql(max_rounds: int = 10, coverage_target: float = 0.9,
+                      min_support: int = 2, max_convs: int = 4096) -> str:
+    """Single-statement derivation of ``q_greedy_policy`` — the FULL
+    multi-round greedy set-cover, not just round 1: a recursive CTE
+    carries the covered-conversation set as a {max_convs}-bit BITSTRING
+    (conversations dense-ranked once; ``bitstring_agg`` needs constant
+    bounds, so the universe is fixed and an ``error()`` guard refuses
+    corpora past it), and each round re-scores every candidate rule
+    with two ``bit_count`` ops — remaining pair support ``|bsp ∧ ¬cov|``
+    and antecedent support ``|bsa ∧ ¬cov|`` — takes the cscore argmax
+    with ``best_rule``'s lexicographic tie-break (the constraint-count
+    key is constant for 1→1 rules), appends the round row (including a
+    terminal newly=0 round, matching the engine's append-then-break),
+    and recurses while matches were made, rounds remain, and coverage
+    sits below {coverage_target}. cscore's denominator is the round's
+    REMAINING count, exactly like ``greedy_cover_ray`` passing
+    ``uncovered`` into ``rules_from_supports``.
+
+    One stated assumption: the engine removes covered conversations
+    through a 2²⁴-bit Bloom filter whose false positives would
+    over-remove; at gate scale (≲10³ conversations, ~10 set bits per
+    round) the FP probability is ≈ 0 and the gate's row/value equality
+    at both sf levels is the empirical witness that none fired."""
+    nb = max_convs
+    return f"""
+WITH RECURSIVE
+t AS (SELECT DISTINCT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+             event_type || '=k' || regexp_extract(props, '[0-9]+') AS item
+      FROM events),
+convs AS (SELECT conv_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY conv_id) - 1 AS INTEGER)
+                     AS cid
+          FROM (SELECT DISTINCT conv_id FROM t)),
+n0 AS (SELECT CASE WHEN COUNT(*) > {nb}
+            THEN CAST(error('greedy_policy_sql: conv universe exceeds {nb}')
+                 AS BIGINT)
+            ELSE COUNT(*) END AS n FROM convs),
+ti AS (SELECT item, cid FROM t JOIN convs USING (conv_id)),
+pairs_bs AS (SELECT a.item AS ia, b.item AS ib,
+                    bitstring_agg(a.cid, 0, {nb - 1}) AS bs
+             FROM ti a JOIN ti b ON a.cid = b.cid AND a.item < b.item
+             GROUP BY a.item, b.item),
+singles_bs AS (SELECT item, bitstring_agg(cid, 0, {nb - 1}) AS bs
+               FROM ti GROUP BY item),
+cand AS (
+  SELECT p.ia AS antecedent, p.ib AS consequent, p.bs AS bsp, sa.bs AS bsa
+  FROM pairs_bs p JOIN singles_bs sa ON sa.item = p.ia
+  UNION ALL
+  SELECT p.ib, p.ia, p.bs, sb.bs
+  FROM pairs_bs p JOIN singles_bs sb ON sb.item = p.ib),
+g AS (
+  SELECT -1 AS round, bitstring('0', {nb}) AS covered, TRUE AS cont,
+         CAST(NULL AS VARCHAR) AS antecedent,
+         CAST(NULL AS VARCHAR) AS consequent,
+         CAST(NULL AS BIGINT) AS support_ab,
+         CAST(NULL AS BIGINT) AS covered_this_round,
+         CAST(NULL AS BIGINT) AS uncovered_before,
+         CAST(NULL AS BIGINT) AS cscore_bp
+  UNION ALL
+  SELECT g.round + 1, g.covered | p.bsp, p.newly > 0,
+         p.antecedent, p.consequent, p.support_ab, p.newly, p.unc,
+         p.cscore_bp
+  FROM g, LATERAL (
+    WITH u AS (SELECT (SELECT n FROM n0) - bit_count(g.covered) AS unc),
+    best AS (
+      SELECT antecedent, consequent, ab, bsp,
+             (CAST(ab AS DOUBLE) / CAST(u.unc AS DOUBLE)
+              + CAST(ab AS DOUBLE) / CAST(sa AS DOUBLE)) / 2.0 AS cscore,
+             u.unc AS unc
+      FROM (SELECT antecedent, consequent,
+                   bit_count(bsp & ~g.covered) AS ab,
+                   bit_count(bsa & ~g.covered) AS sa, bsp
+            FROM cand) c, u
+      WHERE ab >= {min_support} AND sa >= {min_support}
+      ORDER BY cscore DESC, antecedent, consequent LIMIT 1)
+    SELECT b.antecedent, b.consequent, CAST(b.ab AS BIGINT) AS support_ab,
+           CAST(bit_count(b.bsp & ~g.covered) AS BIGINT) AS newly,
+           CAST(b.unc AS BIGINT) AS unc,
+           CAST(FLOOR(b.cscore * 10000.0 + 0.5) AS BIGINT) AS cscore_bp,
+           b.bsp AS bsp
+    FROM best b, u, n0
+    WHERE u.unc > 0
+      AND NOT (1.0 - CAST(u.unc AS DOUBLE) / CAST(n0.n AS DOUBLE)
+               >= CAST({coverage_target!r} AS DOUBLE))
+  ) p
+  WHERE g.cont AND g.round + 1 < {max_rounds}
+)
+SELECT round, antecedent, consequent, support_ab, covered_this_round,
+       uncovered_before, cscore_bp
+FROM g WHERE round >= 0 ORDER BY round
+"""

@@ -487,3 +487,39 @@ def test_rule_audience_overlap_matches_derived_sql(ray_session, sf_dir):
     mine = (q_rule_audience_overlap(sf_dir)
             .sort_values(["rule_a", "rule_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(mine, oracle)
+
+
+def test_greedy_policy_matches_derived_sql(ray_session, sf_dir):
+    """End-to-end: the distributed multi-round greedy cover equals the
+    recursive-CTE bitstring derivation round-for-round (argmax,
+    remaining-count cscore denominators, terminal newly=0 row) — the
+    former flagship pin, now derived."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.sketch_queries import (
+        q_greedy_policy)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet'")
+    oracle = con.execute(sqlgen.greedy_policy_sql()).df()
+    for c in ("round", "support_ab", "covered_this_round",
+              "uncovered_before", "cscore_bp"):
+        oracle[c] = oracle[c].astype(np.int64)
+    pd.testing.assert_frame_equal(q_greedy_policy(sf_dir), oracle)
+
+
+def test_greedy_policy_sql_refuses_oversized_universe():
+    """The fixed-bitstring universe is guarded: a corpus with more
+    conversations than max_convs errors loudly instead of silently
+    truncating coverage."""
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    n = 40
+    con.register("events", pa.table({
+        "user_id": np.arange(n, dtype=np.int64),
+        "event_type": ["click"] * n,
+        "props": ["k1"] * n}))
+    with pytest.raises(duckdb.Error, match="conv universe exceeds"):
+        con.execute(sqlgen.greedy_policy_sql(max_convs=16)).df()
