@@ -2805,6 +2805,10 @@ def oracle_sql() -> dict[str, str]:
         # argmax, remaining-count denominators, append-then-break
         # (functions/sqlgen.py; replaces the former pin)
         "greedy_policy": _sqlgen.greedy_policy_sql(),
+        # DERIVED (not pinned): all five Lloyd iterations as a
+        # recursive CTE over the integer-exact centroid state
+        # (functions/sqlgen.py; replaces the former pin)
+        "kmeans_centroids": _sqlgen.kmeans_centroids_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

@@ -905,3 +905,76 @@ SELECT round, antecedent, consequent, support_ab, covered_this_round,
        uncovered_before, cscore_bp
 FROM g WHERE round >= 0 ORDER BY round
 """
+
+
+def kmeans_centroids_sql(k: int = 8, iters: int = 5) -> str:
+    """Single-statement derivation of ``q_kmeans_centroids`` — ALL
+    {iters} Lloyd iterations, not a one-step twin: the engine's k-means
+    is integer-exact end to end (bp-folded vectors, int64 argmin score
+    ‖c‖² − 2x·c with lowest-cluster tie-break, centroid update
+    floor(Σ/n + 0.5), empty clusters keep their previous centroid), so
+    a recursive CTE carrying the (cluster, dim, val) centroid list
+    reproduces every pass bit-for-bit. Seeding is the k smallest
+    (splitmix64(vec_id), vec_id) rows — the same SQL hash chain as the
+    CMS oracles. The Σ→DOUBLE centroid division is exact below 2⁵³
+    (gate corpora sit orders of magnitude under it)."""
+    hashed = splitmix64_select(
+        "SELECT vec_id, CAST(vec_id AS UBIGINT) AS y FROM embeddings "
+        "WHERE vec_id IS NOT NULL", "y", "h", ("vec_id",))
+    assign = """
+      SELECT vec_id, cluster_id FROM (
+        SELECT x.vec_id, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                   ORDER BY SUM(c.val * c.val - 2 * x.v * c.val),
+                            c.cluster_id) AS rn
+        FROM x JOIN {cent} c ON c.dim = x.dim
+        GROUP BY x.vec_id, c.cluster_id)
+      WHERE rn = 1"""
+    return f"""
+WITH RECURSIVE
+x AS (SELECT vec_id, i.dim,
+             CAST(FLOOR(CAST(embedding[i.dim + 1] AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id IS NOT NULL) e,
+           LATERAL (SELECT unnest(range(len(e.embedding))) AS dim) i),
+sel AS (SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster_id
+        FROM ({hashed}) ORDER BY h, vec_id LIMIT {k}),
+cent0 AS (SELECT list(struct_pack(cluster_id := s.cluster_id,
+                                  dim := x.dim, val := x.v)) AS cents
+          FROM sel s JOIN x ON x.vec_id = s.vec_id),
+g AS (
+  SELECT 0 AS iter, cents FROM cent0
+  UNION ALL
+  SELECT g.iter + 1, p.cents
+  FROM g, LATERAL (
+    WITH cent AS (SELECT u.cluster_id, u.dim, u.val
+                  FROM (SELECT unnest(g.cents) AS u)),
+    assign AS ({assign.format(cent="cent")}),
+    stats AS (
+      SELECT a.cluster_id, x.dim, SUM(x.v) AS s,
+             COUNT(DISTINCT x.vec_id) AS n
+      FROM assign a JOIN x ON x.vec_id = a.vec_id
+      GROUP BY a.cluster_id, x.dim)
+    SELECT list(struct_pack(cluster_id := c.cluster_id, dim := c.dim,
+                 val := CASE WHEN st.n IS NOT NULL AND st.n > 0
+                        THEN CAST(FLOOR(CAST(st.s AS DOUBLE)
+                                        / CAST(st.n AS DOUBLE) + 0.5)
+                             AS BIGINT)
+                        ELSE c.val END)) AS cents
+    FROM cent c
+    LEFT JOIN stats st ON st.cluster_id = c.cluster_id AND st.dim = c.dim
+  ) p
+  WHERE g.iter < {iters}
+),
+final_c AS (SELECT u.cluster_id, u.dim, u.val
+            FROM (SELECT unnest(cents) AS u FROM g WHERE iter = {iters})),
+final_assign AS ({assign.format(cent="final_c")}),
+sizes AS (SELECT cluster_id, COUNT(*) AS n FROM final_assign
+          GROUP BY cluster_id)
+SELECT f.cluster_id, f.dim, CAST(f.val AS BIGINT) AS centroid_bp,
+       CAST(COALESCE(z.n, 0) AS BIGINT) AS n_points
+FROM final_c f LEFT JOIN sizes z ON z.cluster_id = f.cluster_id
+ORDER BY f.cluster_id, f.dim
+"""

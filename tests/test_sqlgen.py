@@ -523,3 +523,23 @@ def test_greedy_policy_sql_refuses_oversized_universe():
         "props": ["k1"] * n}))
     with pytest.raises(duckdb.Error, match="conv universe exceeds"):
         con.execute(sqlgen.greedy_policy_sql(max_convs=16)).df()
+
+
+def test_kmeans_centroids_matches_derived_sql(ray_session, sf_dir):
+    """End-to-end: the distributed integer-exact k-means equals the
+    recursive-CTE derivation across all five Lloyd iterations
+    (seeding, argmin tie-breaks, empty-cluster carry, final sizes) —
+    a former pin, now derived."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.cluster import (
+        q_kmeans_centroids)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    oracle = con.execute(sqlgen.kmeans_centroids_sql()).df()
+    for c in oracle.columns:
+        oracle[c] = oracle[c].astype(np.int64)
+    pd.testing.assert_frame_equal(
+        q_kmeans_centroids(sf_dir).astype(np.int64), oracle)
