@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine path over the events-derived transcripts, composed SQL
         "windowed_mining_events": S.q_windowed_mining_events,
         "windowed_sketch_sweep": S.q_windowed_sketch_sweep,
+        # events-derived twin with a fully derived estimate oracle
+        "windowed_sketch_sweep_events": S.q_windowed_sketch_sweep_events,
         "policy_scores": S.q_policy_scores,
         # derived-oracle twin of the mine->score chain (VERDICT r3 #5)
         "policy_scores_events": S.q_policy_scores_events,
@@ -326,7 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned goldens
         "greedy_policy", "greedy_round1",
         "windowed_mining", "windowed_mining_events",
-        "windowed_sketch_sweep",
+        "windowed_sketch_sweep", "windowed_sketch_sweep_events",
         "policy_scores", "policy_scores_events", "policy_scores_universe",
         "hll_role_convs",
         "crosscorpus_dedup", "rule_audience_overlap", "simhash_bands",
@@ -2809,6 +2811,10 @@ def oracle_sql() -> dict[str, str]:
         # recursive CTE over the integer-exact centroid state
         # (functions/sqlgen.py; replaces the former pin)
         "kmeans_centroids": _sqlgen.kmeans_centroids_sql(),
+        # DERIVED: the sweep twin's window estimates — per-window HLL
+        # register rebuild + exact-regime merged top-k head
+        "windowed_sketch_sweep_events":
+            _sqlgen.windowed_sketch_sweep_events_sql(),
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS part
                        FROM lineitem

@@ -978,3 +978,78 @@ SELECT f.cluster_id, f.dim, CAST(f.val AS BIGINT) AS centroid_bp,
 FROM final_c f LEFT JOIN sizes z ON z.cluster_id = f.cluster_id
 ORDER BY f.cluster_id, f.dim
 """
+
+
+def _hll_estimate_scalar(keys_sql: str, p: int = 14) -> str:
+    """A scalar SELECT evaluating the HLL estimate (int, half-even
+    rounded) over ``keys_sql`` — a SELECT yielding one VARCHAR column
+    ``k`` of (not necessarily distinct) keys. The same register/clz/
+    exact-harmonic-sum/shared-libm machinery as
+    ``hll_role_convs_sql``, without the GROUP BY dimension."""
+    m = 1 << p
+    cap = 64 - p + 1
+    assert cap <= 63
+    alpha = (f"(0.7213 / (1.0 + 1.079 / {float(m)!r}))" if m > 64 else
+             {16: "0.673", 32: "0.697", 64: "0.709"}[m])
+    hashed = polyhash_select(f"SELECT DISTINCT k FROM ({keys_sql})",
+                             "k", "h")
+    pieces = (f"SELECT CAST(h >> {64 - p} AS BIGINT) AS idx, "
+              f"{_mulmod64('h', m)} AS rest FROM ({hashed})")
+    clz = clz64_select(pieces, "rest", "nz", ("idx",))
+    est = (f"CASE WHEN raw <= {2.5 * m!r} AND zeros > 0 "
+           f"THEN {float(m)!r} * ln({float(m)!r} / zeros) ELSE raw END")
+    return f"""
+SELECT CAST(CASE WHEN est - FLOOR(est) > 0.5 THEN FLOOR(est) + 1
+            WHEN est - FLOOR(est) < 0.5 THEN FLOOR(est)
+            ELSE FLOOR(est) + CAST(FLOOR(est) AS BIGINT) % 2
+       END AS BIGINT)
+FROM (SELECT {est} AS est FROM (
+  SELECT zeros,
+         {alpha} * {float(m)!r} * {float(m)!r}
+         / (CAST(s // 4294967296 AS DOUBLE) * power(2.0, -32)
+            + CAST(s % 4294967296 AS DOUBLE) * power(2.0, -64)) AS raw
+  FROM (SELECT st + zeros * CAST(power(2.0, 64) AS HUGEINT) AS s, zeros
+        FROM (SELECT COALESCE(SUM(CAST(power(2.0, 64 - rho) AS HUGEINT)),
+                              CAST(0 AS HUGEINT)) AS st,
+                     CAST({m} - COUNT(*) AS HUGEINT) AS zeros
+              FROM (SELECT idx, MAX(LEAST(nz + 1, {cap})) AS rho
+                    FROM ({clz}) GROUP BY idx)))))
+"""
+
+
+def windowed_sketch_sweep_events_sql(
+        windows: tuple = (("2024-01-02", "2024-01-07"),
+                          ("2024-01-04", "2024-01-09"),
+                          ("2024-01-06", "2024-01-11")),
+        p: int = 14) -> str:
+    """Single-statement derivation of ``q_windowed_sketch_sweep_events``
+    — both window estimates themselves: the HLL distinct-transaction
+    count (poly conv-day keys, exact register rebuild per window —
+    valid because day-merge register max ≡ whole-window max) and the
+    merged top-k head (exact regime: capacity ≫ distinct itemsets so
+    per-day SpaceSaving retains everything and merge is exact
+    addition; head tie-break = count desc, itemset asc, matching
+    ``SpaceSaving.top``)."""
+    parts = []
+    for lo, hi in windows:
+        tw = (f"SELECT DISTINCT 'conv-' || CAST(user_id AS VARCHAR) || '@' "
+              f"|| strftime(ts, '%Y-%m-%d') AS txk, "
+              f"event_type || '=k' || regexp_extract(props, '[0-9]+') AS item "
+              f"FROM events WHERE ts >= TIMESTAMP '{lo}' "
+              f"AND ts < TIMESTAMP '{hi}'")
+        hll = _hll_estimate_scalar(
+            f"SELECT txk AS k FROM ({tw})", p=p)
+        top = f"""
+SELECT itemset, cnt FROM (
+  SELECT item AS itemset, COUNT(*) AS cnt FROM ({tw}) GROUP BY item
+  UNION ALL
+  SELECT a.item || '|' || b.item AS itemset, COUNT(*) AS cnt
+  FROM ({tw}) a JOIN ({tw}) b ON a.txk = b.txk AND a.item < b.item
+  GROUP BY a.item, b.item)
+ORDER BY cnt DESC, itemset LIMIT 1"""
+        parts.append(f"""
+SELECT '{lo}' AS window_start,
+       ({hll}) AS est_transactions,
+       (SELECT itemset FROM ({top})) AS top_itemset,
+       (SELECT CAST(cnt AS BIGINT) FROM ({top})) AS top_support_est""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY window_start"

@@ -221,11 +221,16 @@ def _itemset_hash_fn(itemset_hash: str):
 def _bucket_sketch_partials_fn(conv_col: str, max_k: int,
                                max_transaction_items: int | None, cms_width: int,
                                cms_depth: int, topk_capacity: int, hll_p: int,
-                               num_salts: int, itemset_hash: str = "sip"):
+                               num_salts: int, itemset_hash: str = "sip",
+                               conv_hash: str = "sip"):
     """Build the map_groups fn: per conv-bucket, expand itemsets and update
-    CMS + space-saving + an HLL of conv_ids; emit serialized partial blobs."""
+    CMS + space-saving + an HLL of conv_ids; emit serialized partial blobs.
+    ``conv_hash`` picks the HLL conv-key family — "poly" makes the
+    distinct-transaction ESTIMATE SQL-derivable (see
+    functions/sqlgen.windowed_sketch_sweep_events_sql)."""
     num_salts = max(1, num_salts)
     ihash = _itemset_hash_fn(itemset_hash)
+    chash = _itemset_hash_fn(conv_hash)
 
     def bucket_sketch_partials(group: pd.DataFrame) -> pd.DataFrame:
         partial = itemset_partials_in_bucket(
@@ -240,7 +245,7 @@ def _bucket_sketch_partials_fn(conv_col: str, max_k: int,
             counts = partial["count"].to_numpy()
             cms.update_hashed(hashes, counts)
             topk.update(partial["itemset"].tolist(), counts)
-        hll.update_hashed(hash_strings(group[conv_col].drop_duplicates()))
+        hll.update_hashed(chash(group[conv_col].drop_duplicates()))
         salt = int(group["bucket"].iloc[0]) % num_salts if len(group) else 0
         n_tx = group[conv_col].nunique()
         return pd.DataFrame(
@@ -352,7 +357,8 @@ def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int
                               topk_capacity: int = 4096, hll_p: int = 14,
                               two_phase: bool | None = None,
                               coded: bool = False,
-                              itemset_hash: str = "sip") -> dict:
+                              itemset_hash: str = "sip",
+                              conv_hash: str = "sip") -> dict:
     """Sketch-mode supports: returns
     ``{"cms": CountMinSketch, "topk": SpaceSaving, "hll": HyperLogLog,
        "n_transactions": int}``.
@@ -385,7 +391,8 @@ def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int
         fn = _bucket_sketch_partials_fn(conv_col, max_k, max_transaction_items,
                                         cms_width, cms_depth, topk_capacity,
                                         hll_p, num_salts,
-                                        itemset_hash=itemset_hash)
+                                        itemset_hash=itemset_hash,
+                                        conv_hash=conv_hash)
     partials = pairs.groupby("bucket").map_groups(fn, batch_format="pandas")
     # two-phase (salted) merge only pays off when the partial count is large
     # enough that a single reduce would bottleneck on one task

@@ -433,6 +433,46 @@ def q_windowed_sketch_sweep(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_windowed_sketch_sweep_events(sf_dir: str) -> pd.DataFrame:
+    """Events-derived TWIN of ``q_windowed_sketch_sweep`` (the pinned
+    sweep runs over a synthetic /tmp corpus the oracle views cannot
+    see): the same delta architecture — per-day partials built ONCE,
+    each window a blob merge — over the events transcripts, with BOTH
+    key hashes on the SQL-expressible poly family so the window
+    estimates (HLL distinct transactions, merged top-k head) carry a
+    DERIVED single-statement oracle
+    (``functions.sqlgen.windowed_sketch_sweep_events_sql``). At gate
+    scale the top-k never evicts (capacity ≫ distinct itemsets) and
+    the HLL estimator is merge-order exact, so both columns are pure
+    functions of the corpus."""
+    from datetime import datetime, timedelta
+
+    from ..state.incremental import DailySketchStore
+    from .analytics import _cached_event_transcripts_parquet
+
+    paths = _cached_event_transcripts_parquet(sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = DailySketchStore(f"/tmp/graft_windows/evsweep_{tag}",
+                             cms_width=WHC_CMS_WIDTH,
+                             topk_capacity=WHC_TOPK_CAP,
+                             itemset_hash="poly", conv_hash="poly")
+    start = datetime(2024, 1, 2)
+    store.ensure_days(paths, start, start + timedelta(days=10))
+    rows = []
+    for off in range(0, 6, 2):  # 3 overlapping 5-day windows, step 2
+        lo = start + timedelta(days=off)
+        hi = lo + timedelta(days=5)
+        m = store.window_sketches(lo, hi)
+        top = m["topk"].top(1)
+        rows.append({
+            "window_start": lo.strftime("%Y-%m-%d"),
+            "est_transactions": np.int64(round(m["hll"].estimate())),
+            "top_itemset": top[0][0],
+            "top_support_est": np.int64(top[0][1]),
+        })
+    return pd.DataFrame(rows)
+
+
 def _mine_obs_policy(sf_dir: str, n_rules: int):
     """Shared mine recipe for the policy-scoring queries: fixed window
     spec over the synthetic corpus, obs transactions + supports, top-N

@@ -50,15 +50,17 @@ class DailySketchStore:
     def __init__(self, store_dir: str, cms_width: int = 1 << 13,
                  cms_depth: int = 4, topk_capacity: int = 4096, hll_p: int = 14,
                  max_k: int = 2, max_transaction_items: int | None = 64,
-                 itemset_hash: str = "sip"):
+                 itemset_hash: str = "sip", conv_hash: str = "sip"):
         self.store_dir = store_dir
         self.params = {
             "cms_width": cms_width, "cms_depth": cms_depth,
             "topk_capacity": topk_capacity, "hll_p": hll_p, "max_k": max_k,
             "max_tx": max_transaction_items, "kind": "daily_itemset_sketches",
-            # part of the config hash: flipping the key-hash family must
-            # invalidate (not silently reuse) existing day checkpoints
+            # part of the config hash: flipping either key-hash family
+            # must invalidate (not silently reuse) existing day
+            # checkpoints
             "itemset_hash": itemset_hash,
+            "conv_hash": conv_hash,
         }
         self.cfg = config_hash(self.params)
 
@@ -76,6 +78,7 @@ class DailySketchStore:
             cms_width=self.params["cms_width"], cms_depth=self.params["cms_depth"],
             topk_capacity=self.params["topk_capacity"], hll_p=self.params["hll_p"],
             num_buckets=16, itemset_hash=self.params["itemset_hash"],
+            conv_hash=self.params["conv_hash"],
         )
         return {"cms": res["cms"], "topk": res["topk"], "hll": res["hll"]}
 

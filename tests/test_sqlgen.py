@@ -543,3 +543,40 @@ def test_kmeans_centroids_matches_derived_sql(ray_session, sf_dir):
         oracle[c] = oracle[c].astype(np.int64)
     pd.testing.assert_frame_equal(
         q_kmeans_centroids(sf_dir).astype(np.int64), oracle)
+
+
+def test_windowed_sketch_sweep_events_matches_derived_sql(ray_session,
+                                                          sf_dir):
+    """End-to-end: the events-derived sweep twin's window estimates
+    (HLL distinct transactions + merged top-k head) equal the SQL
+    derivation, and the exact-regime precondition (top-k capacity ≫
+    distinct window itemsets) actually holds."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.sketch_queries import (
+        WHC_TOPK_CAP, q_windowed_sketch_sweep_events)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet'")
+    n_sets = con.execute("""
+        WITH t AS (SELECT DISTINCT
+                       'conv-' || CAST(user_id AS VARCHAR) || '@'
+                           || strftime(ts, '%Y-%m-%d') AS txk,
+                       event_type || '=k'
+                           || regexp_extract(props, '[0-9]+') AS item
+                   FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-02'
+                     AND ts < TIMESTAMP '2024-01-11')
+        SELECT (SELECT COUNT(DISTINCT item) FROM t)
+             + (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT a.item, b.item AS ib FROM t a
+                   JOIN t b ON a.txk = b.txk AND a.item < b.item))
+    """).fetchone()[0]
+    assert n_sets <= WHC_TOPK_CAP
+    oracle = (con.execute(sqlgen.windowed_sketch_sweep_events_sql()).df()
+              .reset_index(drop=True))
+    for c in ("est_transactions", "top_support_est"):
+        oracle[c] = oracle[c].astype(np.int64)
+    pd.testing.assert_frame_equal(
+        q_windowed_sketch_sweep_events(sf_dir), oracle)
