@@ -28,9 +28,9 @@ SF_LEVELS = [("/root/testdata/sf0.001", 1000), ("/root/testdata/sf0.01", 10000)]
 # queries whose outputs are deterministic pure functions of the corpus
 # (fixed seeds, merge-order-independent sketch merges, integer outputs)
 GOLDEN = [
-    "simhash_dups",
+    # "simhash_dups" — retired: SimHash bands/pairs now fully DERIVED (poly token hashes, sqlgen.simhash_dups_sql)
     "knn_ivf",
-    "greedy_policy",
+    # "greedy_policy" — retired: full multi-round greedy cover now fully DERIVED (recursive bitstring CTE, sqlgen.greedy_policy_sql)
     "windowed_mining",
     # pinnable despite using the top-k sketch: at the window-corpus
     # scale the space-saving head is in its EXACT regime (capacity >
@@ -39,32 +39,32 @@ GOLDEN = [
     "windowed_sketch_sweep",
     # pure per-doc function of the text (seeded simhash + band split) —
     # cross-CPU hash-stable at 3 and 16 CPUs
-    "simhash_bands",
+    # "simhash_bands" — retired: now fully DERIVED (sqlgen.simhash_bands_sql)
     "multimodal_features",
     "policy_scores",
     "policy_scores_universe",
-    "hll_role_convs",
-    "crosscorpus_dedup",
+    # "hll_role_convs" — retired: HLL estimate now fully DERIVED (register rebuild + exact harmonic sum, sqlgen.hll_role_convs_sql)
+    # "crosscorpus_dedup" — retired: Bloom-mode counts now fully DERIVED, FPs included (sqlgen.crosscorpus_dedup_sql)
     # theta/KMV exact-regime audience overlaps: trim-merge is exactly
     # merge-order independent (bit-identical property test), validated
     # at 3/8/16 CPUs at both sf levels
-    "rule_audience_overlap",
+    # "rule_audience_overlap" — retired: exact-regime Theta overlaps now fully DERIVED (sqlgen.rule_audience_overlap_sql)
     # merge-order-EXACT sketch twins (r3 second half): DDSketch buckets
     # are integer counts (per-bucket addition), count-sketch cells are
     # int64 sums — both bit-identical across partition splits, outputs
     # integer-folded; bounds vs exact asserted in test_sketches
-    "value_quantiles_dd",
-    "type_value_quantiles_dd",
+    # "value_quantiles_dd" — retired: DDSketch quantile estimates now fully DERIVED (sqlgen.value_quantiles_dd_sql)
+    # "type_value_quantiles_dd" — retired: now fully DERIVED (sqlgen.type_value_quantiles_dd_sql)
     # f2_moment_sketch was pinned through round 4 and is now fully
     # DERIVED single-statement SQL (poly key hash + signed cell table
     # + odd-depth median) — functions/sqlgen.f2_moment_sketch_sql
     # distributed k-means: every step integral (bp folds, int64 sums,
     # integer argmin with lowest-id ties), so the result is partition-
     # independent — validated at 4/8/32 CPUs like every pin
-    "kmeans_centroids",
+    # "kmeans_centroids" — retired: all five Lloyd iterations now fully DERIVED (recursive centroid CTE, sqlgen.kmeans_centroids_sql)
     # weighted A-ES sample: per-row keys are pure hash functions, top-k
     # merge deterministic — cross-CPU validated like every pin
-    "weighted_sample",
+    # "weighted_sample" — retired: A-ES selection now fully DERIVED (shared-libm ln keys, sqlgen.weighted_sample_sql)
     # range_count_cms / join_size_cms were pinned through round 4 and
     # are now fully DERIVED single-statement SQL (the estimate itself,
     # not a twin): functions/sqlgen.py restates SplitMix64 + the CMS
@@ -86,7 +86,7 @@ GOLDEN = [
     # input confidences are pure integers of the supports — cross-CPU
     # validated; α-bound vs the DERIVED exact twin
     # (rule_conf_quantiles_exact) asserted in pytest
-    "rule_conf_quantiles",
+    # "rule_conf_quantiles" — retired: now fully DERIVED (sqlgen.rule_conf_quantiles_sql)
     # NOT pinnable: pfa_features (gram-matrix float partials depend on
     # batch boundaries, so results shift with num_cpus; pytest checks it
     # against direct numpy instead), sketch_topk/value_quantiles
