@@ -764,18 +764,21 @@ class TestByteHashKernels:
 
 
 class TestCrosscorpusBloomEnvelope:
-    """The Bloom-mode cross-corpus dedup pin (golden_oracles) is a
-    regression pin, not a derivation — this is the derived ENVELOPE
-    (VERDICT r3 #5): per-doc, Bloom membership must be a superset of
+    """The Bloom-mode cross-corpus counts are now a full SQL derivation
+    (sqlgen.crosscorpus_dedup_sql) — this keeps the independent
+    ENVELOPE property: per-doc, Bloom membership must be a superset of
     exact membership (no under-drop, ever — a Bloom has no false
     negatives), and the over-drop count must sit inside the false-
     positive budget the filter was sized for (fpr=1e-3, with wide
-    deterministic headroom)."""
+    deterministic headroom). Probes hash with the SAME poly family the
+    engine keys on (a mismatched family would make both assertions
+    vacuous)."""
 
     def test_bloom_superset_and_fp_budget(self):
         import ray
 
-        from associationabacminer_ray.functions.hashing import hash_strings
+        from associationabacminer_ray.functions.hashing import (
+            hash_strings_poly)
         from associationabacminer_ray.pipelines.text_pipelines import (
             _docs,
             _ref_corpus_hashes,
@@ -798,7 +801,7 @@ class TestCrosscorpusBloomEnvelope:
         n_over = 0
         for b in _docs(SF, ["doc_id", "text"]).iter_batches(
                 batch_format="pandas"):
-            h = hash_strings(b["text"])
+            h = hash_strings_poly(b["text"])
             seen_exact = np.isin(h, exact)
             seen_bloom = bloom.contains_hashed(h)
             # no under-drop: exact membership implies Bloom membership
