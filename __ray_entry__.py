@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merges are order-sensitive (rows-only here, bounds in pytest);
         # the deterministic ones carry pinned golden oracles (r3)
         "sketch_topk_itemsets": S.q_sketch_topk_itemsets,
+        "hll_role_union": S.q_hll_role_union,
         "hll_role_convs": S.q_hll_role_convs,
         "audience_overlap": S.q_audience_overlap,
         "rule_audience_overlap": S.q_rule_audience_overlap,
@@ -330,7 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_mining", "windowed_mining_events",
         "windowed_sketch_sweep", "windowed_sketch_sweep_events",
         "policy_scores", "policy_scores_events", "policy_scores_universe",
-        "hll_role_convs",
+        "hll_role_convs", "hll_role_union",
         "crosscorpus_dedup", "rule_audience_overlap", "simhash_bands",
         "simhash_dups", "knn_ivf", "multimodal_features",
         "value_quantiles_dd", "type_value_quantiles_dd",
@@ -2774,6 +2775,9 @@ def oracle_sql() -> dict[str, str]:
         # HUGEINT harmonic sum, shared-libm linear counting, half-even
         # rounding (functions/sqlgen.py; replaces the former pin)
         "hll_role_convs": _sqlgen.hll_role_convs_sql(),
+        # DERIVED: HLL set algebra — pair-union register rebuild +
+        # inclusion-exclusion intersection, both estimates exact
+        "hll_role_union": _sqlgen.hll_role_union_sql(),
         # DERIVED (not pinned): A-ES weighted sampling — the selection
         # itself (splitmix key, shared-libm ln, top-k) rebuilt from raw
         # events (functions/sqlgen.py; replaces the former pin)

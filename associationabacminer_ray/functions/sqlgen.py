@@ -1053,3 +1053,79 @@ SELECT '{lo}' AS window_start,
        (SELECT itemset FROM ({top})) AS top_itemset,
        (SELECT CAST(cnt AS BIGINT) FROM ({top})) AS top_support_est""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY window_start"
+
+
+def _hll_grouped_est_select(keys_sql: str, group_cols: tuple[str, ...],
+                            p: int = 14) -> str:
+    """A SELECT computing ``group_cols + (est DOUBLE)`` — the RAW HLL
+    estimate (pre-rounding) per group over ``keys_sql`` (must yield
+    ``group_cols + (k VARCHAR)``, keys may repeat). Same machinery as
+    ``hll_role_convs_sql``; factored so sketch-algebra oracles can
+    combine raw estimates before rounding."""
+    m = 1 << p
+    cap = 64 - p + 1
+    assert cap <= 63
+    alpha = (f"(0.7213 / (1.0 + 1.079 / {float(m)!r}))" if m > 64 else
+             {16: "0.673", 32: "0.697", 64: "0.709"}[m])
+    grp = ", ".join(group_cols)
+    hashed = polyhash_select(
+        f"SELECT DISTINCT {grp}, k FROM ({keys_sql})", "k", "h",
+        group_cols)
+    pieces = (f"SELECT {grp}, CAST(h >> {64 - p} AS BIGINT) AS idx, "
+              f"{_mulmod64('h', m)} AS rest FROM ({hashed})")
+    clz = clz64_select(pieces, "rest", "nz", group_cols + ("idx",))
+    est = (f"CASE WHEN raw <= {2.5 * m!r} AND zeros > 0 "
+           f"THEN {float(m)!r} * ln({float(m)!r} / zeros) ELSE raw END")
+    return f"""
+SELECT {grp}, {est} AS est FROM (
+  SELECT {grp}, zeros,
+         {alpha} * {float(m)!r} * {float(m)!r}
+         / (CAST(s // 4294967296 AS DOUBLE) * power(2.0, -32)
+            + CAST(s % 4294967296 AS DOUBLE) * power(2.0, -64)) AS raw
+  FROM (SELECT {grp}, st + zeros * CAST(power(2.0, 64) AS HUGEINT) AS s,
+               zeros
+        FROM (SELECT {grp},
+                     SUM(CAST(power(2.0, 64 - rho) AS HUGEINT)) AS st,
+                     CAST({m} - COUNT(*) AS HUGEINT) AS zeros
+              FROM (SELECT {grp}, idx, MAX(LEAST(nz + 1, {cap})) AS rho
+                    FROM ({clz}) GROUP BY ALL)
+              GROUP BY ALL)))"""
+
+
+_HALF_EVEN = ("CAST(CASE WHEN {x} - FLOOR({x}) > 0.5 THEN FLOOR({x}) + 1 "
+              "WHEN {x} - FLOOR({x}) < 0.5 THEN FLOOR({x}) "
+              "ELSE FLOOR({x}) + CAST(FLOOR({x}) AS BIGINT) % 2 "
+              "END AS BIGINT)")
+
+
+def hll_role_union_sql(p: int = 14) -> str:
+    """Single-statement derivation of ``q_hll_role_union`` — HLL SET
+    ALGEBRA, both estimates themselves: the pair-union estimate equals
+    the estimate over registers rebuilt from the UNION of the two
+    roles' conv-key sets (register max of merges ≡ merge of register
+    maxes), and the intersection is the engine's exact op sequence
+    GREATEST(0, est_a + est_b − est_union), both half-even rounded."""
+    keys = ("SELECT DISTINCT event_type AS role, "
+            "'conv-' || CAST(user_id AS VARCHAR) AS k FROM events")
+    per_role = _hll_grouped_est_select(keys, ("role",), p=p)
+    pair_keys = ("SELECT p.ra AS ra, p.rb AS rb, t.k AS k "
+                 "FROM (SELECT a.role AS ra, b.role AS rb "
+                 "      FROM (SELECT DISTINCT event_type AS role "
+                 "            FROM events) a "
+                 "      JOIN (SELECT DISTINCT event_type AS role "
+                 "            FROM events) b ON a.role < b.role) p "
+                 f"JOIN ({keys}) t ON t.role = p.ra OR t.role = p.rb")
+    per_pair = _hll_grouped_est_select(pair_keys, ("ra", "rb"), p=p)
+    r_u = _HALF_EVEN.format(x="u.est")
+    r_i = _HALF_EVEN.format(
+        x="GREATEST(CAST(0.0 AS DOUBLE), ea.est + eb.est - u.est)")
+    return f"""
+WITH per_role AS ({per_role}),
+per_pair AS ({per_pair})
+SELECT u.ra AS role_a, u.rb AS role_b,
+       {r_u} AS est_union,
+       {r_i} AS est_intersection
+FROM per_pair u
+JOIN per_role ea ON ea.role = u.ra
+JOIN per_role eb ON eb.role = u.rb
+"""

@@ -68,6 +68,52 @@ def q_hll_role_convs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_hll_role_union(sf_dir: str) -> pd.DataFrame:
+    """HLL SET ALGEBRA across roles (the north rule's sketch-algebra
+    face on the cardinality side): per-role conv HLLs built in ONE
+    grouped shuffle (KB registers per role, never rows), then every
+    role pair's union estimate from the register element-wise max and
+    its intersection by inclusion-exclusion (clamped at 0 — the
+    documented error caveat of ``hll_intersection_estimate``). Keys on
+    the poly hash and the merge-order-exact estimator, so BOTH
+    estimates are reproduced bit-for-bit by the DERIVED oracle
+    ``functions.sqlgen.hll_role_union_sql`` (per-pair register rebuild
+    = max over the union of the two roles' key sets — register max of
+    merges ≡ merge of register maxes)."""
+    from ..functions.hashing import hash_strings_poly
+    from ..sketches import HyperLogLog
+
+    ds = transcripts_from_events(f"{sf_dir}/events.parquet")
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.select(["role"]).append_column(
+            "conv_hash", pa.array(hash_strings_poly(t["conv_id"])))
+
+    blobs = (ds.map_batches(add_hash, batch_format="pyarrow")
+             .groupby("role")
+             .aggregate(HllAgg("conv_hash", emit_blob=True, alias="hll"))
+             .to_pandas())
+    from ..sketches.base import Sketch
+
+    sketches = {r: Sketch.from_bytes(bytes(b))
+                for r, b in zip(blobs["role"], blobs["hll"])}
+    rows = []
+    for ra in sorted(sketches):
+        for rb in sorted(sketches):
+            if not ra < rb:
+                continue
+            ea = sketches[ra].estimate()
+            eb = sketches[rb].estimate()
+            eu = sketches[ra].copy().merge(sketches[rb]).estimate()
+            inter = max(0.0, ea + eb - eu)
+            rows.append({
+                "role_a": ra, "role_b": rb,
+                "est_union": np.int64(round(eu)),
+                "est_intersection": np.int64(round(inter)),
+            })
+    return pd.DataFrame(rows)
+
+
 def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Distribution of events.value via both quantile sketches (the
     means-only ScoreAggregator upgraded per the north rule)."""

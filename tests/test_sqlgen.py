@@ -580,3 +580,25 @@ def test_windowed_sketch_sweep_events_matches_derived_sql(ray_session,
         oracle[c] = oracle[c].astype(np.int64)
     pd.testing.assert_frame_equal(
         q_windowed_sketch_sweep_events(sf_dir), oracle)
+
+
+def test_hll_role_union_matches_derived_sql(ray_session, sf_dir):
+    """End-to-end: HLL set algebra (pair-union register merge +
+    inclusion-exclusion intersection) equals the SQL derivation that
+    rebuilds each pair's registers from the union of the two roles'
+    key sets."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.sketch_queries import (
+        q_hll_role_union)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet'")
+    oracle = (con.execute(sqlgen.hll_role_union_sql()).df()
+              .sort_values(["role_a", "role_b"]).reset_index(drop=True))
+    for c in ("est_union", "est_intersection"):
+        oracle[c] = oracle[c].astype(np.int64)
+    mine = (q_hll_role_union(sf_dir)
+            .sort_values(["role_a", "role_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(mine, oracle)
