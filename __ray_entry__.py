@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the deterministic ones carry pinned golden oracles (r3)
         "sketch_topk_itemsets": S.q_sketch_topk_itemsets,
         "hll_role_union": S.q_hll_role_union,
+        "weighted_sample_by_type": A.q_weighted_sample_by_type,
         "hll_role_convs": S.q_hll_role_convs,
         "audience_overlap": S.q_audience_overlap,
         "rule_audience_overlap": S.q_rule_audience_overlap,
@@ -331,7 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_mining", "windowed_mining_events",
         "windowed_sketch_sweep", "windowed_sketch_sweep_events",
         "policy_scores", "policy_scores_events", "policy_scores_universe",
-        "hll_role_convs", "hll_role_union",
+        "hll_role_convs", "hll_role_union", "weighted_sample_by_type",
         "crosscorpus_dedup", "rule_audience_overlap", "simhash_bands",
         "simhash_dups", "knn_ivf", "multimodal_features",
         "value_quantiles_dd", "type_value_quantiles_dd",
@@ -2778,6 +2779,9 @@ def oracle_sql() -> dict[str, str]:
         # DERIVED: HLL set algebra — pair-union register rebuild +
         # inclusion-exclusion intersection, both estimates exact
         "hll_role_union": _sqlgen.hll_role_union_sql(),
+        # DERIVED: stratified A-ES — per-type ROW_NUMBER over the
+        # identical shared-libm float key
+        "weighted_sample_by_type": _sqlgen.weighted_sample_by_type_sql(),
         # DERIVED (not pinned): A-ES weighted sampling — the selection
         # itself (splitmix key, shared-libm ln, top-k) rebuilt from raw
         # events (functions/sqlgen.py; replaces the former pin)

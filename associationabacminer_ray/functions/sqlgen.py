@@ -1129,3 +1129,34 @@ FROM per_pair u
 JOIN per_role ea ON ea.role = u.ra
 JOIN per_role eb ON eb.role = u.rb
 """
+
+
+def weighted_sample_by_type_sql(k: int = 20) -> str:
+    """Single-statement derivation of ``q_weighted_sample_by_type`` —
+    the stratified A-ES selection: identical per-row key as
+    ``weighted_sample_sql`` (splitmix u, shared-libm ln, weight_bp
+    denominator), ranked per event_type with the event_id tiebreak."""
+    f = (f"SELECT event_id, event_type, "
+         f"CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS weight_bp, "
+         f"CAST(event_id AS UBIGINT) AS x FROM events "
+         f"WHERE event_id IS NOT NULL AND event_type IS NOT NULL "
+         f"AND value IS NOT NULL AND FLOOR(value * 10000 + 0.5) > 0")
+    hashed = splitmix64_select(f, "x", "h",
+                               ("event_id", "event_type", "weight_bp"))
+    return f"""
+WITH keyed AS (
+  SELECT event_id, event_type, weight_bp,
+         ln((CAST(h AS DOUBLE) + 1.0) / 18446744073709551616.0)
+         / (CAST(weight_bp AS DOUBLE) / 10000.0) AS key
+  FROM ({hashed})),
+ranked AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY key DESC, event_id) AS BIGINT)
+             AS rank,
+         event_id, weight_bp
+  FROM keyed)
+SELECT event_type, rank, event_id, weight_bp
+FROM ranked WHERE rank <= {k}
+ORDER BY event_type, rank
+"""

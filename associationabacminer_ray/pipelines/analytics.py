@@ -500,6 +500,61 @@ def q_top_events(sf_dir: str) -> pd.DataFrame:
 WEIGHTED_SAMPLE_K = 20
 
 
+def weighted_sample_by_type(sf_dir: str,
+                            k: int = WEIGHTED_SAMPLE_K) -> pd.DataFrame:
+    """STRATIFIED A-ES weighted sampling: an independent
+    Efraimidis–Spirakis top-k per event_type (the per-source
+    importance-sampling shape mixture building needs — each stratum's
+    inclusion probability stays proportional to weight WITHIN the
+    stratum). Same distributed shape as ``weighted_sample_events``
+    (per-batch padded np.log prune per group, exact shared-libm re-key
+    on the bounded candidates), same derived single-statement oracle
+    (``functions.sqlgen.weighted_sample_by_type_sql`` — ROW_NUMBER per
+    stratum over the identical float key)."""
+    pad = 32
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def per_batch(t: pa.Table) -> pd.DataFrame:
+        from ..functions.hashing import hash_ints
+        from .temporal import _drop_null, _fold_bp
+        t = _drop_null(t)
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        types = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        w_bp = _fold_bp(t["value"])
+        ok = w_bp > 0
+        ids, types, w_bp = ids[ok], types[ok], w_bp[ok]
+        u = (hash_ints(ids).astype(np.float64) + 1.0) / 2.0 ** 64
+        key = np.log(u) / (w_bp.astype(np.float64) / 10000.0)
+        df = pd.DataFrame({"event_type": types, "event_id": ids,
+                           "weight_bp": w_bp, "key": key})
+        return (df.sort_values(["event_type", "key", "event_id"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+                .groupby("event_type", sort=False).head(k + pad))
+
+    cand = (ev.map_batches(per_batch, batch_format="pyarrow")
+            .to_pandas())  # groups×blocks×(k+pad) — bounded small side
+    from ..functions.hashing import hash_ints as _hi
+    ids = cand["event_id"].to_numpy(np.int64)
+    u = (_hi(ids).astype(np.float64) + 1.0) / 2.0 ** 64
+    w = cand["weight_bp"].to_numpy(np.int64).astype(np.float64) / 10000.0
+    cand = cand.assign(key=np.array(
+        [math.log(x) for x in u], np.float64) / w)
+    cand = (cand.sort_values(["event_type", "key", "event_id"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+            .groupby("event_type", sort=False).head(k)
+            .reset_index(drop=True))
+    cand["rank"] = cand.groupby("event_type", sort=False).cumcount() + 1
+    return pd.DataFrame({
+        "event_type": cand["event_type"].to_numpy(object),
+        "rank": cand["rank"].to_numpy(np.int64),
+        "event_id": cand["event_id"].to_numpy(np.int64),
+        "weight_bp": cand["weight_bp"].to_numpy(np.int64),
+    })
+
+
 def weighted_sample_events(sf_dir: str,
                            k: int = WEIGHTED_SAMPLE_K) -> pd.DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis
@@ -564,3 +619,7 @@ def weighted_sample_events(sf_dir: str,
 
 def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
     return weighted_sample_events(sf_dir)
+
+
+def q_weighted_sample_by_type(sf_dir: str) -> pd.DataFrame:
+    return weighted_sample_by_type(sf_dir)

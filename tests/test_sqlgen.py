@@ -602,3 +602,20 @@ def test_hll_role_union_matches_derived_sql(ray_session, sf_dir):
     mine = (q_hll_role_union(sf_dir)
             .sort_values(["role_a", "role_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(mine, oracle)
+
+
+def test_weighted_sample_by_type_matches_derived_sql(ray_session, sf_dir):
+    """End-to-end: the stratified A-ES sample equals the per-type
+    ROW_NUMBER SQL derivation row-for-row."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.analytics import (
+        weighted_sample_by_type)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{sf_dir}/events.parquet'")
+    oracle = con.execute(sqlgen.weighted_sample_by_type_sql()).df()
+    for c in ("rank", "event_id", "weight_bp"):
+        oracle[c] = oracle[c].astype(np.int64)
+    pd.testing.assert_frame_equal(weighted_sample_by_type(sf_dir), oracle)
