@@ -619,3 +619,85 @@ def test_weighted_sample_by_type_matches_derived_sql(ray_session, sf_dir):
     for c in ("rank", "event_id", "weight_bp"):
         oracle[c] = oracle[c].astype(np.int64)
     pd.testing.assert_frame_equal(weighted_sample_by_type(sf_dir), oracle)
+
+
+def _write_random_events(tmp_path, seed: int) -> str:
+    """A small random events corpus (same column contract as the
+    driver's) for cross-validating the recursive-CTE oracles beyond
+    the fixed testdata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(120, 400))
+    users = rng.integers(0, 12, size=n)
+    types = np.array(["click", "view", "error"])[rng.integers(0, 3, size=n)]
+    props = np.array([f"k{int(v)}" for v in rng.integers(0, 9, size=n)],
+                     dtype=object)
+    ts = (np.datetime64("2024-01-01") +
+          rng.integers(0, 20 * 86400, size=n).astype("timedelta64[s]"))
+    value = rng.integers(1, 500, size=n) / 7.0
+    d = tmp_path / f"corpus_{seed}"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": users.astype(np.int64),
+        "event_type": types,
+        "props": props,
+        "value": value.astype(np.float64),
+        "ts": pa.array(ts),
+    }), str(d / "events.parquet"))
+    return str(d)
+
+
+def test_greedy_policy_sql_property_random_corpora(ray_session, tmp_path):
+    """The recursive bitstring greedy-cover derivation equals the
+    distributed engine on RANDOM corpora (not just the fixed
+    testdata) — rounds, tie-breaks, coverage stop, terminal newly=0."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.sketch_queries import (
+        q_greedy_policy)
+
+    for seed in (3, 11, 29):
+        sf = _write_random_events(tmp_path, seed)
+        got = q_greedy_policy(sf)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS "
+                    f"SELECT * FROM '{sf}/events.parquet'")
+        want = con.execute(sqlgen.greedy_policy_sql()).df()
+        for c in ("round", "support_ab", "covered_this_round",
+                  "uncovered_before", "cscore_bp"):
+            want[c] = want[c].astype(np.int64)
+        pd.testing.assert_frame_equal(got, want), seed
+
+
+def test_hll_and_weighted_sample_sql_property_random_corpora(
+        ray_session, tmp_path):
+    """The HLL-estimate and A-ES derivations equal the engine on
+    random corpora (covers register collisions and key-order patterns
+    the fixed testdata can't)."""
+    import pandas as pd
+
+    from associationabacminer_ray.pipelines.analytics import (
+        weighted_sample_events)
+    from associationabacminer_ray.pipelines.sketch_queries import (
+        q_hll_role_convs)
+
+    for seed in (5, 17):
+        sf = _write_random_events(tmp_path, seed)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS "
+                    f"SELECT * FROM '{sf}/events.parquet'")
+        got = (q_hll_role_convs(sf).sort_values("role")
+               .reset_index(drop=True))
+        want = (con.execute(sqlgen.hll_role_convs_sql()).df()
+                .sort_values("role").reset_index(drop=True))
+        want["est_distinct_convs"] = want["est_distinct_convs"].astype(
+            np.int64)
+        pd.testing.assert_frame_equal(got, want), seed
+        got = weighted_sample_events(sf)
+        want = con.execute(sqlgen.weighted_sample_sql()).df()
+        for c in want.columns:
+            want[c] = want[c].astype(np.int64)
+        pd.testing.assert_frame_equal(got, want), seed
