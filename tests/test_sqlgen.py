@@ -701,3 +701,35 @@ def test_hll_and_weighted_sample_sql_property_random_corpora(
         for c in want.columns:
             want[c] = want[c].astype(np.int64)
         pd.testing.assert_frame_equal(got, want), seed
+
+
+def test_kmeans_sql_property_random_corpora(ray_session, tmp_path):
+    """The recursive-CTE k-means derivation equals the engine on random
+    embedding tables (random seeds exercise empty clusters, argmin
+    ties, and bp-fold boundaries the fixed corpus may not)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from associationabacminer_ray.pipelines.cluster import (
+        q_kmeans_centroids)
+
+    for seed in (7, 23):
+        rng = np.random.default_rng(seed)
+        n, d = int(rng.integers(40, 120)), 8
+        emb = rng.normal(size=(n, d)).astype(np.float64)
+        dd = tmp_path / f"emb_{seed}"
+        dd.mkdir()
+        pq.write_table(pa.table({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(list(emb)),
+            "label": rng.integers(0, 3, size=n).astype(np.int64),
+        }), str(dd / "embeddings.parquet"))
+        got = q_kmeans_centroids(str(dd))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS "
+                    f"SELECT * FROM '{dd}/embeddings.parquet'")
+        want = con.execute(sqlgen.kmeans_centroids_sql()).df()
+        for c in want.columns:
+            want[c] = want[c].astype(np.int64)
+        pd.testing.assert_frame_equal(got.astype(np.int64), want), seed
