@@ -215,6 +215,9 @@ def run_bench() -> dict:
         timings["curation_docs_per_sec"] = round(n_docs_cur / dt, 1)
 
     probe_min, probe_med = _bandwidth_probe()
+    cpu_probe = _cpu_probe()
+    nproc_visible = os.cpu_count() or 0
+    sched_cpus = _sched_visible_cpus()
     # Probe-normalized headline: these pipelines are memory-bound
     # (BASELINE.md §4), so wall time scales ~1/bandwidth INSIDE the
     # validated 7-15 GB/s band observed across rounds. Outside that
@@ -224,7 +227,14 @@ def run_bench() -> dict:
     # record self-describes with probe_out_of_band so a degraded-host
     # run can never over-credit the normalized number.
     band_lo, band_hi = 7.0, 15.0
-    out_of_band = not (band_lo <= probe_med <= band_hi)
+    # a CPU-starved host (cgroup quota, heavy co-tenant) can still show
+    # an in-band BANDWIDTH probe once files are page-cached — flag the
+    # record degraded when EITHER probe is off, so a 1-core gate run
+    # can never pass as healthy (observed: bw 7.3 GB/s with
+    # sched-visible CPUs = 1)
+    out_of_band = (not (band_lo <= probe_med <= band_hi)
+                   or cpu_probe < CPU_PROBE_MIN_MOPS
+                   or sched_cpus < min(num_cpus, 4))
     probe_clamped = min(max(probe_med, band_lo), band_hi)
     return {
         "metric": "itemset_sketch_partitioned_sec",
@@ -241,10 +251,40 @@ def run_bench() -> dict:
         # ratios within a record, and use this probe across records
         "bw_probe_gbs": probe_med,
         "bw_probe_min_gbs": probe_min,
+        "cpu_probe_mops": cpu_probe,
+        "nproc_visible": nproc_visible,
+        "sched_visible_cpus": sched_cpus,
         "probe_out_of_band": out_of_band,
         "value_probe_normalized_12gbs": round(
             headline_sec * probe_clamped / 12.0, 3),
     }
+
+
+CPU_PROBE_MIN_MOPS = 100.0  # this VM measures ~300 Mops healthy
+
+
+def _cpu_probe() -> float:
+    """Single-thread integer throughput (Mops) — catches CPU-quota
+    starvation the bandwidth probe misses once files are page-cached."""
+    import numpy as np
+
+    a = np.arange(2_000_000, dtype=np.int64)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ((a * 2654435761) ^ (a >> 13)).sum()
+        dt = time.perf_counter() - t0
+        best = max(best, 4_000_000 / dt / 1e6)  # ~2 ops/elem x 2M
+    return round(best, 1)
+
+
+def _sched_visible_cpus() -> int:
+    """CPUs the scheduler actually grants (cgroup quota / affinity),
+    as opposed to the hardware count in /proc/cpuinfo."""
+    try:
+        return len(os.sched_getaffinity(0))
+    except AttributeError:  # pragma: no cover - non-Linux
+        return os.cpu_count() or 1
 
 
 def _bandwidth_probe(samples: int = 3) -> tuple[float, float]:
