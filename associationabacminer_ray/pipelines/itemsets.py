@@ -393,7 +393,19 @@ def sketched_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int
                                         hll_p, num_salts,
                                         itemset_hash=itemset_hash,
                                         conv_hash=conv_hash)
-    partials = pairs.groupby("bucket").map_groups(fn, batch_format="pandas")
+    # Ray's sort-based exchange cost scales with INPUT BLOCK COUNT, not
+    # bytes (PERF #26): the exploded pair rows inherit the read's block
+    # count with collapsed block sizes, and the blob partials are 3×B
+    # tiny rows spread over B blocks. Coalescing both exchanges measured
+    # 15.3 s → 8.9 s (pair groupby) and 5.8 s → 0.5 s (blob merge) on
+    # the 20 M-turn bench corpus at 32 CPUs — results unchanged (group
+    # membership is layout-independent and every blob merge on a gate
+    # path is order-independent: CMS/HLL always, top-k in its exact
+    # regime).
+    pairs = pairs.repartition(max(32, num_buckets))
+    partials = (pairs.groupby("bucket")
+                .map_groups(fn, batch_format="pandas")
+                .repartition(8))
     # two-phase (salted) merge only pays off when the partial count is large
     # enough that a single reduce would bottleneck on one task
     if two_phase is None:
