@@ -404,61 +404,18 @@ def hll_role_convs_sql(p: int = 14) -> str:
     the SQL-expressible ``hash_strings_poly`` the query keys on;
     register index = top p hash bits, rho = min(clz(h<<p)+1, 64−p+1)),
     take per-(role, index) MAX, then evaluate the Flajolet estimator
-    exactly the way ``sketches/hll.py`` does: harmonic sum as the exact
-    HUGEINT S = Σ 2^(64−rho) (untouched registers contribute 2⁶⁴ each),
-    converted to DOUBLE via the 32-bit-aligned halves (each cast exact;
-    DuckDB's whole-HUGEINT cast is double-rounded), raw =
-    α·m²/ssum, linear counting m·ln(m/zeros) when raw ≤ 2.5m and
-    zeros > 0 (DuckDB ln ≡ math.log — pytest-asserted in
-    test_sqlgen.py), finalized int(round(·)) with explicit half-even
-    rounding to match Python ``round``."""
-    m = 1 << p
-    cap = 64 - p + 1
-    assert cap <= 63, "clz ladder caps at 63; need p >= 2"
-    if m == 16:
-        alpha = "0.673"
-    elif m == 32:
-        alpha = "0.697"
-    elif m == 64:
-        alpha = "0.709"
-    else:
-        alpha = f"(0.7213 / (1.0 + 1.079 / {float(m)!r}))"
-    conv = ("SELECT DISTINCT event_type AS role, "
-            "'conv-' || CAST(user_id AS VARCHAR) AS conv_id FROM events")
-    hashed = polyhash_select(conv, "conv_id", "h", ("role",))
-    pieces = (f"SELECT role, CAST(h >> {64 - p} AS BIGINT) AS idx, "
-              f"{_mulmod64('h', m)} AS rest FROM ({hashed})")
-    clz = clz64_select(pieces, "rest", "nz", ("role", "idx"))
-    est = (f"CASE WHEN raw <= {2.5 * m!r} AND zeros > 0 "
-           f"THEN {float(m)!r} * ln({float(m)!r} / zeros) ELSE raw END")
+    exactly the way ``sketches/hll.py`` does (see
+    ``_hll_grouped_est_select`` — exact HUGEINT harmonic sum,
+    32-bit-split double conversion, shared-libm linear counting),
+    finalized int(round(·)) with explicit half-even rounding to match
+    Python ``round``."""
+    keys = ("SELECT event_type AS role, "
+            "'conv-' || CAST(user_id AS VARCHAR) AS k FROM events")
+    est = _hll_grouped_est_select(keys, ("role",), p=p)
     return f"""
-WITH regs AS (
-  SELECT role, idx, MAX(LEAST(nz + 1, {cap})) AS rho
-  FROM ({clz}) GROUP BY role, idx),
-sums AS (
-  SELECT role,
-         SUM(CAST(power(2.0, 64 - rho) AS HUGEINT)) AS st,
-         CAST({m} - COUNT(*) AS HUGEINT) AS zeros
-  FROM regs GROUP BY role),
-harm AS (
-  SELECT role, zeros,
-         st + zeros * CAST(power(2.0, 64) AS HUGEINT) AS s
-  FROM sums),
-raws AS (
-  SELECT role, zeros,
-         {alpha} * {float(m)!r} * {float(m)!r}
-         / (CAST(s // 4294967296 AS DOUBLE) * power(2.0, -32)
-            + CAST(s % 4294967296 AS DOUBLE) * power(2.0, -64)) AS raw
-  FROM harm),
-ests AS (SELECT role, {est} AS est FROM raws)
-SELECT role,
-       CAST(CASE WHEN est - FLOOR(est) > 0.5 THEN FLOOR(est) + 1
-                 WHEN est - FLOOR(est) < 0.5 THEN FLOOR(est)
-                 ELSE FLOOR(est) + CAST(FLOOR(est) AS BIGINT) % 2
-            END AS BIGINT) AS est_distinct_convs
-FROM ests
+SELECT role, {_HALF_EVEN.format(x="est")} AS est_distinct_convs
+FROM ({est})
 """
-
 
 def weighted_sample_sql(k: int = 20) -> str:
     """Single-statement derivation of ``q_weighted_sample`` — the
