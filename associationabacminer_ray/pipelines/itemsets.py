@@ -172,6 +172,10 @@ def exact_itemset_supports(ds: Dataset, conv_col: str = "conv_id", max_k: int = 
                                    num_buckets=num_buckets)
         min_support = max(min_support, int(np.ceil(min_support_frac * n_tx)))
     pairs = item_pairs(ds, conv_col=conv_col, num_buckets=num_buckets)
+    # the exploded pair rows inherit the read's block count with
+    # collapsed sizes; Ray's sort exchange scales with block count
+    # (PERF #26/#29) — coalesce before the bucket groupby
+    pairs = pairs.repartition(max(32, num_buckets))
     tx_key = TX_COUNT_KEY if include_tx_count else None
     partials = pairs.groupby("bucket").map_groups(
         lambda g: itemset_partials_in_bucket(
