@@ -257,10 +257,17 @@ def above_median_docs(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
         return (df.groupby(["source", "n_chars"], sort=False)
                 .size().rename("n").reset_index())
 
+    from ray.data.aggregate import Sum
+
+    # per-batch partials merged by Ray's grouped aggregate, so the
+    # driver sees at most |sources x length domain| rows, never
+    # |blocks| x domain (the q_balanced_shards pattern)
     cells = (docs.map_batches(hist_partial, batch_format="pyarrow")
+             .groupby(["source", "n_chars"])
+             .aggregate(Sum("n", alias_name="n"))
              .to_pandas()
-             .groupby(["source", "n_chars"], sort=True)["n"].sum()
-             .reset_index())
+             .sort_values(["source", "n_chars"])
+             .reset_index(drop=True))
     pct = np.array([50], np.int64)
     rows = []
     for src, grp in cells.groupby("source", sort=True):

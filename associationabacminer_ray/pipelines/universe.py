@@ -208,8 +208,14 @@ def _event_domains(sf_dir: str) -> dict[str, list[str]]:
                   for c in f.columns]
         return pd.concat(frames, ignore_index=True)
 
+    from ray.data.aggregate import Count
+
+    # distributed grouped distinct first: the driver sees at most
+    # |fields x per-field distincts| rows, never |blocks| x distincts
     d = (ds.map_batches(partial, batch_format="pandas")
-         .to_pandas().drop_duplicates())
+         .groupby(["field", "value"])
+         .aggregate(Count(alias_name="n"))
+         .to_pandas())
     return {f: sorted(sub["value"]) for f, sub in d.groupby("field")}
 
 
