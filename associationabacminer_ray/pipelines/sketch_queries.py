@@ -604,8 +604,13 @@ def q_policy_scores_universe(sf_dir: str) -> pd.DataFrame:
 
     both = read_window(paths, spec, "obs_opr",
                        columns=["role", "tool", "ts"])
+    from ray.data.aggregate import Count
+
+    # distributed grouped distinct first (driver sees |domain| rows)
     dom_df = (both.map_batches(field_values, batch_format="pandas")
-              .to_pandas().drop_duplicates())
+              .groupby(["field", "value"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())
     domains = {f: sorted(sub["value"]) for f, sub in dom_df.groupby("field")}
 
     opr = read_window(paths, spec, "opr", columns=["role", "tool", "ts"])
@@ -831,8 +836,9 @@ def q_range_count_cms(sf_dir: str, bits: int = RANGE_CMS_BITS,
 def q_range_count_exact(sf_dir: str,
                         ranges: tuple = RANGE_QUERIES_BP) -> pd.DataFrame:
     """Exact twin of ``q_range_count_cms``: per-batch partial counts
-    per report range (ranges × blocks rows to the driver — no
-    shuffle), identical fold semantics, SQL-derived oracle."""
+    per report range, merged by a tiny grouped aggregate (the driver
+    sees |ranges| rows), identical fold semantics, SQL-derived
+    oracle."""
     from ..functions.scoring import fold_bp
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
@@ -845,9 +851,14 @@ def q_range_count_exact(sf_dir: str,
         return pd.DataFrame({"lo_bp": lohi[:, 0], "hi_bp": lohi[:, 1],
                              "n_rows": np.asarray(n, np.int64)})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = (parts.groupby(["lo_bp", "hi_bp"], sort=False)["n_rows"].sum()
-           .reset_index())
+    from ray.data.aggregate import Sum
+
+    # partials merged by Ray's grouped aggregate: the driver sees
+    # |ranges| rows, never |blocks| x ranges
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lo_bp", "hi_bp"])
+           .aggregate(Sum("n_rows", alias_name="n_rows"))
+           .to_pandas())
     out["n_rows"] = out["n_rows"].astype(np.int64)
     # report order = the fixed RANGE_QUERIES_BP order
     order = {tuple(r): i for i, r in enumerate(lohi.tolist())}

@@ -67,7 +67,12 @@ def _spend_histogram(sf_dir: str):
         return pd.DataFrame({"spend_cents": h.index.to_numpy(np.int64),
                              "cnt": h.to_numpy(np.int64)})
 
+    from ray.data.aggregate import Sum
+
+    # partials merged by Ray's grouped aggregate: the driver sees the
+    # distinct-cents domain, never |blocks| x domain
     hist = (spend.map_batches(hist_partial, batch_format="pandas")
+            .groupby("spend_cents").aggregate(Sum("cnt", alias_name="cnt"))
             .to_pandas().groupby("spend_cents", sort=True)["cnt"].sum())
     return (spend, hist.index.to_numpy(np.int64),
             hist.to_numpy(np.int64))

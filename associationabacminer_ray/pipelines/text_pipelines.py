@@ -880,25 +880,19 @@ def q_benchmark_contamination(sf_dir: str, window: int = 16) -> pd.DataFrame:
 
     from ..stages.dedup import RollingWindowHashes
 
-    kw = {"window": window, "stride": 1, "winnow": 0}
-
-    def side_filter(want_bench: bool):
-        # vectorized pyarrow mask (Ray's expr parser has no modulo)
-        def fn(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            residue = pc.cast(
-                pc.subtract(t["doc_id"],
-                            pc.multiply(pc.divide(t["doc_id"], BENCH_MOD),
-                                        BENCH_MOD)), pa.int64())
-            mask = pc.equal(residue, BENCH_RESIDUE)
-            return t.filter(mask if want_bench else pc.invert(mask))
-        return fn
+    # the bench/train residue filter runs INSIDE RollingWindowHashes
+    # (residue kwarg): a separate filter stage ahead of it makes Ray
+    # drop the typed empty between fused stages and emit a schema-less
+    # block when a whole block filters away (PERF #30), and it also
+    # saves one inter-stage hop for the text column
+    def kw(want_bench: bool):
+        return {"window": window, "stride": 1, "winnow": 0,
+                "residue": (BENCH_MOD, BENCH_RESIDUE, want_bench)}
 
     bench = (_docs(sf_dir, ["doc_id", "text"])
-             .map_batches(side_filter(True), batch_format="pyarrow")
              .map_batches(RollingWindowHashes, batch_format="pyarrow",
                           concurrency=auto_concurrency(),
-                          fn_constructor_kwargs=kw))
+                          fn_constructor_kwargs=kw(True)))
     bench_hashes = np.unique(np.concatenate([
         b["win_hash"].to_numpy() for b in
         bench.iter_batches(batch_format="pandas")
@@ -906,10 +900,9 @@ def q_benchmark_contamination(sf_dir: str, window: int = 16) -> pd.DataFrame:
     set_ref = ray.put(bench_hashes)
 
     train = (_docs(sf_dir, ["doc_id", "text"])
-             .map_batches(side_filter(False), batch_format="pyarrow")
              .map_batches(RollingWindowHashes, batch_format="pyarrow",
                           concurrency=auto_concurrency(),
-                          fn_constructor_kwargs=kw))
+                          fn_constructor_kwargs=kw(False)))
 
     def probe(b: pd.DataFrame) -> pd.DataFrame:
         ref = ray.get(set_ref)
@@ -1039,9 +1032,10 @@ def q_curation_pipeline(sf_dir: str,
     """Per-source counts over the curation precedence chain (each doc
     counted exactly once): bench → dup → quality → lang → contaminated
     → kept. Built on ``curation_doc_flags``; per-source counts are
-    per-BATCH partial sums merged on the driver (sources × blocks rows
-    — no second row-level shuffle on top of the flags' keep-first
-    pass). The SQL oracle composes the SAME verified fragments
+    per-BATCH partial sums merged by a grouped aggregate (the driver
+    sees |sources| rows — no second row-level shuffle on top of the
+    flags' keep-first pass). The SQL oracle composes the SAME verified
+    fragments
     (quality, langid, contamination) plus a filtered window-min for
     the bench-aware dedup."""
     flags = curation_doc_flags(sf_dir, quality_min_bp)
@@ -1050,8 +1044,8 @@ def q_curation_pipeline(sf_dir: str,
 
 def curation_counts_from_flags(flags: "rd.Dataset") -> pd.DataFrame:
     """Per-source precedence counts aggregated from an already-built
-    ``curation_doc_flags`` dataset (per-batch partials, merged on the
-    driver — sources × blocks rows; the chain itself is not rerun)."""
+    ``curation_doc_flags`` dataset (per-batch partials merged by a
+    distributed grouped aggregate; the chain itself is not rerun)."""
 
     def per_source(g: pd.DataFrame) -> pd.DataFrame:
         bench = g["is_bench"].to_numpy()
@@ -1075,11 +1069,16 @@ def curation_counts_from_flags(flags: "rd.Dataset") -> pd.DataFrame:
         })
         return out.groupby("source", sort=False).sum().reset_index()
 
-    agg = (flags.map_batches(per_source, batch_format="pandas")
-           .to_pandas().groupby("source", sort=True)
-           .sum(numeric_only=True).reset_index())
+    from ray.data.aggregate import Sum
+
     cols = ["n_docs", "n_drop_bench", "n_drop_dup", "n_drop_quality",
             "n_drop_lang", "n_drop_contam", "n_kept"]
+    # partials merged by Ray's grouped aggregate: the driver sees at
+    # most |sources| rows, never |blocks| x sources
+    agg = (flags.map_batches(per_source, batch_format="pandas")
+           .groupby("source")
+           .aggregate(*[Sum(c, alias_name=c) for c in cols])
+           .to_pandas().sort_values("source").reset_index(drop=True))
     for c in cols:
         agg[c] = agg[c].astype(np.int64)
     return agg[["source"] + cols].reset_index(drop=True)

@@ -42,3 +42,36 @@ def auto_concurrency(cap: int | None = None) -> tuple[int, int]:
     if cap is not None:
         n = min(n, cap)
     return (1, max(1, n))
+
+
+def quiet_ray_empty_schema_warnings() -> None:
+    """Suppress ONLY the known-benign ``Operator produced a RefBundle
+    with a different schema … new schema: <empty>`` executor warning.
+
+    Root cause (Ray 2.49, traced in PERF.md #30): all-to-all operators
+    (sort / repartition) emit schema-less EMPTY blocks when range
+    boundaries duplicate (e.g. 32 post-coalesce blocks over 16 bucket
+    keys), Ray's own map wrapper passes raw empty blocks through
+    without calling the UDF (``plan_udf_map_op.py`` — the in-tree
+    ``TODO(hchen)`` comment documents this), and a map task whose
+    batches were all skipped builds its output from an empty
+    ``ArrowBlockBuilder`` (``output_buffer.py`` always emits one block
+    per task). Library kernels here all return TYPED empties — the
+    artifact is Ray-internal, and schema-strict execution
+    (``DataContext.enforce_schemas=True``) unifies the empty schema
+    without error. Real schema drift (typed → DIFFERENT typed) still
+    warns: the filter matches only an empty new schema."""
+    import logging
+
+    class _EmptyNewSchemaFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            if "Operator produced a RefBundle with a different schema" \
+                    not in msg:
+                return True
+            return not ("new schema: . " in msg
+                        or "new schema: PandasBlockSchema(names=[]" in msg)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyNewSchemaFilter())

@@ -276,7 +276,8 @@ class RollingWindowHashes:
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  window: int = 16, stride: int = 1, seed: int = 17,
-                 winnow: int = 0):
+                 winnow: int = 0,
+                 residue: "tuple[int, int, bool] | None" = None):
         if winnow and stride != 1:
             raise ValueError("winnow requires stride=1 (dense hashes)")
         self.text_col = text_col
@@ -285,6 +286,14 @@ class RollingWindowHashes:
         self.stride = stride
         self.seed = seed
         self.winnow = winnow
+        # (mod, residue, keep): row filter on id_col % mod == residue
+        # (keep=True) or != (keep=False), applied INSIDE this stage so a
+        # fully-filtered block still yields a TYPED empty output — a
+        # separate filter map_batches ahead of this one makes Ray's
+        # inter-stage batcher drop the typed empty and the task emit a
+        # schema-less block (plan_udf_map_op.py passes raw empty blocks
+        # through; output_buffer.py always emits one block per task).
+        self.residue = residue
         # constant per-position mix table: computed once per actor, not
         # per batch
         self.pos_mix = np.array(
@@ -299,6 +308,19 @@ class RollingWindowHashes:
         from ..functions.hashing import re2_token_hashes
 
         is_arrow = isinstance(batch, pa.Table)
+        if self.residue is not None:
+            mod, res, keep = self.residue
+            if is_arrow:
+                import pyarrow.compute as pc
+                rem = pc.cast(pc.subtract(
+                    batch[self.id_col],
+                    pc.multiply(pc.divide(batch[self.id_col], mod), mod)),
+                    pa.int64())
+                mask = pc.equal(rem, res)
+                batch = batch.filter(mask if keep else pc.invert(mask))
+            else:
+                m = (batch[self.id_col].to_numpy() % mod) == res
+                batch = batch[m if keep else ~m]
         texts = batch[self.text_col] if is_arrow \
             else batch[self.text_col].fillna("")
         ids = (batch[self.id_col].to_numpy(zero_copy_only=False) if is_arrow

@@ -58,6 +58,14 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    from associationabacminer_ray.runtime import (
+        quiet_ray_empty_schema_warnings,
+    )
+
+    # keep the bench tail clean of the benign Ray-internal empty-schema
+    # artifact (typed→typed drift still warns) — see PERF.md #30
+    quiet_ray_empty_schema_warnings()
+
     import ray.data as rd
 
     from associationabacminer_ray.pipelines import analytics as A

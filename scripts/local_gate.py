@@ -41,6 +41,11 @@ def main():
     trace = "--trace" in sys.argv[1:]
     only = {a for a in sys.argv[1:] if not a.startswith("--")}
     if not ray.is_initialized():
+        from associationabacminer_ray.runtime import (
+            quiet_ray_empty_schema_warnings,
+        )
+
+        quiet_ray_empty_schema_warnings()
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     queries = entrymod.queries()
