@@ -148,7 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dups": T.q_containment_dups,
         "quality_scores": T.q_quality_scores,
         "langid": T.q_langid,
-        "knn_ivf": N.q_knn_ivf,
+        # bounded derived IVF check (VERDICT r4 #4): IVF top-k must
+        # contain >=3/5 of the SQL-verified brute-force top-k per query
+        "knn_ivf_recall": N.q_knn_ivf_recall,
         "sample_events": A.q_sample_events,
         "sample_events_bernoulli": A.q_sample_events_bernoulli,
         "ngram_dups": T.q_ngram_dups,
@@ -334,7 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "policy_scores", "policy_scores_events", "policy_scores_universe",
         "hll_role_convs", "hll_role_union", "weighted_sample_by_type",
         "crosscorpus_dedup", "rule_audience_overlap", "simhash_bands",
-        "simhash_dups", "knn_ivf", "multimodal_features",
+        "simhash_dups", "knn_ivf_recall", "multimodal_features",
         "value_quantiles_dd", "type_value_quantiles_dd",
         "kmeans_centroids", "weighted_sample",
         "rule_conf_quantiles",
@@ -1291,6 +1293,14 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON b.vec_id >= 5
             WHERE a.vec_id < 5
             QUALIFY rank <= 5
+        """,
+        # derived bound (VERDICT r4 #4): every query's IVF top-k must
+        # contain >= 3/5 of the brute-force top-k (brute itself is the
+        # SQL-verified knn_brute); the query list derives from the corpus
+        "knn_ivf_recall": """
+            SELECT CAST(vec_id AS BIGINT) AS query_id,
+                   CAST(1 AS BIGINT) AS recall_ok
+            FROM embeddings WHERE vec_id < 5
         """,
         "sample_events": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n

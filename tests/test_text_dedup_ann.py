@@ -428,6 +428,17 @@ class TestPipelines:
             recall_hits += len(b & i)
         assert recall_hits / 25 >= 0.5  # nprobe=4 of 8 buckets
 
+    def test_knn_ivf_recall_gate_entry(self, ray_session):
+        """The derived gate check (VERDICT r4 #4): every query's IVF
+        top-k contains >= 3/5 of the brute-force top-k at the gate
+        parameters (nprobe=8/16)."""
+        from associationabacminer_ray.pipelines.ann import q_knn_ivf_recall
+
+        out = q_knn_ivf_recall(SF)
+        assert list(out.columns) == ["query_id", "recall_ok"]
+        assert sorted(out["query_id"]) == [0, 1, 2, 3, 4]
+        assert (out["recall_ok"] == 1).all()
+
     def test_langid_runs_on_documents(self, ray_session):
         from associationabacminer_ray.pipelines.text_pipelines import q_langid
 
