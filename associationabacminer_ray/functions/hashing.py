@@ -291,3 +291,54 @@ def re2_token_hashes(values) -> tuple[np.ndarray, np.ndarray]:
     hashes = segment_poly_hashes(ps, ipw, starts, ends)
     tok_off = np.searchsorted(starts, off).astype(np.int64)
     return hashes, tok_off
+
+
+# Python str.split() whitespace, ASCII subset: [\t\n\v\f\r ] — one more
+# byte (\v, 0x0b) than RE2 \S tokenization above. Byte-table splitting
+# equals str.split() whenever the text has no UNICODE whitespace; the
+# synthetic corpora and the SQL oracle's regexp_split('\s+') both live
+# in that regime (unicode whitespace would diverge in all three).
+_PYSPLIT_DELIM = np.zeros(256, bool)
+_PYSPLIT_DELIM[[9, 10, 11, 12, 13, 32]] = True
+
+
+def split_token_hashes(values) -> tuple[np.ndarray, np.ndarray]:
+    """Hash every ``str.split()`` token of every string with no
+    per-token Python object (the ``re2_token_hashes`` byte-mask kernel
+    with the \\v-inclusive delimiter table), plus the
+    ``(t or '').split() or ['']`` fallback: a document with NO token
+    contributes ONE empty-string token, so every doc has >= 1 hash and
+    the per-doc offsets are strictly increasing (safe for reduceat).
+    Returns (uint64 token hashes, int64 per-doc token offsets)."""
+    data, off = utf8_bytes_view(values)
+    n = len(data)
+    n_docs = len(off) - 1
+    h_empty = splitmix64(np.zeros(1, U64))[0]
+    if n == 0:
+        return (np.full(n_docs, h_empty, U64),
+                np.arange(n_docs + 1, dtype=np.int64))
+    is_tok = ~_PYSPLIT_DELIM[data]
+    prev = np.empty(n, bool)
+    prev[0] = False
+    prev[1:] = is_tok[:-1]
+    nxt = np.empty(n, bool)
+    nxt[-1] = False
+    nxt[:-1] = is_tok[1:]
+    doc_starts = off[:-1][off[:-1] < n]
+    prev[doc_starts] = False
+    doc_last = off[1:] - 1
+    doc_last = doc_last[(doc_last >= 0) & (doc_last < n)]
+    nxt[doc_last] = False
+    starts = np.nonzero(is_tok & ~prev)[0]
+    ends = np.nonzero(is_tok & ~nxt)[0] + 1
+    ps, ipw = poly_prefix(data)
+    hashes = segment_poly_hashes(ps, ipw, starts, ends)
+    tok_off = np.searchsorted(starts, off).astype(np.int64)
+    counts = tok_off[1:] - tok_off[:-1]
+    emptied = np.nonzero(counts == 0)[0]
+    if len(emptied):
+        hashes = np.insert(hashes, tok_off[emptied], h_empty)
+        bump = np.zeros(n_docs + 1, np.int64)
+        bump[emptied + 1] = 1
+        tok_off = tok_off + np.cumsum(bump)
+    return hashes, tok_off

@@ -399,17 +399,16 @@ def simhash_signatures(texts: pd.Series, seed: int = 3) -> np.ndarray:
     band buckets and Hamming-verified pairs built on them — are
     independently rebuilt by the DERIVED SQL oracles
     (``functions.sqlgen.simhash_bands_sql`` / ``simhash_dups_sql``,
-    which retired the two former pinned goldens)."""
-    from ..functions.hashing import hash_strings_poly
+    which retired the two former pinned goldens).
 
-    all_tokens: list[str] = []
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").split() or [""]
-        all_tokens.extend(toks)
-        offsets[i + 1] = offsets[i] + len(toks)
-    h = mix_with_seed(
-        hash_strings_poly(np.asarray(all_tokens, dtype=object)), seed)
+    Tokenization is the byte-mask ``split_token_hashes`` kernel — zero
+    per-token Python objects (the former per-doc ``str.split()`` loop
+    built one PyObject per token; parity on split semantics is pinned
+    in ``test_simhash_split_kernel_parity``)."""
+    from ..functions.hashing import split_token_hashes
+
+    h, offsets = split_token_hashes(texts)
+    h = mix_with_seed(h, seed)
     bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
                          bitorder="little").astype(np.int32)  # (n_tokens, 64)
     contrib = 2 * bits - 1
@@ -425,16 +424,34 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 class SimHash:
     """map_batches stage: adds simhash + 4×16-bit band columns (docs
-    within Hamming ≤ 3 share at least one exact band)."""
+    within Hamming ≤ 3 share at least one exact band). Arrow batches
+    hash zero-copy (``utf8_bytes_view``); the text column is DROPPED
+    from the output — both consumers (band table, banded dups) only
+    shuffle the narrow signature columns, so documents never cross the
+    object store a second time."""
 
     def __init__(self, text_col: str = "text", seed: int = 3):
         self.text_col = text_col
         self.seed = seed
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sig = simhash_signatures(batch[self.text_col].fillna(""), self.seed)
-        out = batch.copy()
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        is_arrow = isinstance(batch, pa.Table)
+        texts = (batch[self.text_col] if is_arrow
+                 else batch[self.text_col].fillna(""))
+        sig = simhash_signatures(texts, self.seed)
+        bands = {f"sim_band{b}":
+                 ((sig >> U64(16 * b)) & U64(0xFFFF)).astype(np.int64)
+                 for b in range(4)}
+        if is_arrow:
+            out = batch.drop_columns([self.text_col])
+            out = out.append_column("simhash", pa.array(sig, pa.uint64()))
+            for name, v in bands.items():
+                out = out.append_column(name, pa.array(v, pa.int64()))
+            return out
+        out = batch.drop(columns=[self.text_col]).copy()
         out["simhash"] = sig
-        for b in range(4):
-            out[f"sim_band{b}"] = ((sig >> U64(16 * b)) & U64(0xFFFF)).astype(np.int64)
+        for name, v in bands.items():
+            out[name] = v
         return out

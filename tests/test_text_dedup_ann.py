@@ -144,6 +144,35 @@ class TestSimHash:
         assert d_ab < d_ac
         assert d_ab <= 12
 
+    def test_simhash_split_kernel_parity(self):
+        """``split_token_hashes`` (byte-mask, zero PyObject) must equal
+        the former per-doc ``(t or '').split() or ['']`` loop hash-for-
+        hash — including \\v (in str.split but not RE2 \\S), empty and
+        whitespace-only docs, and None."""
+        from associationabacminer_ray.functions.hashing import (
+            hash_strings_poly,
+            split_token_hashes,
+        )
+
+        rng = np.random.default_rng(11)
+        words = ["aa", "b", "ccc", "dddd", "e"]
+        texts = [" ".join(rng.choice(words, int(n)))
+                 for n in rng.integers(0, 30, 30)]
+        texts += ["", "   ", "\t\n\x0b\x0c\r ", "a\x0bb", "x\ty z",
+                  None, "solo"]
+        ser = pd.Series(texts).fillna("")
+        h, off = split_token_hashes(ser)
+        ref_toks = [((t or "").split() or [""]) for t in ser]
+        flat = [t for ts in ref_toks for t in ts]
+        ref = hash_strings_poly(np.asarray(flat, dtype=object))
+        assert np.array_equal(h, ref)
+        assert off.tolist() == np.cumsum(
+            [0] + [len(ts) for ts in ref_toks]).tolist()
+        # arrow input path must agree bit-for-bit
+        import pyarrow as pa
+        h2, off2 = split_token_hashes(pa.array(texts, pa.string()))
+        assert np.array_equal(h, h2) and np.array_equal(off, off2)
+
 
 class TestPipelines:
     def test_minhash_dups_finds_planted_pair(self, ray_session, tmp_path):
