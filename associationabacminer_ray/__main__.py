@@ -56,6 +56,12 @@ def _init_ray(num_cpus: int | None):
 
     DataContext.get_current().enable_progress_bars = False
 
+    from .runtime import quiet_ray_empty_schema_warnings
+
+    # the benign Ray-internal empty-partition artifact (PERF.md #30);
+    # typed→typed schema drift still warns
+    quiet_ray_empty_schema_warnings()
+
 
 def cmd_supports(args) -> None:
     import ray.data as rd
