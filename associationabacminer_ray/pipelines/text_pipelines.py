@@ -793,7 +793,7 @@ def q_simhash_bands(sf_dir: str) -> pd.DataFrame:
 
 # --------------------------------------------------- split leakage
 def q_split_leakage(sf_dir: str, window: int = 8,
-                    num_buckets: int = 16) -> pd.DataFrame:
+                    num_buckets: int = 16, as_dataset: bool = False):
     """Train/test LEAKAGE detection across the deterministic hash split
     (the eval-hygiene composition of ``q_dataset_split`` +
     ``q_benchmark_contamination``): for every test-split document,
@@ -810,8 +810,6 @@ def q_split_leakage(sf_dir: str, window: int = 8,
     equality (the dedup_docs collision caveat: ~n²/2⁶⁴, and the output
     carries no window strings, so the answer is identical w.h.p.)."""
     import ray.data  # noqa: F401  (rd already imported at module scope)
-
-    from ray.data.aggregate import Count
 
     from ..stages.dedup import RollingWindowHashes
     from .analytics import bucketed_group_agg, sample_hash_values
@@ -836,22 +834,38 @@ def q_split_leakage(sf_dir: str, window: int = 8,
 
     flagged = wh.map_batches(flag_split, batch_format="pandas")
 
+    _EMPTY = {"test_doc_id": np.int64, "leak_windows": np.int64}
+
     def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # block splits may duplicate a doc's window across batches
         g = g.drop_duplicates(["win_hash", "doc_id", "is_train"])
         train_h = g.loc[g["is_train"], "win_hash"].unique()
         te = g[~g["is_train"]]
         hit = te[np.isin(te["win_hash"].to_numpy(), train_h)]
-        return pd.DataFrame({
-            "test_doc_id": hit["doc_id"].to_numpy(np.int64),
-            "win_hash": hit["win_hash"].to_numpy(np.int64),
-        })
+        # partial COUNT per test doc inside the bucket (each win_hash
+        # lives in exactly one bucket, so partials never double-count).
+        # A Ray-native groupby().aggregate(Count) here measured 40+ s
+        # of ms-per-group overhead at the 500 k-doc probe — the
+        # partial-merge idiom is ~50 rows/bucket/doc cheaper and is
+        # the same two-stage shape interval_join_followups uses.
+        out = (hit.groupby("doc_id", sort=False).size()
+               .rename("leak_windows").reset_index()
+               .rename(columns={"doc_id": "test_doc_id"}))
+        return out.astype(_EMPTY)
 
-    leaked = bucketed_group_agg(flagged, ["win_hash"], probe_bucket,
-                                num_buckets=num_buckets)
-    out = (leaked.groupby("test_doc_id")
-           .aggregate(Count(alias_name="leak_windows"))
-           .to_pandas())
+    partials = bucketed_group_agg(flagged, ["win_hash"], probe_bucket,
+                                  num_buckets=num_buckets)
+
+    def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("test_doc_id", sort=False)["leak_windows"]
+               .sum().reset_index())
+        return out.astype(_EMPTY)
+
+    agg = bucketed_group_agg(partials, ["test_doc_id"], merge_partials,
+                             num_buckets=max(4, num_buckets // 4))
+    if as_dataset:  # scale probes: expose per-stage ds.stats()
+        return agg
+    out = agg.to_pandas()
     if out.empty:
         return pd.DataFrame({"test_doc_id": pd.Series(dtype=np.int64),
                              "leak_windows": pd.Series(dtype=np.int64)})

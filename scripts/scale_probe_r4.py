@@ -126,7 +126,8 @@ def main():
         ("seq_pair_support",
          lambda: q_seq_pair_support(corpus), n_events, "events"),
         ("split_leakage",
-         lambda: q_split_leakage(corpus), n_docs, "docs"),
+         lambda: q_split_leakage(corpus, as_dataset=True).materialize(),
+         n_docs, "docs"),
         ("semantic_neardup",
          lambda: q_semantic_neardup(corpus, as_dataset=True).materialize(),
          n_vecs, "vecs"),
