@@ -1,14 +1,17 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-Round 2 upgrade (round 3: + uncompressed 24-bit BMP, both row orders):
-decode is REAL for self-describing uncompressed formats that need only
-numpy/stdlib — binary PPM/PGM/BMP images and PCM WAV
+Round 2 upgrade (round 3: + uncompressed 24-bit BMP, both row orders;
+round 5: + REAL 8-bit PNG decode/encode — zlib is stdlib, so "needs
+only numpy/stdlib" now includes the deflate family): decode is REAL
+for binary PPM/PGM/BMP images, 8-bit non-interlaced PNG (gray /
+gray+alpha / RGB / palette / RGBA, all five row filters) and PCM WAV
 audio (``Decode``), plus real nearest-neighbor resize and real
 deterministic feature extraction (channel statistics + downsampled grid
-for images; RMS/ZCR/FFT band energies for audio). Compressed codecs
-(PNG/JPEG/MP3/H.264) still raise ``NotImplementedError`` — those
-libraries are absent from this container — and ``DecodeStub``/
-``FeatureExtractStub`` remain for shape-only pipeline tests.
+for images; RMS/ZCR/FFT band energies for audio). Codecs whose
+reference decoders genuinely aren't in this container (JPEG/GIF/MP3/
+H.264) still raise ``NotImplementedError`` — the honest boundary — and
+``DecodeStub``/``FeatureExtractStub`` remain for shape-only pipeline
+tests.
 
 Schema convention for a multimodal table:
 
@@ -155,6 +158,148 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + payload
 
 
+def decode_png(b: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → uint8 array: (h, w) gray, (h, w, 2)
+    gray+alpha, (h, w, 3) RGB (incl. palette), (h, w, 4) RGBA.
+
+    Pure stdlib-zlib + numpy — no imaging library: chunk walk, IDAT
+    inflate, per-row unfilter. The Sub filter is fully vectorized (a
+    per-byte-lane prefix sum; uint8 cumsum wraps mod 256, which IS the
+    spec's arithmetic), Up/None are whole-row numpy ops; Average/Paeth
+    carry an inherent left-neighbor dependency chain, so those rows run
+    a per-byte loop (our own encoder emits filter 0 — the loop is only
+    paid on foreign-encoded rows). 16-bit, sub-8-bit and Adam7
+    interlaced payloads raise the stage's documented
+    NotImplementedError; malformed chunks never surface raw errors."""
+    import struct
+    import zlib
+
+    if not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG payload")
+    ihdr, plte, idat = None, None, []
+    pos = 8
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            raise NotImplementedError("truncated PNG chunk")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise NotImplementedError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"nonstandard PNG compression/filter method ({comp}/{filt})")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise NotImplementedError("palette PNG without PLTE chunk")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = w * nch
+    if w == 0 or h == 0 or len(raw) != h * (stride + 1):
+        raise NotImplementedError(
+            f"PNG data length mismatch (w={w}, h={h}, got {len(raw)})")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    recon = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    bpp = nch  # bytes per pixel at depth 8
+    for y in range(h):
+        r = rows[y, 1:]
+        f = int(ftypes[y])
+        if f == 0:                       # None
+            line = r.copy()
+        elif f == 1:                     # Sub: lane-wise mod-256 cumsum
+            line = r.copy()
+            for k in range(bpp):
+                lane = line[k::bpp]
+                np.cumsum(lane, dtype=np.uint8, out=lane)
+        elif f == 2:                     # Up: uint8 add wraps mod 256
+            line = r + prev
+        elif f in (3, 4):                # Average / Paeth: sequential
+            ri = r.astype(np.int32)
+            pv = prev.astype(np.int32)
+            ln_ = np.zeros(stride, np.int32)
+            if f == 3:
+                for x in range(stride):
+                    left = ln_[x - bpp] if x >= bpp else 0
+                    ln_[x] = (ri[x] + ((left + pv[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = ln_[x - bpp] if x >= bpp else 0
+                    c = pv[x - bpp] if x >= bpp else 0
+                    bb = pv[x]
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        bb if pb <= pc else c)
+                    ln_[x] = (ri[x] + pred) & 0xFF
+            line = ln_.astype(np.uint8)
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        recon[y] = line
+        prev = line
+    if ctype == 3:                       # palette indices → RGB
+        pal = np.frombuffer(plte, np.uint8)
+        if len(pal) % 3 or len(pal) == 0:
+            raise NotImplementedError("malformed PLTE chunk")
+        pal = pal.reshape(-1, 3)
+        idx = recon.reshape(h, w)
+        if int(idx.max()) >= len(pal):
+            raise NotImplementedError("palette index out of range")
+        return pal[idx]
+    if nch == 1:
+        return recon.reshape(h, w)
+    return recon.reshape(h, w, nch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 array → 8-bit non-interlaced PNG bytes (filter 0 rows,
+    stdlib zlib). Accepts (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3)
+    RGB, (h, w, 4) RGBA — the decode_png round-trip twin."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        ctype, nch = 0, 1
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        ctype = {2: 4, 3: 2, 4: 6}[a.shape[2]]
+        nch = a.shape[2]
+    else:
+        raise ValueError(f"PNG encodes (h,w[,2|3|4]) uint8, got {a.shape}")
+    h, w = a.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    scan = np.zeros((h, w * nch + 1), np.uint8)
+    scan[:, 1:] = a.reshape(h, w * nch)
+    idat = zlib.compress(scan.tobytes(), 6)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (int16 samples (n,) or (n, channels), sample_rate)."""
     with wave.open(io.BytesIO(b), "rb") as f:
@@ -186,7 +331,7 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 class Decode:
-    """Actor-pool decode stage — REAL for PPM/PGM/BMP/WAV payloads. Emits
+    """Actor-pool decode stage — REAL for PPM/PGM/BMP/PNG/WAV payloads. Emits
     object columns ``pixels`` (uint8 arrays) / ``samples`` (int16) plus
     ``decoded_shape`` and ``sample_rate``; a compressed payload raises
     NotImplementedError naming the codec (the honest boundary: those
@@ -197,8 +342,10 @@ class Decode:
         for payload in batch["payload"]:
             b = bytes(payload or b"")
             kind = _sniff(b)
-            if kind in ("ppm", "pgm", "bmp"):
-                img = decode_bmp(b) if kind == "bmp" else decode_ppm(b)
+            if kind in ("ppm", "pgm", "bmp", "png"):
+                img = (decode_png(b) if kind == "png"
+                       else decode_bmp(b) if kind == "bmp"
+                       else decode_ppm(b))
                 pixels.append(img)
                 samples.append(None)
                 shapes.append(json.dumps(list(img.shape)))
@@ -211,8 +358,8 @@ class Decode:
                 rates.append(rate)
             else:
                 raise NotImplementedError(
-                    f"codec {kind!r}: compressed decode libraries are not "
-                    "available in this environment (PPM/PGM/BMP/WAV are)")
+                    f"codec {kind!r}: decode libraries are not available "
+                    "in this environment (PPM/PGM/BMP/PNG/WAV are)")
         out = batch.copy()
         out["pixels"] = pixels
         out["samples"] = samples
@@ -300,16 +447,20 @@ class AudioFeatures:
 
 
 def make_real_multimodal_table(n: int = 32, modality: str = "image",
-                               seed: int = 9) -> pd.DataFrame:
-    """Fixture with REAL encoded payloads (P6 images / 16-bit PCM WAV)."""
+                               seed: int = 9,
+                               image_codec: str = "ppm") -> pd.DataFrame:
+    """Fixture with REAL encoded payloads (P6/PNG images / 16-bit PCM
+    WAV). ``image_codec`` defaults to "ppm" (the pinned-gate corpus is
+    byte-stable); "png" exercises the deflate decode path."""
     rng = np.random.default_rng(seed)
+    encoder = {"ppm": encode_ppm, "png": encode_png}[image_codec]
     rows = []
     for i in range(n):
         if modality == "image":
             h, w = int(rng.integers(6, 24)), int(rng.integers(6, 24))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload = encode_ppm(img)
-            meta = {"width": w, "height": h, "format": "ppm"}
+            payload = encoder(img)
+            meta = {"width": w, "height": h, "format": image_codec}
         else:
             n_samp = int(rng.integers(256, 1024))
             tone = (np.sin(np.arange(n_samp) * 2 * np.pi

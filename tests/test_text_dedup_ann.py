@@ -582,8 +582,13 @@ class TestMultimodal:
 
         from associationabacminer_ray.stages.multimodal import Decode
 
+        # JPEG decode genuinely isn't available (PNG now is — round 5)
+        jpg = pd.DataFrame({"payload": [b"\xff\xd8\xff\xe0xxxx"]})
+        with pytest.raises(NotImplementedError, match="jpeg"):
+            Decode()(jpg)
+        # a truncated PNG surfaces the documented error, not a crash
         png = pd.DataFrame({"payload": [b"\x89PNG\r\n\x1a\nxxxx"]})
-        with pytest.raises(NotImplementedError, match="png"):
+        with pytest.raises(NotImplementedError, match="truncated PNG"):
             Decode()(png)
 
     def test_frame_sample_plan(self):
@@ -684,6 +689,154 @@ class TestBmpCodec:
         hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 32, 0, 0, 54)
         with pytest.raises(NotImplementedError):
             decode_bmp(hdr + info + b"\x00" * 32)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def _png_forward_filtered(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Build a PNG by applying the spec's FORWARD filters row by row —
+    an independent construction, so decode_png's unfilter inverses are
+    tested against the spec, not against encode_png."""
+    import struct
+    import zlib
+
+    h, w, nch = img.shape
+    bpp = nch
+    raw = img.reshape(h, w * nch).astype(np.int32)
+    out, prev = [], np.zeros(w * nch, np.int32)
+    for y in range(h):
+        line, f = raw[y], ftypes[y % len(ftypes)]
+        filt = np.zeros(w * nch, np.int32)
+        for x in range(w * nch):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            filt[x] = (line[x] - pred) & 0xFF
+        out.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+class TestPngCodec:
+    """Real 8-bit PNG decode (round 5): pure stdlib zlib + numpy."""
+
+    def test_png_roundtrip_all_layouts(self):
+        from associationabacminer_ray.stages.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(7)
+        for shape in [(13, 17), (9, 5, 2), (21, 33, 3), (8, 8, 4)]:
+            a = rng.integers(0, 256, shape, dtype=np.uint8)
+            d = decode_png(encode_png(a))
+            assert d.shape == a.shape and (d == a).all()
+
+    def test_png_all_five_filter_types(self):
+        from associationabacminer_ray.stages.multimodal import decode_png
+
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (16, 11, 3), dtype=np.uint8)
+        for fts in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = decode_png(_png_forward_filtered(img, fts))
+            assert (got == img).all(), fts
+
+    def test_png_palette(self):
+        import struct
+        import zlib
+
+        from associationabacminer_ray.stages.multimodal import decode_png
+
+        rng = np.random.default_rng(9)
+        pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+        idx = rng.integers(0, 7, (6, 10), dtype=np.uint8)
+        scan = b"".join(b"\x00" + bytes(idx[y]) for y in range(6))
+        png = (b"\x89PNG\r\n\x1a\n"
+               + _png_chunk(b"IHDR",
+                            struct.pack(">IIBBBBB", 10, 6, 8, 3, 0, 0, 0))
+               + _png_chunk(b"PLTE", bytes(pal.ravel()))
+               + _png_chunk(b"IDAT", zlib.compress(scan))
+               + _png_chunk(b"IEND", b""))
+        assert (decode_png(png) == pal[idx]).all()
+
+    def test_png_unsupported_raise_not_crash(self):
+        import struct
+        import zlib
+
+        from associationabacminer_ray.stages.multimodal import decode_png
+
+        def ihdr(depth=8, ctype=2, interlace=0):
+            return _png_chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, interlace))
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        idat = _png_chunk(b"IDAT", zlib.compress(b"\x00" * 13 * 4))
+        end = _png_chunk(b"IEND", b"")
+        for bad in (
+            sig + ihdr(depth=16) + idat + end,          # 16-bit
+            sig + ihdr(interlace=1) + idat + end,       # Adam7
+            sig + ihdr(ctype=7) + idat + end,           # bad color type
+            sig + ihdr(),                               # missing IDAT
+            sig + ihdr(ctype=3) + idat + end,           # palette, no PLTE
+            sig + ihdr() + _png_chunk(b"IDAT", b"junk") + end,  # corrupt
+        ):
+            with pytest.raises(NotImplementedError):
+                decode_png(bad)
+
+    def test_png_pipeline_matches_ppm(self, ray_session):
+        """Same seed ⇒ identical pixels under both codecs, so the full
+        Decode→Resize→Features chain must produce byte-identical
+        features from PNG and PPM payloads."""
+        import ray.data as rd
+
+        from associationabacminer_ray.stages.multimodal import (
+            Decode,
+            ImageFeatures,
+            ImageResize,
+            make_real_multimodal_table,
+        )
+
+        def run(codec):
+            tbl = make_real_multimodal_table(n=16, modality="image",
+                                             image_codec=codec)
+            return (rd.from_pandas(tbl)
+                    .map_batches(Decode, batch_size=8, concurrency=2,
+                                 batch_format="pandas")
+                    .map_batches(ImageResize, batch_size=8, concurrency=2,
+                                 batch_format="pandas",
+                                 fn_constructor_kwargs={"out_h": 8,
+                                                        "out_w": 8})
+                    .map_batches(ImageFeatures, batch_size=8, concurrency=2,
+                                 batch_format="pandas")
+                    ).to_pandas().sort_values("item_id")
+
+        ppm, png = run("ppm"), run("png")
+        np.testing.assert_array_equal(
+            np.stack(ppm["feature"].to_numpy()),
+            np.stack(png["feature"].to_numpy()))
 
 
 class TestByteHashKernels:
