@@ -1,17 +1,18 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
 Round 2 upgrade (round 3: + uncompressed 24-bit BMP, both row orders;
-round 5: + REAL 8-bit PNG decode/encode — zlib is stdlib, so "needs
-only numpy/stdlib" now includes the deflate family): decode is REAL
-for binary PPM/PGM/BMP images, 8-bit non-interlaced PNG (gray /
-gray+alpha / RGB / palette / RGBA, all five row filters) and PCM WAV
-audio (``Decode``), plus real nearest-neighbor resize and real
+round 5: + REAL 8-bit PNG decode/encode — zlib is stdlib — and REAL
+baseline JPEG decode/encode in pure numpy, ``stages/jpeg.py``): decode
+is REAL for binary PPM/PGM/BMP images, 8-bit non-interlaced PNG (gray /
+gray+alpha / RGB / palette / RGBA, all five row filters), baseline
+sequential JPEG (SOF0, any Hi/Vi subsampling, restart markers) and PCM
+WAV audio (``Decode``), plus real nearest-neighbor resize and real
 deterministic feature extraction (channel statistics + downsampled grid
 for images; RMS/ZCR/FFT band energies for audio). Codecs whose
-reference decoders genuinely aren't in this container (JPEG/GIF/MP3/
-H.264) still raise ``NotImplementedError`` — the honest boundary — and
-``DecodeStub``/``FeatureExtractStub`` remain for shape-only pipeline
-tests.
+reference decoders genuinely aren't buildable from numpy+stdlib here
+(GIF-LZW is, but progressive JPEG, MP3, H.264 are out of scope) raise
+``NotImplementedError`` — the honest boundary — and ``DecodeStub``/
+``FeatureExtractStub`` remain for shape-only pipeline tests.
 
 Schema convention for a multimodal table:
 
@@ -331,7 +332,8 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 class Decode:
-    """Actor-pool decode stage — REAL for PPM/PGM/BMP/PNG/WAV payloads. Emits
+    """Actor-pool decode stage — REAL for PPM/PGM/BMP/PNG/JPEG/WAV
+    payloads. Emits
     object columns ``pixels`` (uint8 arrays) / ``samples`` (int16) plus
     ``decoded_shape`` and ``sample_rate``; a compressed payload raises
     NotImplementedError naming the codec (the honest boundary: those
@@ -342,10 +344,15 @@ class Decode:
         for payload in batch["payload"]:
             b = bytes(payload or b"")
             kind = _sniff(b)
-            if kind in ("ppm", "pgm", "bmp", "png"):
-                img = (decode_png(b) if kind == "png"
-                       else decode_bmp(b) if kind == "bmp"
-                       else decode_ppm(b))
+            if kind in ("ppm", "pgm", "bmp", "png", "jpeg"):
+                if kind == "jpeg":
+                    from .jpeg import decode_jpeg
+
+                    img = decode_jpeg(b)
+                else:
+                    img = (decode_png(b) if kind == "png"
+                           else decode_bmp(b) if kind == "bmp"
+                           else decode_ppm(b))
                 pixels.append(img)
                 samples.append(None)
                 shapes.append(json.dumps(list(img.shape)))
@@ -359,7 +366,7 @@ class Decode:
             else:
                 raise NotImplementedError(
                     f"codec {kind!r}: decode libraries are not available "
-                    "in this environment (PPM/PGM/BMP/PNG/WAV are)")
+                    "in this environment (PPM/PGM/BMP/PNG/JPEG/WAV are)")
         out = batch.copy()
         out["pixels"] = pixels
         out["samples"] = samples
@@ -452,8 +459,14 @@ def make_real_multimodal_table(n: int = 32, modality: str = "image",
     """Fixture with REAL encoded payloads (P6/PNG images / 16-bit PCM
     WAV). ``image_codec`` defaults to "ppm" (the pinned-gate corpus is
     byte-stable); "png" exercises the deflate decode path."""
+    def _enc_jpeg(img):
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(img, quality=95)
+
     rng = np.random.default_rng(seed)
-    encoder = {"ppm": encode_ppm, "png": encode_png}[image_codec]
+    encoder = {"ppm": encode_ppm, "png": encode_png,
+               "jpeg": _enc_jpeg}[image_codec]
     rows = []
     for i in range(n):
         if modality == "image":

@@ -582,14 +582,21 @@ class TestMultimodal:
 
         from associationabacminer_ray.stages.multimodal import Decode
 
-        # JPEG decode genuinely isn't available (PNG now is — round 5)
-        jpg = pd.DataFrame({"payload": [b"\xff\xd8\xff\xe0xxxx"]})
-        with pytest.raises(NotImplementedError, match="jpeg"):
-            Decode()(jpg)
-        # a truncated PNG surfaces the documented error, not a crash
+        # MP3/GIF decode genuinely isn't available (PNG and baseline
+        # JPEG now are — round 5)
+        mp3 = pd.DataFrame({"payload": [b"ID3\x04xxxx"]})
+        with pytest.raises(NotImplementedError, match="mp3"):
+            Decode()(mp3)
+        gif = pd.DataFrame({"payload": [b"GIF89a xxxx"]})
+        with pytest.raises(NotImplementedError, match="gif"):
+            Decode()(gif)
+        # truncated PNG/JPEG surface the documented error, not a crash
         png = pd.DataFrame({"payload": [b"\x89PNG\r\n\x1a\nxxxx"]})
         with pytest.raises(NotImplementedError, match="truncated PNG"):
             Decode()(png)
+        jpg = pd.DataFrame({"payload": [b"\xff\xd8\xff\xe0xxxx"]})
+        with pytest.raises(NotImplementedError):
+            Decode()(jpg)
 
     def test_frame_sample_plan(self):
         tbl = make_fake_multimodal_table(4, modality="video")
@@ -837,6 +844,145 @@ class TestPngCodec:
         np.testing.assert_array_equal(
             np.stack(ppm["feature"].to_numpy()),
             np.stack(png["feature"].to_numpy()))
+
+
+class TestJpegCodec:
+    """Baseline JPEG (round 5): pure numpy + stdlib, stages/jpeg.py."""
+
+    def test_solid_rgb_exact(self):
+        """R=G=B solids are quantization-error-free by construction
+        (Y=v, Cb=Cr=128, DC quant=2 at q95 ⇒ pixel error < 0.5)."""
+        from associationabacminer_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for v in (0, 7, 128, 200, 255):
+            img = np.full((24, 17, 3), v, np.uint8)
+            out = decode_jpeg(encode_jpeg(img, quality=95))
+            assert out.shape == img.shape and (out == img).all()
+
+    def test_gradient_psnr_444_and_420(self):
+        from associationabacminer_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        xx, yy = np.meshgrid(np.arange(40), np.arange(33))
+        img = np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                        ((xx + yy) * 2) % 256], -1).astype(np.uint8)
+        for sub, floor in ((False, 45.0), (True, 40.0)):
+            out = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+            mse = ((out.astype(float) - img) ** 2).mean()
+            assert 10 * np.log10(255 ** 2 / mse) > floor
+
+    def test_noise_rmse_bound_and_grayscale(self):
+        from associationabacminer_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert np.sqrt(((out.astype(float) - img) ** 2).mean()) < 12
+        g = rng.integers(0, 256, (21, 19), np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=95))
+        assert out.shape == g.shape
+        assert np.sqrt(((out.astype(float) - g) ** 2).mean()) < 12
+
+    def test_restart_markers_do_not_change_pixels(self):
+        from associationabacminer_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (33, 47, 3), np.uint8)
+        assert (decode_jpeg(encode_jpeg(img, 80, restart_interval=3))
+                == decode_jpeg(encode_jpeg(img, 80))).all()
+        img = rng.integers(0, 256, (19, 21, 3), np.uint8)
+        assert (decode_jpeg(encode_jpeg(img, 85, subsample=True,
+                                        restart_interval=2))
+                == decode_jpeg(encode_jpeg(img, 85, subsample=True))).all()
+
+    def test_hand_built_stream_matches_independent_idct(self):
+        """Decode a stream built BY HAND from T.81 (canonical codes
+        derived manually from the Annex K bit-length tables: DC cat3 =
+        '100', AC (0,2) = '01', EOB = '1010') and compare against the
+        spec's cosine-sum IDCT computed here without the module's DCT
+        matrix — catches symmetric encoder/decoder bugs."""
+        import struct
+
+        from associationabacminer_ray.stages.jpeg import (
+            _HT_AC_LUM,
+            _HT_DC_LUM,
+            decode_jpeg,
+        )
+
+        def seg(marker, payload):
+            return struct.pack(">BBH", 0xFF, marker,
+                               len(payload) + 2) + payload
+
+        # grayscale 8×8, unit quant; zigzag coefs DC=5, k1=-3, rest 0
+        # bits: 100|101|01|00|1010 + '11' pad = 0x95 0x2B
+        jpg = (b"\xff\xd8"
+               + seg(0xDB, bytes([0]) + bytes([1] * 64))
+               + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                     + bytes([1, 1, 0x11, 0]))
+               + seg(0xC4, bytes([0x00]) + bytes(_HT_DC_LUM[0])
+                     + bytes(_HT_DC_LUM[1]))
+               + seg(0xC4, bytes([0x10]) + bytes(_HT_AC_LUM[0])
+                     + bytes(_HT_AC_LUM[1]))
+               + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+               + bytes([0x95, 0x2B]) + b"\xff\xd9")
+        got = decode_jpeg(jpg)
+
+        coef = np.zeros((8, 8))
+        coef[0, 0], coef[0, 1] = 5.0, -3.0
+
+        def C(u):
+            return 1 / np.sqrt(2) if u == 0 else 1.0
+
+        exp = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (C(u) * C(v) * coef[u, v]
+                              * np.cos((2 * x + 1) * v * np.pi / 16)
+                              * np.cos((2 * y + 1) * u * np.pi / 16))
+                exp[y, x] = s / 4 + 128
+        exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)
+        assert (got == exp).all()
+
+    def test_unsupported_modes_raise(self):
+        import struct
+
+        from associationabacminer_ray.stages.jpeg import decode_jpeg
+
+        progressive = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 8)
+                       + b"\x08\x00\x01\x00\x01\x00")
+        with pytest.raises(NotImplementedError, match="SOF2"):
+            decode_jpeg(progressive)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(b"\xff\xd8\xff\xd9")
+
+    def test_decode_stage_routes_jpeg(self):
+        from associationabacminer_ray.stages.jpeg import encode_jpeg
+        from associationabacminer_ray.stages.multimodal import Decode
+
+        rng = np.random.default_rng(14)
+        img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+        batch = pd.DataFrame({"item_id": ["x"], "modality": ["image"],
+                              "payload": [encode_jpeg(img, quality=95)],
+                              "meta": ["{}"]})
+        out = Decode()(batch)
+        dec = out["pixels"].iloc[0]
+        assert dec.shape == img.shape
+        assert np.sqrt(((dec.astype(float) - img) ** 2).mean()) < 12
+        assert out["decoded_shape"].iloc[0] == "[12, 9, 3]"
 
 
 class TestByteHashKernels:
