@@ -1,18 +1,18 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
 Round 2 upgrade (round 3: + uncompressed 24-bit BMP, both row orders;
-round 5: + REAL 8-bit PNG decode/encode — zlib is stdlib — and REAL
-baseline JPEG decode/encode in pure numpy, ``stages/jpeg.py``): decode
-is REAL for binary PPM/PGM/BMP images, 8-bit non-interlaced PNG (gray /
-gray+alpha / RGB / palette / RGBA, all five row filters), baseline
-sequential JPEG (SOF0, any Hi/Vi subsampling, restart markers) and PCM
-WAV audio (``Decode``), plus real nearest-neighbor resize and real
-deterministic feature extraction (channel statistics + downsampled grid
-for images; RMS/ZCR/FFT band energies for audio). Codecs whose
-reference decoders genuinely aren't buildable from numpy+stdlib here
-(GIF-LZW is, but progressive JPEG, MP3, H.264 are out of scope) raise
-``NotImplementedError`` — the honest boundary — and ``DecodeStub``/
-``FeatureExtractStub`` remain for shape-only pipeline tests.
+round 5: + REAL PNG, baseline JPEG and GIF decode in pure numpy +
+stdlib — ``stages/jpeg.py`` / ``stages/gif.py``): decode is REAL for
+binary PPM/PGM/BMP images, 8-bit non-interlaced PNG (gray/gray+alpha/
+RGB/palette/RGBA, all five row filters), baseline sequential JPEG
+(SOF0, any Hi/Vi subsampling, restart markers), GIF87a/89a (LZW,
+interlacing, local color tables; first frame) and PCM WAV audio
+(``Decode``), plus real nearest-neighbor resize and real deterministic
+feature extraction (channel statistics + downsampled grid for images;
+RMS/ZCR/FFT band energies for audio). What's left out is genuinely out
+of numpy+stdlib reach at reasonable scope (progressive JPEG, MP3,
+H.264) and raises ``NotImplementedError`` — the honest boundary —
+``DecodeStub``/``FeatureExtractStub`` remain for shape-only tests.
 
 Schema convention for a multimodal table:
 
@@ -344,11 +344,15 @@ class Decode:
         for payload in batch["payload"]:
             b = bytes(payload or b"")
             kind = _sniff(b)
-            if kind in ("ppm", "pgm", "bmp", "png", "jpeg"):
+            if kind in ("ppm", "pgm", "bmp", "png", "jpeg", "gif"):
                 if kind == "jpeg":
                     from .jpeg import decode_jpeg
 
                     img = decode_jpeg(b)
+                elif kind == "gif":
+                    from .gif import decode_gif
+
+                    img = decode_gif(b)
                 else:
                     img = (decode_png(b) if kind == "png"
                            else decode_bmp(b) if kind == "bmp"
@@ -365,8 +369,8 @@ class Decode:
                 rates.append(rate)
             else:
                 raise NotImplementedError(
-                    f"codec {kind!r}: decode libraries are not available "
-                    "in this environment (PPM/PGM/BMP/PNG/JPEG/WAV are)")
+                    f"codec {kind!r}: decode libraries are not available in "
+                    "this environment (PPM/PGM/BMP/PNG/JPEG/GIF/WAV are)")
         out = batch.copy()
         out["pixels"] = pixels
         out["samples"] = samples

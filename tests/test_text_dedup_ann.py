@@ -582,21 +582,20 @@ class TestMultimodal:
 
         from associationabacminer_ray.stages.multimodal import Decode
 
-        # MP3/GIF decode genuinely isn't available (PNG and baseline
-        # JPEG now are — round 5)
+        # MP3/MP4 decode genuinely isn't available (PNG, baseline JPEG
+        # and GIF now are — round 5)
         mp3 = pd.DataFrame({"payload": [b"ID3\x04xxxx"]})
         with pytest.raises(NotImplementedError, match="mp3"):
             Decode()(mp3)
-        gif = pd.DataFrame({"payload": [b"GIF89a xxxx"]})
-        with pytest.raises(NotImplementedError, match="gif"):
-            Decode()(gif)
-        # truncated PNG/JPEG surface the documented error, not a crash
-        png = pd.DataFrame({"payload": [b"\x89PNG\r\n\x1a\nxxxx"]})
-        with pytest.raises(NotImplementedError, match="truncated PNG"):
-            Decode()(png)
-        jpg = pd.DataFrame({"payload": [b"\xff\xd8\xff\xe0xxxx"]})
-        with pytest.raises(NotImplementedError):
-            Decode()(jpg)
+        mp4 = pd.DataFrame({"payload": [b"\x00\x00\x00\x18ftypmp42xx"]})
+        with pytest.raises(NotImplementedError, match="mp4"):
+            Decode()(mp4)
+        # truncated PNG/JPEG/GIF surface the documented error, not a crash
+        for payload, msg in ((b"\x89PNG\r\n\x1a\nxxxx", "truncated PNG"),
+                             (b"\xff\xd8\xff\xe0xxxx", ""),
+                             (b"GIF89a xxxx", "GIF")):
+            with pytest.raises(NotImplementedError, match=msg):
+                Decode()(pd.DataFrame({"payload": [payload]}))
 
     def test_frame_sample_plan(self):
         tbl = make_fake_multimodal_table(4, modality="video")
@@ -983,6 +982,91 @@ class TestJpegCodec:
         assert dec.shape == img.shape
         assert np.sqrt(((dec.astype(float) - img) ** 2).mean()) < 12
         assert out["decoded_shape"].iloc[0] == "[12, 9, 3]"
+
+
+class TestGifCodec:
+    """GIF87a/89a LZW decode (round 5): pure numpy + stdlib."""
+
+    def test_round_trips(self):
+        from associationabacminer_ray.stages.gif import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(3)
+        for (h, w, ncol) in [(5, 7, 3), (16, 16, 250), (33, 9, 17)]:
+            pal = rng.integers(0, 256, (ncol, 3), np.uint8)
+            idx = rng.integers(0, ncol, (h, w), np.uint8)
+            for inter in (False, True):
+                out = decode_gif(encode_gif(idx, pal, interlace=inter))
+                assert out.shape == (h, w, 3) and (out == pal[idx]).all()
+
+    def test_dictionary_clear_and_long_matches(self):
+        from associationabacminer_ray.stages.gif import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(4)
+        # noise big enough to overflow the 4096-entry table (clear path)
+        pal = rng.integers(0, 256, (256, 3), np.uint8)
+        idx = rng.integers(0, 256, (128, 211), np.uint8)
+        assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+        # highly repetitive input (long LZW matches)
+        idx2 = np.tile(np.arange(7, dtype=np.uint8), (100, 30))[:, :200]
+        pal2 = rng.integers(0, 256, (7, 3), np.uint8)
+        assert (decode_gif(encode_gif(idx2, pal2)) == pal2[idx2]).all()
+
+    def test_hand_built_lzw_stream(self):
+        """Pixels [1,1,1,2,2] LZW-coded BY HAND per the spec (including
+        the 3→4-bit width transition when the table reaches 8 entries) —
+        decode must reproduce them without our encoder in the loop."""
+        import struct
+
+        from associationabacminer_ray.stages.gif import decode_gif
+
+        bits = []
+        for code, wdt in [(4, 3), (1, 3), (6, 3), (2, 3), (2, 4), (5, 4)]:
+            bits += [(code >> i) & 1 for i in range(wdt)]
+        by = bytearray()
+        for i in range(0, len(bits), 8):
+            v = 0
+            for j, bit in enumerate(bits[i:i + 8]):
+                v |= bit << j
+            by.append(v)
+        pal = np.array([[10, 10, 10], [20, 30, 40], [50, 60, 70],
+                        [0, 0, 0]], np.uint8)
+        gif = (b"GIF89a" + struct.pack("<HHBBB", 5, 1, 0x80 | 1, 0, 0)
+               + pal.tobytes()
+               + struct.pack("<BHHHHB", 0x2C, 0, 0, 5, 1, 0) + bytes([2])
+               + bytes([len(by)]) + bytes(by) + b"\x00\x3b")
+        exp = pal[np.array([[1, 1, 1, 2, 2]], np.uint8)]
+        assert (decode_gif(gif) == exp).all()
+
+    def test_malformed_raise(self):
+        import struct
+
+        from associationabacminer_ray.stages.gif import decode_gif
+
+        with pytest.raises(NotImplementedError):
+            decode_gif(b"GIF89a" + b"\x00" * 5)       # truncated header
+        with pytest.raises(NotImplementedError):      # trailer, no frame
+            decode_gif(b"GIF89a"
+                       + struct.pack("<HHBBB", 2, 2, 0, 0, 0) + b"\x3b")
+
+    def test_decode_stage_routes_gif(self):
+        from associationabacminer_ray.stages.gif import encode_gif
+        from associationabacminer_ray.stages.multimodal import Decode
+
+        rng = np.random.default_rng(15)
+        pal = rng.integers(0, 256, (11, 3), np.uint8)
+        idx = rng.integers(0, 11, (9, 13), np.uint8)
+        batch = pd.DataFrame({"item_id": ["x"], "modality": ["image"],
+                              "payload": [encode_gif(idx, pal)],
+                              "meta": ["{}"]})
+        out = Decode()(batch)
+        assert (out["pixels"].iloc[0] == pal[idx]).all()
+        assert out["decoded_shape"].iloc[0] == "[9, 13, 3]"
 
 
 class TestByteHashKernels:
