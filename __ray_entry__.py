@@ -319,6 +319,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the deterministic hash split (both sides corpus-sized — a
         # symmetric win_hash shuffle join, no broadcast)
         "split_leakage": T.q_split_leakage,
+        # round-5: pure-numpy compressed-codec decode (PNG/JPEG/GIF)
+        # end-to-end through the Decode actor pool. no_oracle: SQL
+        # cannot inflate a deflate/Huffman/LZW stream; the lossless
+        # codecs' exact pixel_sum parity and the JPEG error bound are
+        # pytest-pinned (tests/test_text_dedup_ann.py TestPng/Jpeg/Gif
+        # + test_multimodal_codecs_query).
+        "multimodal_codecs": T.q_multimodal_codecs,
     }
     # Driver-gate window ordering (VERDICT r3 #3): the driver's
     # correctness recorder caps at ~50 entries in dict order, so the

@@ -713,6 +713,68 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_multimodal_codecs(sf_dir: str) -> pd.DataFrame:
+    """Compressed-codec decode end-to-end (round 5): a deterministic
+    mixed corpus of PNG / baseline-JPEG / GIF payloads streamed through
+    the ``Decode`` actor pool, summarized per codec. PNG and GIF are
+    LOSSLESS, so their ``pixel_sum`` equals the pre-encode array sum
+    exactly (pytest-pinned: ``no_oracle`` — SQL cannot inflate a
+    deflate stream); JPEG reports the content-sensitive folded mean
+    absolute reconstruction error vs its source instead (bounded by the
+    q95 quantization tables, also pytest-pinned)."""
+    from ..runtime import sf_tag
+    from ..stages.gif import encode_gif
+    from ..stages.jpeg import encode_jpeg
+    from ..stages.multimodal import Decode, encode_png
+
+    n = {"sf0.01": 48, "sf0.1": 192}.get(sf_tag(sf_dir), 12)
+    rng = np.random.default_rng(17)
+    rows, originals = [], {}
+    for i in range(n):
+        h, w = int(rng.integers(6, 40)), int(rng.integers(6, 40))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        codec = ("png", "jpeg", "gif")[i % 3]
+        if codec == "png":
+            payload = encode_png(img)
+        elif codec == "jpeg":
+            payload = encode_jpeg(img, quality=95)
+        else:
+            pal = rng.integers(0, 256, (64, 3), np.uint8)
+            idx = rng.integers(0, 64, (h, w), np.uint8)
+            img = pal[idx]
+            payload = encode_gif(idx, pal)
+        item = f"item-{i:05d}"
+        originals[item] = img
+        rows.append((item, codec, payload, "{}"))
+    tbl = pd.DataFrame(rows,
+                       columns=["item_id", "codec", "payload", "meta"])
+
+    out = (rd.from_pandas(tbl)
+           .map_batches(Decode, batch_size=16,
+                        concurrency=auto_concurrency(),
+                        batch_format="pandas")
+           .to_pandas())  # Decode copies input columns ⇒ codec rides along
+    recs = []
+    for codec, g in out.groupby("codec", sort=True):
+        pix_sum = np.int64(0)
+        err_sum, n_px = 0.0, 0
+        for item, p in zip(g["item_id"], g["pixels"]):
+            pix_sum += np.int64(p.astype(np.int64).sum())
+            err_sum += float(
+                np.abs(p.astype(np.float64)
+                       - originals[item].astype(np.float64)).sum())
+            n_px += p.size
+        recs.append({
+            "codec": codec,
+            "n_items": np.int64(len(g)),
+            "n_pixels": np.int64(n_px),
+            "pixel_sum": pix_sum,
+            "mean_abs_err_bp": np.int64(
+                np.floor(err_sum / n_px * 10000 + 0.5)),
+        })
+    return pd.DataFrame(recs)
+
+
 def q_simhash_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup PAIRS (completing the family: exact★, MinHash★,
     n-gram, embedding★, cross-corpus★ all have end-to-end dup queries):

@@ -1069,6 +1069,50 @@ class TestGifCodec:
         assert out["decoded_shape"].iloc[0] == "[9, 13, 3]"
 
 
+def test_multimodal_codecs_query(ray_session, sf_dir):
+    """The mixed-codec gate query: lossless codecs must reproduce their
+    pre-encode arrays EXACTLY (pixel-parity is recomputed here from the
+    same deterministic corpus construction), and the JPEG q95 mean
+    absolute error stays inside the quantization-table bound."""
+    import associationabacminer_ray.pipelines.text_pipelines as tpl
+    from associationabacminer_ray.stages.gif import encode_gif
+    from associationabacminer_ray.stages.multimodal import encode_png
+
+    got = tpl.q_multimodal_codecs(sf_dir).set_index("codec")
+    assert set(got.index) == {"png", "jpeg", "gif"}
+    # independent reconstruction of the lossless codecs' ground truth
+    from associationabacminer_ray.runtime import sf_tag
+
+    n = {"sf0.01": 48, "sf0.1": 192}.get(sf_tag(sf_dir), 12)
+    rng = np.random.default_rng(17)
+    sums = {"png": 0, "gif": 0}
+    counts = {"png": 0, "jpeg": 0, "gif": 0}
+    pixels = {"png": 0, "jpeg": 0, "gif": 0}
+    for i in range(n):
+        h, w = int(rng.integers(6, 40)), int(rng.integers(6, 40))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        codec = ("png", "jpeg", "gif")[i % 3]
+        if codec == "png":
+            encode_png(img)  # advance nothing; parity on img below
+            sums["png"] += int(img.astype(np.int64).sum())
+        elif codec == "gif":
+            pal = rng.integers(0, 256, (64, 3), np.uint8)
+            idx = rng.integers(0, 64, (h, w), np.uint8)
+            img = pal[idx]
+            encode_gif(idx, pal)
+            sums["gif"] += int(img.astype(np.int64).sum())
+        counts[codec] += 1
+        pixels[codec] += img.size
+    for codec in ("png", "gif"):
+        assert got.loc[codec, "n_items"] == counts[codec]
+        assert got.loc[codec, "pixel_sum"] == sums[codec]
+        assert got.loc[codec, "mean_abs_err_bp"] == 0  # lossless
+    assert got.loc["jpeg", "n_items"] == counts["jpeg"]
+    assert got.loc["jpeg", "n_pixels"] == pixels["jpeg"]
+    # q95 quantization keeps noise-image MAE well under 8/255
+    assert 0 < got.loc["jpeg", "mean_abs_err_bp"] < 80_000
+
+
 class TestByteHashKernels:
     """Byte-level segmented polynomial hashing (VERDICT r3 #2): the
     vectorized shingle/token extraction must be a pure function of doc
