@@ -186,6 +186,7 @@ def run_bench() -> dict:
         from associationabacminer_ray.pipelines import mixture as MX
         from associationabacminer_ray.pipelines import sequence as SQ
         from associationabacminer_ray.pipelines import temporal as TM
+        from associationabacminer_ray.pipelines import text_pipelines as TX
 
     for name, fn in ({} if headline_only else {
         "q1_lineitem": R.q1_lineitem,
@@ -202,6 +203,9 @@ def run_bench() -> dict:
         # the GSP ordered-pair support (combiner → one user shuffle)
         "interval_join": TM.q_interval_join,
         "seq_pair_support": SQ.q_seq_pair_support,
+        # round-5: symmetric corpus×corpus window-hash join (10× fix:
+        # partial counts instead of a per-group Ray aggregate, PERF #32)
+        "split_leakage": TX.q_split_leakage,
     }).items():
         t0 = time.perf_counter()
         consume(fn(sf_dir))
